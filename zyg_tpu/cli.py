@@ -1,0 +1,76 @@
+"""Command-line interface, flag-compatible with the reference CLI
+(ref: src/cli/options.zig): -i/--input take, -o/--output, -f/--frame,
+-n/--num-frames, --sample/--num-samples, -t/--threads (ignored: TPU),
+--no-tex, --debug-mat, -s/--stats.
+
+Usage: python -m zyg_tpu -i examples/takes/cornell.take
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="zyg_tpu", description="TPU-native zyg renderer")
+    p.add_argument("-i", "--input", default="takes/cornell.take", help="take file")
+    p.add_argument("-o", "--output", default="", help="output image path (PNG)")
+    p.add_argument("-m", "--mount", action="append", default=[], help="mount directory")
+    p.add_argument("-f", "--start-frame", type=int, default=0)
+    p.add_argument("-n", "--num-frames", type=int, default=1)
+    p.add_argument("--sample", type=int, default=0, help="first sample index")
+    p.add_argument("--num-samples", type=int, default=0, help="sample count override")
+    p.add_argument("-t", "--threads", type=int, default=0, help="ignored (TPU)")
+    p.add_argument("--no-tex", action="store_true")
+    p.add_argument("--debug-mat", action="store_true")
+    p.add_argument("-s", "--stats", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from .io.take import load_take_file
+    from .scene.loader import load_scene_file
+    from .render.driver import Driver
+
+    t0 = time.time()
+    take = load_take_file(args.input)
+    scene_path = take.scene_filename
+    if not os.path.exists(scene_path):
+        for m in args.mount:
+            cand = os.path.join(m, take.scene_filename)
+            if os.path.exists(cand):
+                scene_path = cand
+                break
+    scene = load_scene_file(scene_path)
+    print(f"Loading time {time.time() - t0:.3f} s")
+
+    if args.num_samples > 0:
+        take.num_samples_per_pixel = args.num_samples
+
+    driver = Driver(take=take, scene=scene)
+    t0 = time.time()
+    driver.render_frame()
+    render_time = time.time() - t0
+    print(f"Render time {render_time:.3f} s")
+
+    w, h = driver.camera.resolution
+    spp = take.num_samples_per_pixel
+    out = args.output or (os.path.splitext(os.path.basename(args.input))[0] + ".png")
+    t0 = time.time()
+    driver.export_frame(out)
+    print(f"Export time {time.time() - t0:.3f} s")
+
+    if args.stats:
+        rays = w * h * spp  # camera rays (bounces add more)
+        print(f"resolution {w}x{h}, {spp} spp, {rays/1e6:.1f}M camera rays")
+        print(f"{rays / render_time / 1e6:.1f} M camera rays/s")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

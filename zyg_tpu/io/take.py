@@ -1,0 +1,175 @@
+"""Take (render description) loader — source-compatible with zyg take JSON.
+
+ref: src/cli/take_loader.zig + src/core/take/take.zig. A take bundles the
+scene filename, camera(s), sampler, surface/volume integrators, sensor
+settings, post processors, and exporters.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..render.camera import PerspectiveCamera
+from ..render.sensor import Clamp, SensorSettings
+from ..scene.loader import read_transformation
+
+
+DEFAULT_DEPTH = {"surface": 16, "volume": 256}
+
+
+@dataclass
+class IntegratorSettings:
+    kind: str = "PTMIS"  # AOV | PT | PTDL | PTMIS
+    max_depth_surface: int = 16
+    max_depth_volume: int = 256
+    caustics: bool = True
+    light_split_threshold: float = 0.5**4  # st^4 remap (ref take.zig:263-271)
+    regularize_roughness: float = 0.0
+    aov_value: str = "AO"
+    aov_num_samples: int = 1
+    aov_radius: float = 1.0
+
+
+@dataclass
+class Exporter:
+    kind: str = "Image"  # Image | FFMPEG
+    format: str = "PNG"  # PNG | EXR | RGBE
+    error_diffusion: bool = True
+
+
+@dataclass
+class Take:
+    scene_filename: str = ""
+    cameras: list[PerspectiveCamera] = field(default_factory=list)
+    num_samples_per_pixel: int = 1
+    num_particles_per_pixel: int = 0
+    sampler: str = "Sobol"  # Sobol | Random
+    integrator: IntegratorSettings = field(default_factory=IntegratorSettings)
+    sensor: SensorSettings = field(
+        default_factory=lambda: SensorSettings(clamp=Clamp())
+    )
+    exporters: list[Exporter] = field(default_factory=list)
+    start_frame: int = 0
+    num_frames: int = 1
+
+
+def _load_camera(node: dict) -> PerspectiveCamera:
+    cam = PerspectiveCamera()
+    for kind, body in node.items():
+        if kind not in ("Perspective", "Orthographic"):
+            continue
+        params = body.get("parameters", {})
+        if "fov" in params:
+            cam.fov = float(np.deg2rad(params["fov"]))
+        if "lens" in params:
+            cam.aperture_radius = float(params["lens"].get("radius", 0.0))
+        if "aperture" in params:
+            cam.aperture_radius = float(params["aperture"].get("radius", cam.aperture_radius))
+        if "focus" in params:
+            cam.focus_distance = float(params["focus"].get("distance", 0.0))
+        trafo = read_transformation(body.get("transformation"))
+        cam.rotation = trafo.rotation
+        cam.position = trafo.position
+        res = body.get("resolution", [1280, 720])
+        cam.resolution = (int(res[0]), int(res[1]))
+        if "crop" in body:
+            cam.crop = tuple(int(v) for v in body["crop"])
+        break
+    return cam
+
+
+def _load_integrator(node: dict, take: Take) -> None:
+    surface = node.get("surface", {})
+    for kind in ("AOV", "PT", "PTDL", "PTMIS"):
+        if kind not in surface:
+            continue
+        body = surface[kind] or {}
+        s = take.integrator
+        s.kind = kind
+        depth = body.get("depth", {})
+        if isinstance(depth, dict):
+            s.max_depth_surface = int(depth.get("surface", DEFAULT_DEPTH["surface"]))
+            s.max_depth_volume = int(depth.get("volume", DEFAULT_DEPTH["volume"]))
+        elif isinstance(depth, (int, float)):
+            s.max_depth_surface = int(depth)
+        s.caustics = bool(body.get("caustics", True))
+        s.regularize_roughness = float(body.get("regularize_roughness", 0.0))
+        ls = body.get("light_sampling", {})
+        st = float(np.clip(ls.get("split_threshold", 0.5), 0.0, 1.0))
+        s.light_split_threshold = (st * st) * (st * st)
+        if kind == "AOV":
+            s.aov_value = body.get("value", "AO")
+            s.aov_num_samples = int(body.get("num_samples", 1))
+            s.aov_radius = float(body.get("radius", 1.0))
+        break
+    particle = node.get("particle")
+    if particle:
+        take.num_particles_per_pixel = int(particle.get("particles_per_pixel", 1))
+
+
+def _load_sensor(node: dict) -> SensorSettings:
+    clamp = Clamp()
+    cl = node.get("clamp")
+    if isinstance(cl, dict):
+        clamp.emission = float(cl.get("emission", np.inf))
+        clamp.direct = float(cl.get("direct", np.inf))
+        clamp.indirect = float(cl.get("indirect", np.inf))
+    settings = SensorSettings(clamp=clamp)
+    settings.alpha_transparency = bool(node.get("alpha_transparency", False))
+    filt = node.get("filter")
+    if isinstance(filt, dict):
+        for name in ("Blackman", "Mitchell"):
+            if name in filt:
+                settings.filter_name = name
+                settings.filter_radius = 2.0
+                break
+    return settings
+
+
+def load_take_dict(root: dict, base_dir: str = "") -> Take:
+    take = Take()
+    take.scene_filename = root.get("scene", "")
+    if take.scene_filename and base_dir:
+        take.scene_filename = os.path.join(base_dir, take.scene_filename)
+
+    if "camera" in root:
+        take.cameras.append(_load_camera(root["camera"]))
+    for cn in root.get("cameras", []):
+        take.cameras.append(_load_camera(cn))
+
+    sampler = root.get("sampler", {})
+    for name, body in sampler.items():
+        take.sampler = name if name in ("Random", "Sobol") else "Sobol"
+        take.num_samples_per_pixel = int(body.get("samples_per_pixel", 1))
+
+    if "integrator" in root:
+        _load_integrator(root["integrator"], take)
+
+    if "sensor" in root:
+        take.sensor = _load_sensor(root["sensor"])
+
+    for pp in root.get("post", []):
+        if "tonemapper" in pp:
+            for tname, tbody in pp["tonemapper"].items():
+                take.sensor.tonemapper = tname
+                take.sensor.exposure = float(tbody.get("exposure", 0.0)) if isinstance(tbody, dict) else 0.0
+
+    exp = root.get("export")
+    if isinstance(exp, dict):
+        if "Image" in exp:
+            fmt = exp["Image"].get("format", "PNG").upper()
+            take.exporters.append(Exporter("Image", fmt, bool(exp["Image"].get("error_diffusion", True))))
+        if "FFMPEG" in exp:
+            take.exporters.append(Exporter("FFMPEG", "MP4"))
+
+    return take
+
+
+def load_take_file(path: str) -> Take:
+    with open(path) as f:
+        root = json.load(f)
+    return load_take_dict(root, base_dir=os.path.dirname(path))

@@ -1,0 +1,93 @@
+"""Cameras. Perspective matches ref src/core/camera/camera_perspective.zig:
+NDC x in [-1,1], y in [ratio,-ratio] (ratio=h/w), z = 1/tan(fov/2), fov is
+horizontal; rays = left_top + d_x*(px+ux) + d_y*(py+uy), rotated to world by
+the camera transform (rows-as-axes).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import vecmath as vm
+
+
+class CameraArrays(NamedTuple):
+    """Device-side camera constants."""
+
+    rot: jax.Array  # [3,3] rows = camera axes in world
+    pos: jax.Array  # [3]
+    left_top: jax.Array  # [3]
+    d_x: jax.Array  # [3]
+    d_y: jax.Array  # [3]
+    aperture_radius: jax.Array  # scalar
+    focus_distance: jax.Array  # scalar
+
+
+@dataclass
+class PerspectiveCamera:
+    resolution: tuple[int, int] = (1280, 720)
+    fov: float = np.deg2rad(60.0)  # horizontal, radians
+    rotation: np.ndarray = field(default_factory=lambda: np.eye(3, dtype=np.float32))
+    position: np.ndarray = field(default_factory=lambda: np.zeros(3, np.float32))
+    aperture_radius: float = 0.0
+    focus_distance: float = 0.0
+    crop: tuple[int, int, int, int] | None = None
+
+    def arrays(self) -> CameraArrays:
+        w, h = self.resolution
+        ratio = h / w
+        z = 1.0 / np.tan(0.5 * self.fov)
+        left_top = np.array([-1.0, ratio, z], np.float32)
+        right_top = np.array([1.0, ratio, z], np.float32)
+        left_bottom = np.array([-1.0, -ratio, z], np.float32)
+        d_x = (right_top - left_top) / w
+        d_y = (left_bottom - left_top) / h
+        return CameraArrays(
+            rot=jnp.asarray(self.rotation, jnp.float32),
+            pos=jnp.asarray(self.position, jnp.float32),
+            left_top=jnp.asarray(left_top),
+            d_x=jnp.asarray(d_x),
+            d_y=jnp.asarray(d_y),
+            aperture_radius=jnp.float32(self.aperture_radius),
+            focus_distance=jnp.float32(self.focus_distance),
+        )
+
+    @property
+    def sensor_area_factor(self) -> float:
+        """'a' in the reference: normalized sensor area for light tracing pdfs."""
+        w, h = self.resolution
+        ratio = h / w
+        z = 1.0 / np.tan(0.5 * self.fov)
+        return abs((2.0 / z) * (2.0 * ratio / z))
+
+
+def generate_rays(cam: CameraArrays, pixel_xy, pixel_uv, lens_uv=None):
+    """pixel_xy int[N,2], pixel_uv float[N,2] -> (origin[N,3], dir[N,3]).
+
+    ref camera_perspective.zig generateVertex.
+    """
+    coords = pixel_xy.astype(jnp.float32) + pixel_uv
+    direction = (
+        cam.left_top + cam.d_x * coords[..., 0:1] + cam.d_y * coords[..., 1:2]
+    )
+    if lens_uv is not None:
+        # physical aperture: sample a disk of radius aperture_radius
+        use = cam.aperture_radius > 0.0
+        lens = cam.aperture_radius * vm.sample_disk_concentric(lens_uv)
+        origin_l = jnp.where(
+            use, jnp.stack([lens[..., 0], lens[..., 1], jnp.zeros_like(lens[..., 0])], -1), 0.0
+        )
+        t = cam.focus_distance / direction[..., 2:3]
+        focus = t * direction
+        direction = jnp.where(use, focus - origin_l, direction)
+    else:
+        origin_l = jnp.zeros_like(direction)
+
+    d_world = vm.object_to_world_normal(cam.rot, vm.normalize(direction))
+    o_world = vm.object_to_world_normal(cam.rot, origin_l) + cam.pos
+    return o_world, d_world

@@ -1,0 +1,162 @@
+"""Render driver: frame orchestration (ref: src/core/rendering/driver.zig).
+
+Owns the compiled per-frame render function. The reference farms 32x32 tiles
+to worker threads; here a frame is a batch of H*W ray lanes, spp accumulated
+by a ``lax.scan`` inside one jit, sharded across devices by parallel/.
+
+Deterministic seeding law matches ref src/core/rendering/worker.zig:136-149:
+    pixel_id     = y * W + x                  (filter radius 0)
+    sobol sample = pixel_id * num_expected_samples + iteration
+    sobol seed   = hi32(sample) + iteration//num_expected_samples
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.sobol import SobolSampler
+from ..io.take import Take, IntegratorSettings
+from ..scene.types import SceneData
+from . import sensor as sensor_mod
+from .camera import PerspectiveCamera, generate_rays
+from .integrator import pt as pt_mod
+from .sensor import Framebuffer
+
+
+def _render_samples(
+    scene: SceneData,
+    cam_arrays,
+    fb: Framebuffer,
+    pixel_xy,  # int32 [N,2]
+    pixel_ids,  # uint32 [N]
+    first_iteration,  # int32 scalar: global sample index of first sample
+    *,
+    num_samples: int,
+    num_expected_samples: int,
+    integrator: IntegratorSettings,
+    clamp_max: float,
+):
+    """Accumulate `num_samples` consecutive samples into fb (one jit)."""
+
+    def one_sample(carry, s):
+        fb, total_rays = carry
+        iteration = first_iteration + s
+        sample_index = pixel_ids * jnp.uint32(num_expected_samples) + iteration.astype(jnp.uint32)
+        seed = jnp.zeros_like(pixel_ids) + (iteration // num_expected_samples).astype(jnp.uint32)
+        smp = SobolSampler.start_pixel(sample_index, seed)
+
+        s4 = smp.sample_4d()
+        _time = smp.sample_1d()
+        smp.increment_padding()
+
+        o, d = generate_rays(cam_arrays, pixel_xy, s4[..., 0:2], s4[..., 2:4])
+
+        if integrator.kind in ("PT",):
+            radiance, _, rays = pt_mod.integrate(
+                scene, o, d, smp, pt_mod.PtSettings(max_depth=integrator.max_depth_surface)
+            )
+        else:
+            # PTMIS/PTDL wired in integrator/ptmis.py (falls back to PT until then)
+            radiance, _, rays = pt_mod.integrate(
+                scene, o, d, smp, pt_mod.PtSettings(max_depth=integrator.max_depth_surface)
+            )
+
+        radiance = sensor_mod.clamp_radiance(radiance, clamp_max)
+        return (fb.add_box(radiance), total_rays + rays), None
+
+    (fb, rays), _ = jax.lax.scan(
+        one_sample, (fb, jnp.int32(0)), jnp.arange(num_samples, dtype=jnp.int32)
+    )
+    return fb, rays
+
+
+@dataclass
+class Driver:
+    """Progressive frame renderer for one camera."""
+
+    take: Take
+    scene: SceneData
+    camera: PerspectiveCamera = None  # type: ignore
+
+    def __post_init__(self):
+        self.camera = self.camera or self.take.cameras[0]
+        w, h = self.camera.resolution
+        ys, xs = np.divmod(np.arange(w * h, dtype=np.int64), w)
+        self._pixel_xy = jnp.asarray(np.stack([xs, ys], axis=-1), jnp.int32)
+        self._pixel_ids = jnp.asarray(np.arange(w * h), jnp.uint32)
+        self._fb = Framebuffer.zeros(w * h)
+        self._iteration = 0
+        self.rays_traced = 0
+        clamp = self.take.sensor.clamp
+        self._clamp_max = min(clamp.direct, clamp.indirect)
+        self._render_cache: dict[int, callable] = {}
+        # default chunk: bound path-state live range / compile size
+        self.chunk_size = min(max(self.take.num_samples_per_pixel, 1), 16)
+
+    def _render_fn(self, num_samples: int):
+        fn = self._render_cache.get(num_samples)
+        if fn is None:
+            # num_expected_samples is clamped to >=2: the ==1 constant folds
+            # `pixel_ids*1+s` away and trips a pathological XLA/Mosaic compile
+            # (~400s observed on v5e vs ~6s normally). The seeding stays
+            # deterministic and collision-free either way.
+            fn = jax.jit(
+                functools.partial(
+                    _render_samples,
+                    num_samples=num_samples,
+                    num_expected_samples=max(self.take.num_samples_per_pixel, 2),
+                    integrator=self.take.integrator,
+                    clamp_max=self._clamp_max,
+                )
+            )
+            self._render_cache[num_samples] = fn
+        return fn
+
+    def start_frame(self):
+        w, h = self.camera.resolution
+        self._fb = Framebuffer.zeros(w * h)
+        self._iteration = 0
+        self.rays_traced = 0
+
+    def render_iterations(self, num: int | None = None):
+        """Render `num` further samples per pixel (default: take spp)."""
+        num = num if num is not None else self.take.num_samples_per_pixel
+        done = 0
+        while done < num:
+            n = min(self.chunk_size, num - done)
+            self._fb, rays = self._render_fn(n)(
+                self.scene,
+                self.camera.arrays(),
+                self._fb,
+                self._pixel_xy,
+                self._pixel_ids,
+                jnp.int32(self._iteration),
+            )
+            self._iteration += n
+            done += n
+            self.rays_traced += int(rays)
+        return self._fb
+
+    def render_frame(self) -> np.ndarray:
+        """Full frame at take spp. Returns linear HDR [H,W,3]."""
+        self.start_frame()
+        self.render_iterations(self.take.num_samples_per_pixel)
+        return self.resolve()
+
+    def resolve(self, tonemapped: bool = False) -> np.ndarray:
+        w, h = self.camera.resolution
+        img = self._fb.resolve().reshape(h, w, 3)
+        if tonemapped:
+            img = sensor_mod.tonemap(img, self.take.sensor.tonemapper, self.take.sensor.exposure)
+        return np.asarray(jax.device_get(img))
+
+    def export_frame(self, path: str):
+        from ..io.png import write_png, float_to_srgb8
+
+        img = self.resolve(tonemapped=True)
+        write_png(path, float_to_srgb8(img))

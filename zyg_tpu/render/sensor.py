@@ -1,0 +1,158 @@
+"""Sensor: framebuffer accumulation + tonemapping.
+
+ref: src/core/rendering/sensor/. The reference splats filtered samples with
+per-tile atomics; here accumulation is pure-functional — radius-0 (box)
+accumulation is a reshape-add, filtered splats become scatter-adds, and
+multi-chip merging is a psum over the device mesh (see parallel/).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass
+class Clamp:
+    """Per-class radiance clamp (ref sensor.zig Clamp)."""
+
+    emission: float = np.inf
+    direct: float = np.inf
+    indirect: float = np.inf
+
+
+@dataclass
+class SensorSettings:
+    clamp: Clamp
+    filter_radius: float = 0.0  # 0 = box
+    filter_name: str = "Blackman"
+    alpha_transparency: bool = False
+    tonemapper: str = "Linear"
+    exposure: float = 0.0
+
+
+class Framebuffer(NamedTuple):
+    """Weighted accumulation buffer, row-major [H*W]."""
+
+    value: jax.Array  # [H*W, 3]
+    weight: jax.Array  # [H*W]
+
+    @staticmethod
+    def zeros(num_pixels: int) -> "Framebuffer":
+        return Framebuffer(
+            value=jnp.zeros((num_pixels, 3), jnp.float32),
+            weight=jnp.zeros((num_pixels,), jnp.float32),
+        )
+
+    def add_box(self, radiance) -> "Framebuffer":
+        """One full-frame pass in pixel order: box filter radius 0."""
+        return Framebuffer(self.value + radiance, self.weight + 1.0)
+
+    def splat(self, pixel_ids, radiance, weights) -> "Framebuffer":
+        """Scatter-add for filtered/light-traced samples."""
+        value = self.value.at[pixel_ids].add(radiance * weights[..., None])
+        weight = self.weight.at[pixel_ids].add(weights)
+        return Framebuffer(value, weight)
+
+    def resolve(self) -> jax.Array:
+        w = jnp.where(self.weight > 0.0, self.weight, 1.0)
+        return self.value / w[..., None]
+
+
+def clamp_radiance(radiance, max_value: float):
+    """ref buffer clamping: clamp each channel."""
+    if not np.isfinite(max_value):
+        return radiance
+    return jnp.minimum(radiance, max_value)
+
+
+# ---------------------------------------------------------------------------
+# Tonemappers (ref: rendering/sensor/tonemapper.zig, agx.zig)
+# ---------------------------------------------------------------------------
+
+
+def tonemap_linear(c):
+    return c
+
+
+def tonemap_aces(c):
+    """ACES fitted (Hill/Narkowicz-style fit used by the reference)."""
+    # sRGB => ACEScg-ish RRT+ODT fit
+    a = c * (c + 0.0245786) - 0.000090537
+    b = c * (0.983729 * c + 0.4329510) + 0.238081
+    return jnp.clip(a / b, 0.0, 1.0)
+
+
+def tonemap_pbr_neutral(c):
+    """Khronos PBR Neutral."""
+    start_compression = 0.8 - 0.04
+    desaturation = 0.15
+    x = jnp.min(c, axis=-1, keepdims=True)
+    offset = jnp.where(x < 0.08, x - 6.25 * x * x, 0.04)
+    c = c - offset
+    peak = jnp.max(c, axis=-1, keepdims=True)
+    need = peak >= start_compression
+    d = 1.0 - start_compression
+    new_peak = 1.0 - d * d / (peak + d - start_compression)
+    scaled = c * (new_peak / jnp.maximum(peak, 1e-8))
+    g = 1.0 - 1.0 / (desaturation * (peak - new_peak) + 1.0)
+    compressed = (1.0 - g) * scaled + g * new_peak
+    return jnp.where(need, compressed, c)
+
+
+_AGX_INSET = np.array(
+    [
+        [0.856627153315983, 0.137318972929847, 0.11189821299995],
+        [0.0951212405381588, 0.761241990602591, 0.0767994186031903],
+        [0.0482516061458583, 0.101439036467562, 0.811302368396859],
+    ],
+    np.float32,
+)
+
+_AGX_OUTSET = np.array(
+    [
+        [1.1271005818144368, -0.1413297634984383, -0.14132976349843826],
+        [-0.11060664309660323, 1.157823702216272, -0.11060664309660294],
+        [-0.016493938717834573, -0.016493938717834257, 1.2519364065950405],
+    ],
+    np.float32,
+)
+
+
+def tonemap_agx(c, look: str = "none"):
+    """AgX (Benjamin Wrensch / Troy Sobotka approximation)."""
+    min_ev, max_ev = -12.47393, 4.026069
+    c = c @ jnp.asarray(_AGX_INSET).T
+    c = jnp.clip(jnp.log2(jnp.maximum(c, 1e-10)), min_ev, max_ev)
+    x = (c - min_ev) / (max_ev - min_ev)
+    # 6th-order sigmoid approximation
+    x2 = x * x
+    x4 = x2 * x2
+    v = (
+        15.5 * x4 * x2
+        - 40.14 * x4 * x
+        + 31.96 * x4
+        - 6.868 * x2 * x
+        + 0.4298 * x2
+        + 0.1191 * x
+        - 0.00232
+    )
+    v = v @ jnp.asarray(_AGX_OUTSET).T
+    return jnp.clip(v, 0.0, 1.0)
+
+
+TONEMAPPERS = {
+    "Linear": tonemap_linear,
+    "ACES": tonemap_aces,
+    "AgX": tonemap_agx,
+    "PbrNeutral": tonemap_pbr_neutral,
+}
+
+
+def tonemap(c, name: str = "Linear", exposure: float = 0.0):
+    f = TONEMAPPERS.get(name, tonemap_linear)
+    return f(c * (2.0**exposure))

@@ -1,0 +1,379 @@
+"""Host-side scene compiler: scene JSON (zyg format) -> SceneData arrays.
+
+Source-compatible with the reference's scene files
+(ref: src/util/scene_loader.zig, src/base/json.zig readTransformation):
+entities with type Prop/Light, shape {type|file}, materials by name (with
+local material definitions), transformations with position/scale/rotation or
+look_at/up, nested child entities inheriting the parent transform.
+
+Everything here is plain numpy on the host; `compile_scene` produces the
+device pytree.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+import jax.numpy as jnp
+
+from .types import SceneData, Materials, Lights, ShapeType, MaterialKind
+from ..core.spectrum import LUMINANCE_WEIGHTS
+
+
+# ---------------------------------------------------------------------------
+# Transformation parsing (matches ref/src/base/json.zig exactly)
+# ---------------------------------------------------------------------------
+
+
+def _rot_x(a):
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[1, 0, 0], [0, c, -s], [0, s, c]], np.float32)
+
+
+def _rot_y(a):
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+
+
+def _rot_z(a):
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+
+
+def rotation_matrix_from_euler_degrees(xyz) -> np.ndarray:
+    """R = Rz * Rx * Ry, rows then used as object axes (ref json.zig:169-180)."""
+    x, y, z = (np.deg2rad(float(v)) for v in xyz)
+    return (_rot_z(z) @ _rot_x(x) @ _rot_y(y)).astype(np.float32)
+
+
+def _read_vec3(value, default=(0.0, 0.0, 0.0)) -> np.ndarray:
+    if value is None:
+        return np.array(default, np.float32)
+    if isinstance(value, (int, float)):
+        return np.full(3, float(value), np.float32)
+    return np.array([float(v) for v in value[:3]], np.float32)
+
+
+@dataclass
+class Transformation:
+    position: np.ndarray = field(default_factory=lambda: np.zeros(3, np.float32))
+    rotation: np.ndarray = field(default_factory=lambda: np.eye(3, dtype=np.float32))
+    scale: np.ndarray = field(default_factory=lambda: np.ones(3, np.float32))
+
+    def compose(self, child: "Transformation") -> "Transformation":
+        """self (parent) ∘ child — ref composed_transformation.zig transform()."""
+        rot = child.rotation @ self.rotation
+        scale = self.scale * child.scale
+        pos = ((child.position * self.scale) @ self.rotation) + self.position
+        return Transformation(pos.astype(np.float32), rot.astype(np.float32), scale.astype(np.float32))
+
+
+def read_transformation(value: dict | None, base: Transformation | None = None) -> Transformation:
+    t = Transformation() if base is None else Transformation(base.position, base.rotation, base.scale)
+    if value is None:
+        return t
+    up = np.array([0.0, 1.0, 0.0], np.float32)
+    look_at = None
+    for key, v in value.items():
+        if key == "position":
+            t.position = _read_vec3(v)
+        elif key == "scale":
+            t.scale = _read_vec3(v, default=(1.0, 1.0, 1.0))
+        elif key == "rotation":
+            t.rotation = rotation_matrix_from_euler_degrees(_read_vec3(v))
+        elif key == "look_at":
+            look_at = _read_vec3(v)
+        elif key == "up":
+            up = _read_vec3(v)
+    if look_at is not None:
+        direction = look_at - t.position
+        direction = direction / np.linalg.norm(direction)
+        right = -np.cross(direction, up)
+        t.rotation = np.stack([right, up, direction], axis=0).astype(np.float32)
+    return t
+
+
+# ---------------------------------------------------------------------------
+# Materials
+# ---------------------------------------------------------------------------
+
+_SHAPE_NAMES = {
+    "Canopy": ShapeType.CANOPY,
+    "Cube": ShapeType.CUBE,
+    "Disk": ShapeType.DISK,
+    "Distant": ShapeType.DISTANT,
+    "Dome": ShapeType.DOME,
+    "Rectangle": ShapeType.RECTANGLE,
+    "Sphere": ShapeType.SPHERE,
+    # zyg alias: the sun is a Distant light
+    "Celestial_disk": ShapeType.DISTANT,
+}
+
+
+@dataclass
+class MaterialDesc:
+    kind: int = int(MaterialKind.SUBSTITUTE)
+    color: np.ndarray = field(default_factory=lambda: np.full(3, 0.5, np.float32))
+    roughness: float = 0.8
+    metallic: float = 0.0
+    ior: float = 1.46
+    specular: float = 1.0
+    emission: np.ndarray = field(default_factory=lambda: np.zeros(3, np.float32))
+    two_sided: bool = False
+    attenuation_distance: float = 0.0
+    anisotropy: float = 0.0
+
+
+def _read_color(v) -> np.ndarray:
+    if isinstance(v, (int, float)):
+        return np.full(3, float(v), np.float32)
+    if isinstance(v, dict):
+        # {"temperature": K} etc. — handled minimally for now
+        if "temperature" in v:
+            from ..core.spectrum import blackbody
+
+            return blackbody(float(v["temperature"]))
+        if "value" in v:
+            return _read_color(v["value"])
+    return np.array([float(x) for x in v[:3]], np.float32)
+
+
+def parse_material(value: dict) -> MaterialDesc:
+    """Parse one material JSON node (ref: material_provider.zig loadMaterial)."""
+    rendering = value.get("rendering", value)
+    desc = MaterialDesc()
+    for kind_name, body in rendering.items():
+        if kind_name == "Substitute":
+            desc.kind = int(MaterialKind.SUBSTITUTE)
+        elif kind_name == "Glass":
+            desc.kind = int(MaterialKind.GLASS)
+            desc.roughness = 0.0
+            desc.color = np.ones(3, np.float32)
+            desc.ior = 1.46
+        elif kind_name == "Light":
+            desc.kind = int(MaterialKind.LIGHT)
+        elif kind_name == "Debug":
+            desc.kind = int(MaterialKind.DEBUG)
+        elif kind_name == "Volumetric":
+            desc.kind = int(MaterialKind.VOLUMETRIC)
+        elif kind_name == "Hair":
+            desc.kind = int(MaterialKind.HAIR)
+        elif kind_name == "Sky":
+            desc.kind = int(MaterialKind.SKY)
+        else:
+            continue
+        if not isinstance(body, dict):
+            continue
+        for key, v in body.items():
+            if key in ("color", "attenuation_color", "subsurface_color"):
+                desc.color = _read_color(v)
+            elif key == "roughness" and isinstance(v, (int, float)):
+                desc.roughness = float(v)
+            elif key == "metallic":
+                desc.metallic = float(v)
+            elif key == "ior":
+                desc.ior = float(v)
+            elif key == "specular":
+                desc.specular = float(v)
+            elif key == "anisotropy":
+                desc.anisotropy = float(v)
+            elif key == "attenuation_distance":
+                desc.attenuation_distance = float(v)
+            elif key == "two_sided":
+                desc.two_sided = bool(v)
+            elif key == "emittance":
+                spectrum = _read_color(v.get("spectrum", [1.0, 1.0, 1.0]))
+                desc.emission = np.float32(v.get("value", 1.0)) * spectrum
+        break
+    return desc
+
+
+def materials_to_table(descs: list[MaterialDesc]) -> Materials:
+    n = max(len(descs), 1)
+    descs = descs or [MaterialDesc()]
+    return Materials(
+        kind=jnp.asarray([d.kind for d in descs], jnp.int32),
+        color=jnp.asarray(np.stack([d.color for d in descs]), jnp.float32),
+        roughness=jnp.asarray([d.roughness for d in descs], jnp.float32),
+        metallic=jnp.asarray([d.metallic for d in descs], jnp.float32),
+        ior=jnp.asarray([d.ior for d in descs], jnp.float32),
+        specular=jnp.asarray([d.specular for d in descs], jnp.float32),
+        emission=jnp.asarray(np.stack([d.emission for d in descs]), jnp.float32),
+        two_sided=jnp.asarray([d.two_sided for d in descs], bool),
+        attenuation_distance=jnp.asarray([d.attenuation_distance for d in descs], jnp.float32),
+        anisotropy=jnp.asarray([d.anisotropy for d in descs], jnp.float32),
+        color_tex=jnp.full((n,), -1, jnp.int32),
+        roughness_tex=jnp.full((n,), -1, jnp.int32),
+        normal_tex=jnp.full((n,), -1, jnp.int32),
+        emission_tex=jnp.full((n,), -1, jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scene building
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class PropDesc:
+    shape: int
+    trafo: Transformation
+    material: int
+    visible_camera: bool = True
+    visible_reflection: bool = True
+    visible_shadow: bool = True
+    is_light: bool = False
+
+
+class SceneBuilder:
+    def __init__(self):
+        self.props: list[PropDesc] = []
+        self.materials: list[MaterialDesc] = []
+        self._mat_by_name: dict[str, int] = {}
+        # fallback material id 0
+        self._fallback = self.add_material(MaterialDesc(color=np.array([1.0, 0.0, 0.6], np.float32)))
+
+    def add_material(self, desc: MaterialDesc, name: str | None = None) -> int:
+        idx = len(self.materials)
+        self.materials.append(desc)
+        if name:
+            self._mat_by_name[name] = idx
+        return idx
+
+    def material_id(self, name: str, local_materials: dict[str, dict]) -> int:
+        if name in self._mat_by_name:
+            return self._mat_by_name[name]
+        if name in local_materials:
+            return self.add_material(parse_material(local_materials[name]), name)
+        return self._fallback
+
+    def add_prop(self, desc: PropDesc) -> int:
+        self.props.append(desc)
+        return len(self.props) - 1
+
+    # -- light power: luminance-weighted emission * emitting measure
+    def _light_weight(self, p: PropDesc) -> float:
+        m = self.materials[p.material]
+        lum = float(np.dot(np.asarray(LUMINANCE_WEIGHTS, np.float64), m.emission))
+        if lum <= 0.0:
+            return 0.0
+        s = p.trafo.scale
+        shape = ShapeType(p.shape)
+        if shape == ShapeType.RECTANGLE:
+            area = float(s[0] * s[1])
+        elif shape == ShapeType.DISK:
+            area = float(np.pi * (0.5 * s[0]) ** 2)
+        elif shape == ShapeType.SPHERE:
+            area = float(4.0 * np.pi * (0.5 * s[0]) ** 2)
+        elif shape == ShapeType.CUBE:
+            area = float(2.0 * (s[0] * s[1] + s[0] * s[2] + s[1] * s[2]))
+        elif shape == ShapeType.DISTANT:
+            area = float(2.0 * np.pi * (1.0 - np.sqrt(1.0 / (s[0] ** 2 + 1.0))))
+        else:  # canopy/dome env
+            area = 4.0 * np.pi
+        if m.two_sided:
+            area *= 2.0
+        return lum * area
+
+    def build(self) -> SceneData:
+        props = self.props or [
+            PropDesc(int(ShapeType.SPHERE), Transformation(scale=np.zeros(3, np.float32)), 0)
+        ]
+        light_props = [i for i, p in enumerate(props) if p.is_light and self._light_weight(p) > 0.0]
+        weights = np.array([self._light_weight(props[i]) for i in light_props], np.float32)
+        if len(light_props) == 0:
+            light_props = [0]
+            weights = np.zeros(1, np.float32)
+        total = weights.sum()
+        cdf = np.concatenate([[0.0], np.cumsum(weights) / (total if total > 0 else 1.0)]).astype(np.float32)
+        cdf[-1] = 1.0
+
+        prop_light = np.full(len(props), -1, np.int32)
+        for li, pi in enumerate(light_props):
+            prop_light[pi] = li
+
+        return SceneData(
+            prop_shape=jnp.asarray([p.shape for p in props], jnp.int32),
+            prop_rot=jnp.asarray(np.stack([p.trafo.rotation for p in props]), jnp.float32),
+            prop_pos=jnp.asarray(np.stack([p.trafo.position for p in props]), jnp.float32),
+            prop_scale=jnp.asarray(np.stack([p.trafo.scale for p in props]), jnp.float32),
+            prop_material=jnp.asarray([p.material for p in props], jnp.int32),
+            prop_visible_camera=jnp.asarray([p.visible_camera for p in props], bool),
+            prop_visible_reflection=jnp.asarray([p.visible_reflection for p in props], bool),
+            prop_visible_shadow=jnp.asarray([p.visible_shadow for p in props], bool),
+            materials=materials_to_table(self.materials),
+            lights=Lights(
+                prop=jnp.asarray(light_props, jnp.int32),
+                two_sided=jnp.asarray([self.materials[props[i].material].two_sided for i in light_props], bool),
+                cdf=jnp.asarray(cdf, jnp.float32),
+            ),
+            prop_light=jnp.asarray(prop_light, jnp.int32),
+        )
+
+
+def load_scene_dict(root: dict, builder: SceneBuilder | None = None, base_dir: str = "") -> SceneData:
+    builder = builder or SceneBuilder()
+    local_materials: dict[str, dict] = {}
+    for m in root.get("materials", []):
+        if "name" in m:
+            local_materials[m["name"]] = m
+    _load_entities(root.get("entities", []), Transformation(), local_materials, builder, base_dir)
+    return builder.build()
+
+
+def _load_entities(entities, parent: Transformation, local_materials, builder: SceneBuilder, base_dir: str):
+    for e in entities:
+        if "file" in e:
+            path = os.path.join(base_dir, e["file"])
+            with open(path) as f:
+                sub = json.load(f)
+            for m in sub.get("materials", []):
+                if "name" in m and m["name"] not in local_materials:
+                    local_materials[m["name"]] = m
+            _load_entities(sub.get("entities", []), parent, local_materials, builder, os.path.dirname(path))
+            continue
+        etype = e.get("type")
+        trafo = parent.compose(read_transformation(e.get("transformation")))
+        if etype in ("Prop", "Light"):
+            shape_node = e.get("shape", {})
+            stype = shape_node.get("type")
+            if stype in _SHAPE_NAMES:
+                shape = int(_SHAPE_NAMES[stype])
+            else:
+                shape = None  # mesh files handled by the trimesh path (later rounds here)
+            if shape is not None:
+                mat_names = e.get("materials", [])
+                mat = (
+                    builder.material_id(mat_names[0], local_materials)
+                    if mat_names
+                    else builder._fallback
+                )
+                is_light = etype == "Light"
+                vis = e.get("visibility", {})
+                # lights default to non-occluding (ref scene_loader.zig loadProp
+                # unoccluding_default: shadow rays pass through area lights)
+                occluding = bool(e.get("occluding", not is_light))
+                builder.add_prop(
+                    PropDesc(
+                        shape=shape,
+                        trafo=trafo,
+                        material=mat,
+                        visible_camera=bool(vis.get("in_camera", True)),
+                        visible_reflection=bool(vis.get("in_reflection", True)),
+                        visible_shadow=occluding and bool(vis.get("in_shadow", True)),
+                        is_light=is_light,
+                    )
+                )
+        # children inherit this entity's transform
+        if "entities" in e:
+            _load_entities(e["entities"], trafo, local_materials, builder, base_dir)
+
+
+def load_scene_file(path: str) -> SceneData:
+    with open(path) as f:
+        root = json.load(f)
+    return load_scene_dict(root, base_dir=os.path.dirname(path))

@@ -1,0 +1,134 @@
+"""Scene representation compiled to flat device arrays (SoA).
+
+The reference keeps an entity-component Scene with tagged-union dispatch
+(ref: src/core/scene/scene.zig). The TPU-native equivalent is a pytree of
+flat arrays: per-prop transforms + shape/material ids, a material parameter
+table, and light records with a power CDF. Everything is static-shaped, so a
+given scene jits once; prop/material/light counts vary per scene, not per
+frame.
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class ShapeType(enum.IntEnum):
+    """Builtin analytic shapes; ids match the reference's resource manager
+    builtin order (ref: src/core/resource/manager.zig ShapeID)."""
+
+    CANOPY = 0
+    CUBE = 1
+    DISK = 2
+    DISTANT = 3
+    DOME = 4
+    RECTANGLE = 5
+    SPHERE = 6
+    TRIANGLE_MESH = 7  # + mesh_id selects which mesh
+
+
+INFINITE_SHAPES = (ShapeType.CANOPY, ShapeType.DISTANT, ShapeType.DOME)
+
+
+class MaterialKind(enum.IntEnum):
+    SUBSTITUTE = 0
+    GLASS = 1
+    LIGHT = 2
+    DEBUG = 3
+    VOLUMETRIC = 4
+    HAIR = 5
+    SKY = 6
+
+
+class Materials(NamedTuple):
+    """SoA material table. One row per material; texture slots are indices
+    into the scene's texture atlas (-1 = uniform value only)."""
+
+    kind: jax.Array  # int32[M]
+    color: jax.Array  # float32[M,3]  base color / glass absorption color
+    roughness: jax.Array  # float32[M]
+    metallic: jax.Array  # float32[M]
+    ior: jax.Array  # float32[M]
+    specular: jax.Array  # float32[M] f0 scale
+    emission: jax.Array  # float32[M,3] radiance (value*spectrum)
+    two_sided: jax.Array  # bool[M]
+    attenuation_distance: jax.Array  # float32[M] (glass/SSS)
+    anisotropy: jax.Array  # float32[M]
+    # texture indices into the atlas (-1 when uniform)
+    color_tex: jax.Array  # int32[M]
+    roughness_tex: jax.Array  # int32[M]
+    normal_tex: jax.Array  # int32[M]
+    emission_tex: jax.Array  # int32[M]
+
+    @property
+    def count(self) -> int:
+        return self.kind.shape[0]
+
+
+class Lights(NamedTuple):
+    """Light records + power distribution (ref: src/core/scene/light/light.zig)."""
+
+    prop: jax.Array  # int32[L] prop index
+    two_sided: jax.Array  # bool[L]
+    # power-distribution CDF over lights, cdf[0]=0..cdf[L]=1
+    cdf: jax.Array  # float32[L+1]
+
+    @property
+    def count(self) -> int:
+        return self.prop.shape[0]
+
+
+class SceneData(NamedTuple):
+    # finite props (participate in intersection)
+    prop_shape: jax.Array  # int32[P]
+    prop_rot: jax.Array  # float32[P,3,3] rows = object axes in world
+    prop_pos: jax.Array  # float32[P,3]
+    prop_scale: jax.Array  # float32[P,3]
+    prop_material: jax.Array  # int32[P] part-0 material id
+    prop_visible_camera: jax.Array  # bool[P]
+    prop_visible_reflection: jax.Array  # bool[P]
+    prop_visible_shadow: jax.Array  # bool[P]  (occluding)
+    materials: Materials
+    lights: Lights
+    # prop index -> light index (-1 if not a light)
+    prop_light: jax.Array  # int32[P]
+
+    @property
+    def num_props(self) -> int:
+        return self.prop_shape.shape[0]
+
+    def is_infinite(self) -> jax.Array:
+        s = self.prop_shape
+        out = jnp.zeros_like(s, dtype=bool)
+        for t in INFINITE_SHAPES:
+            out = out | (s == int(t))
+        return out
+
+
+def default_materials(n: int = 1) -> Materials:
+    """A fallback (bright pink) material table, matching the reference's
+    fallback material idea (ref: material_provider.zig createFallbackMaterial)."""
+    return Materials(
+        kind=jnp.zeros((n,), jnp.int32),
+        color=jnp.tile(jnp.array([[1.0, 0.0, 0.6]], jnp.float32), (n, 1)),
+        roughness=jnp.full((n,), 0.8, jnp.float32),
+        metallic=jnp.zeros((n,), jnp.float32),
+        ior=jnp.full((n,), 1.46, jnp.float32),
+        specular=jnp.ones((n,), jnp.float32),
+        emission=jnp.zeros((n, 3), jnp.float32),
+        two_sided=jnp.zeros((n,), bool),
+        attenuation_distance=jnp.zeros((n,), jnp.float32),
+        anisotropy=jnp.zeros((n,), jnp.float32),
+        color_tex=jnp.full((n,), -1, jnp.int32),
+        roughness_tex=jnp.full((n,), -1, jnp.int32),
+        normal_tex=jnp.full((n,), -1, jnp.int32),
+        emission_tex=jnp.full((n,), -1, jnp.int32),
+    )
+
+
+RAY_MAX_T = np.float32(2.14748313e9)  # ref: src/core/scene/ray_offset.zig RayMaxT
