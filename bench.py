@@ -25,7 +25,7 @@ def main() -> None:
     from zyg_tpu.scene.loader import load_scene_file
     from zyg_tpu.render.driver import Driver
 
-    take = load_take_file(os.path.join(REPO, "examples/takes/cornell.take"))
+    take = load_take_file(os.path.join(REPO, "examples/takes/cornell_ptmis.take"))
     take.cameras[0].resolution = (1920, 1080)
     take.num_samples_per_pixel = 16
     scene = load_scene_file(take.scene_filename)
@@ -47,7 +47,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "cornell_1080p_pt_mrays_per_sec_chip",
+                "metric": "cornell_1080p_ptmis_mrays_per_sec_chip",
                 "value": round(mrays, 3),
                 "unit": "Mrays/s",
                 "vs_baseline": round(mrays / NORTH_STAR_MRAYS, 4),

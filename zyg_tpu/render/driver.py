@@ -25,6 +25,7 @@ from ..scene.types import SceneData
 from . import sensor as sensor_mod
 from .camera import PerspectiveCamera, generate_rays
 from .integrator import pt as pt_mod
+from .integrator import ptmis as ptmis_mod
 from .sensor import Framebuffer
 
 
@@ -39,7 +40,7 @@ def _render_samples(
     num_samples: int,
     num_expected_samples: int,
     integrator: IntegratorSettings,
-    clamp_max: float,
+    clamp_max: tuple,
 ):
     """Accumulate `num_samples` consecutive samples into fb (one jit)."""
 
@@ -56,17 +57,29 @@ def _render_samples(
 
         o, d = generate_rays(cam_arrays, pixel_xy, s4[..., 0:2], s4[..., 2:4])
 
-        if integrator.kind in ("PT",):
+        if integrator.kind == "PT":
             radiance, _, rays = pt_mod.integrate(
                 scene, o, d, smp, pt_mod.PtSettings(max_depth=integrator.max_depth_surface)
             )
-        else:
-            # PTMIS/PTDL wired in integrator/ptmis.py (falls back to PT until then)
-            radiance, _, rays = pt_mod.integrate(
-                scene, o, d, smp, pt_mod.PtSettings(max_depth=integrator.max_depth_surface)
+            radiance = sensor_mod.clamp_radiance(radiance, clamp_max[1])
+        else:  # PTMIS (default) / PTDL
+            iv, _, rays = ptmis_mod.integrate(
+                scene,
+                o,
+                d,
+                smp,
+                ptmis_mod.PtmisSettings(
+                    max_depth=integrator.max_depth_surface,
+                    caustics=integrator.caustics,
+                    nee_only=integrator.kind == "PTDL",
+                ),
+            )
+            radiance = (
+                sensor_mod.clamp_radiance(iv.emission, clamp_max[0])
+                + sensor_mod.clamp_radiance(iv.direct, clamp_max[1])
+                + sensor_mod.clamp_radiance(iv.indirect, clamp_max[2])
             )
 
-        radiance = sensor_mod.clamp_radiance(radiance, clamp_max)
         return (fb.add_box(radiance), total_rays + rays), None
 
     (fb, rays), _ = jax.lax.scan(
@@ -93,7 +106,7 @@ class Driver:
         self._iteration = 0
         self.rays_traced = 0
         clamp = self.take.sensor.clamp
-        self._clamp_max = min(clamp.direct, clamp.indirect)
+        self._clamp_max = (clamp.emission, clamp.direct, clamp.indirect)
         self._render_cache: dict[int, callable] = {}
         # default chunk: bound path-state live range / compile size
         self.chunk_size = min(max(self.take.num_samples_per_pixel, 1), 16)

@@ -1,0 +1,208 @@
+"""Wavefront PTMIS: NEE + BSDF sampling combined by the power heuristic.
+
+ref: src/core/rendering/integrator/surface/pathtracer_mis.zig. The recursive
+vertex-pool loop becomes a masked ``lax.while_loop`` over the ray batch. Path
+splitting (<=4 BSDF samples/bounce) is deferred: a single weighted sample
+keeps the estimator unbiased (variance differs, not bias).
+
+Radiance is tracked as the reference's IValue triple {emission, direct,
+indirect} (ref integrator/helper.zig IValue.add): camera-visible emission,
+low-depth/singular light, and the rest — so the sensor can clamp each class
+separately.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ...core import vecmath as vm
+from ...core.sobol import SobolSampler, SobolArrays
+from ...scene import shapes, light_sampling as ls_mod
+from ...scene.types import SceneData, RAY_MAX_T
+from .. import materials as mat
+
+
+class PtmisSettings(NamedTuple):
+    max_depth: int = 16
+    caustics: bool = True
+    nee_only: bool = False  # PTDL mode: no MIS weight on BSDF light hits
+
+
+class IValue(NamedTuple):
+    emission: jax.Array  # [N,3]
+    direct: jax.Array  # [N,3]
+    indirect: jax.Array  # [N,3]
+
+    @staticmethod
+    def zeros(n):
+        z = jnp.zeros((n, 3), jnp.float32)
+        return IValue(z, z, z)
+
+    def add(self, value, depth, direct_cutoff: int, is_emission, singular):
+        """ref helper.zig IValue.add semantics, vectorized."""
+        to_direct = singular | (depth < direct_cutoff)
+        em = jnp.where(is_emission[..., None], value, 0.0)
+        di = jnp.where((~is_emission & to_direct)[..., None], value, 0.0)
+        ind = jnp.where((~is_emission & ~to_direct)[..., None], value, 0.0)
+        return IValue(self.emission + em, self.direct + di, self.indirect + ind)
+
+
+class PathState(NamedTuple):
+    o: jax.Array
+    d: jax.Array
+    throughput: jax.Array
+    result: IValue
+    alive: jax.Array
+    bxdf_pdf: jax.Array  # [N] pdf of the previous BSDF sample
+    singular: jax.Array  # bool[N] previous bounce was a delta event
+    depth: jax.Array  # int32 scalar
+    rays: jax.Array  # int32 scalar
+    sobol: SobolArrays
+
+
+def power_heuristic(f_pdf, g_pdf):
+    f2 = f_pdf * f_pdf
+    return f2 / jnp.maximum(g_pdf * g_pdf + f2, 1e-20)
+
+
+def predivided_power_heuristic(f_pdf, g_pdf):
+    f2 = f_pdf * f_pdf
+    return f_pdf / jnp.maximum(g_pdf * g_pdf + f2, 1e-20)
+
+
+def integrate(scene: SceneData, o, d, sobol: SobolSampler, settings: PtmisSettings):
+    """Returns (IValue, sobol, num_rays)."""
+    n = o.shape[0]
+    state = PathState(
+        o=o,
+        d=d,
+        throughput=jnp.ones((n, 3), jnp.float32),
+        result=IValue.zeros(n),
+        alive=jnp.ones((n,), bool),
+        bxdf_pdf=jnp.zeros((n,), jnp.float32),
+        singular=jnp.ones((n,), bool),  # camera rays count as singular
+        depth=jnp.int32(0),
+        rays=jnp.int32(0),
+        sobol=sobol.arrays,
+    )
+
+    has_lights = scene.lights.count > 0
+
+    def cond(s: PathState):
+        return jnp.any(s.alive) & (s.depth <= settings.max_depth)
+
+    def body(s: PathState):
+        smp = SobolSampler(s.sobol, dim=5)
+        rays = s.rays + jnp.sum(s.alive, dtype=jnp.int32)
+
+        primary = jnp.broadcast_to(s.depth == 0, s.alive.shape)
+        hit = shapes.intersect_scene(
+            scene, s.o, s.d, jnp.float32(0.0), jnp.float32(RAY_MAX_T),
+            "reflection", primary=primary,
+        )
+        frag = shapes.build_fragment(scene, hit, s.o, s.d)
+        params = mat.gather(scene.materials, frag.material)
+        wo = -s.d
+
+        # ---- connectLight: BSDF-sampled emission with MIS (ref connectLight
+        # + vertex.evaluateRadiance + scene.lightPdf)
+        emission = mat.eval_radiance(params, wo, frag.geo_n)
+        emission = jnp.where(hit.valid()[..., None], emission, 0.0)
+        light_id = jnp.where(hit.valid(), scene.prop_light[jnp.maximum(hit.prop, 0)], -1)
+        is_light = light_id >= 0
+        if has_lights and not settings.nee_only:
+            lp = ls_mod.light_hit_pdf(
+                scene, hit.prop, s.o, s.d, hit.t, frag.p, frag.geo_n, frag.geo_n
+            ) * ls_mod.light_select_pdf(scene, light_id)
+            mis_w = jnp.where(
+                s.singular | ~is_light, 1.0, power_heuristic(s.bxdf_pdf, lp)
+            )
+        elif settings.nee_only:
+            # PTDL: only singular-previous hits count (no MIS)
+            mis_w = jnp.where(s.singular, 1.0, jnp.where(is_light, 0.0, 1.0))
+        else:
+            mis_w = jnp.ones_like(hit.t)
+        contrib = jnp.where(s.alive[..., None], s.throughput * mis_w[..., None] * emission, 0.0)
+        result = s.result.add(
+            contrib, s.depth, 2, primary & jnp.ones_like(s.alive), s.singular
+        )
+
+        finite_hit = hit.valid() & (hit.t < RAY_MAX_T)
+        cont = s.alive & finite_hit & (s.depth < settings.max_depth)
+
+        # ---- russian roulette
+        r = smp.sample_1d()
+        throughput, kill = mat.russian_roulette(s.throughput, r)
+        cont = cont & ~kill
+
+        # ---- NEE (ref sampleLights/evaluateLight)
+        if has_lights:
+            u_sel = smp.sample_1d()
+            xi_l = smp.sample_2d()
+            light_idx, sel_pdf = ls_mod.select_light(scene, u_sel)
+            lsmp = ls_mod.sample_light(scene, light_idx, frag.p, frag.geo_n, xi_l)
+            radiance = ls_mod.light_radiance(scene, light_idx, lsmp.wi, lsmp.light_n)
+            f, bpdf = mat.eval_bsdf(params, wo, lsmp.wi, frag.n, frag.geo_n)
+            light_pdf = lsmp.pdf * sel_pdf
+            w = predivided_power_heuristic(light_pdf, bpdf)
+
+            shadow_o = shapes.offset_ray(
+                frag.p,
+                jnp.where(vm.dot(lsmp.wi, frag.geo_n)[..., None] >= 0.0, frag.geo_n, -frag.geo_n),
+            )
+            # finite lights: aim at the (offset) sampled point
+            lp_off = shapes.offset_ray(lsmp.light_p, lsmp.light_n)
+            shadow_axis = jnp.where(
+                lsmp.infinite[..., None], lsmp.wi, lp_off - shadow_o
+            )
+            slen = jnp.where(lsmp.infinite, jnp.float32(RAY_MAX_T), vm.length(shadow_axis))
+            sdir = jnp.where(
+                lsmp.infinite[..., None],
+                lsmp.wi,
+                shadow_axis / jnp.maximum(slen, 1e-20)[..., None],
+            )
+            nee_active = cont & (lsmp.pdf > 0.0) & (jnp.max(f, axis=-1) > 0.0)
+            blocked = shapes.occluded(
+                scene, shadow_o, sdir, jnp.float32(0.0), jnp.where(lsmp.infinite, jnp.float32(RAY_MAX_T) * 0.9, slen)
+            )
+            rays = rays + jnp.sum(nee_active, dtype=jnp.int32)
+            nee = jnp.where(
+                (nee_active & ~blocked)[..., None],
+                throughput * radiance * f * w[..., None],
+                0.0,
+            )
+            result = result.add(nee, s.depth, 1, jnp.zeros_like(cont), jnp.zeros_like(cont))
+        else:
+            _ = smp.sample_1d()
+            _ = smp.sample_2d()
+
+        # ---- BSDF sample
+        xi = smp.sample_2d()
+        bs = mat.sample_bsdf(params, wo, frag.n, frag.geo_n, xi)
+        cont = cont & bs.valid
+        throughput = throughput * bs.weight
+
+        new_o = shapes.offset_ray(
+            frag.p,
+            jnp.where(vm.dot(bs.wi, frag.geo_n)[..., None] >= 0.0, frag.geo_n, -frag.geo_n),
+        )
+        smp.increment_padding()
+
+        return PathState(
+            o=jnp.where(cont[..., None], new_o, s.o),
+            d=jnp.where(cont[..., None], bs.wi, s.d),
+            throughput=throughput,
+            result=result,
+            alive=cont,
+            bxdf_pdf=bs.pdf,
+            singular=bs.singular,
+            depth=s.depth + 1,
+            rays=rays,
+            sobol=smp.arrays,
+        )
+
+    final = jax.lax.while_loop(cond, body, state)
+    return final.result, SobolSampler(final.sobol, dim=5), final.rays

@@ -1,0 +1,394 @@
+"""Next-event estimation: light selection, per-shape sampleTo, and the
+matching pdfs for MIS.
+
+ref: src/core/scene/light/light.zig (sampleTo/evaluateTo/pdf) and the shape
+sampleTo/pdf methods. Rectangle lights use the area-preserving spherical
+rectangle parametrization (Ureña, Fajardo & King 2013) exactly like the
+reference (rectangle.zig SphQuad); spheres use uniform cone sampling with the
+small-angle stable path; disks convert area to solid angle; distant lights
+sample a concentric disk over the sun cone; canopy/dome sample the (hemi)
+sphere of directions.
+
+All functions are vectorized over N lanes with gathers by light index.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import vecmath as vm
+from .types import SceneData, ShapeType, RAY_MAX_T
+
+DOT_MIN = 0.00001
+
+
+class LightSample(NamedTuple):
+    wi: jax.Array  # [N,3] direction from shading point to light
+    pdf: jax.Array  # [N] solid-angle pdf (0 = invalid)
+    light_p: jax.Array  # [N,3] point on light (for shadow ray target)
+    light_n: jax.Array  # [N,3] light surface normal
+    t_max: jax.Array  # [N] shadow ray length (RAY_MAX_T for infinite)
+    infinite: jax.Array  # bool[N]
+
+
+# ---------------------------------------------------------------------------
+# light selection by power distribution (ref scene.zig light_distribution)
+# ---------------------------------------------------------------------------
+
+
+def select_light(scene: SceneData, u):
+    """u in [0,1) -> (light index[N], selection pdf[N])."""
+    cdf = scene.lights.cdf
+    n = scene.lights.count
+    idx = jnp.clip(jnp.searchsorted(cdf, u, side="right") - 1, 0, n - 1)
+    pdf = cdf[idx + 1] - cdf[idx]
+    return idx.astype(jnp.int32), pdf
+
+
+def light_select_pdf(scene: SceneData, light_idx):
+    cdf = scene.lights.cdf
+    i = jnp.clip(light_idx, 0, scene.lights.count - 1)
+    return cdf[i + 1] - cdf[i]
+
+
+# ---------------------------------------------------------------------------
+# Spherical rectangle (Ureña et al.) — ref rectangle.zig SphQuad
+# ---------------------------------------------------------------------------
+
+
+class SphQuad(NamedTuple):
+    x0: jax.Array
+    y0: jax.Array
+    x1: jax.Array
+    y1: jax.Array
+    z0: jax.Array
+    z_sign: jax.Array  # +-1: local z axis orientation after the flip
+    b0: jax.Array
+    b1: jax.Array
+    k: jax.Array
+    S: jax.Array  # solid angle
+
+
+def sphquad_init(scale_x, scale_y, o_local):
+    """o_local: shading point in the rectangle's unscaled local frame."""
+    ox, oy, oz = o_local[..., 0], o_local[..., 1], o_local[..., 2]
+    dx = -0.5 * scale_x - ox
+    dy = -0.5 * scale_y - oy
+    z0 = -oz
+    z_sign = jnp.where(z0 > 0.0, -1.0, 1.0)
+    z0 = jnp.where(z0 > 0.0, -z0, z0)
+    x0 = dx
+    y0 = dy
+    x1 = x0 + scale_x
+    y1 = y0 + scale_y
+
+    def vert(x, y):
+        return jnp.stack([x, y, z0], axis=-1)
+
+    v00, v01, v10, v11 = vert(x0, y0), vert(x0, y1), vert(x1, y0), vert(x1, y1)
+    n0 = vm.safe_normalize(vm.cross(v00, v10))
+    n1 = vm.safe_normalize(vm.cross(v10, v11))
+    n2 = vm.safe_normalize(vm.cross(v11, v01))
+    n3 = vm.safe_normalize(vm.cross(v01, v00))
+    g0 = jnp.arccos(jnp.clip(-vm.dot(n0, n1), -1.0, 1.0))
+    g1 = jnp.arccos(jnp.clip(-vm.dot(n1, n2), -1.0, 1.0))
+    g2 = jnp.arccos(jnp.clip(-vm.dot(n2, n3), -1.0, 1.0))
+    g3 = jnp.arccos(jnp.clip(-vm.dot(n3, n0), -1.0, 1.0))
+    b0 = n0[..., 2]
+    b1 = n2[..., 2]
+    k = 2.0 * jnp.pi - g2 - g3
+    S = g0 + g1 - k
+    return SphQuad(x0, y0, x1, y1, z0, z_sign, b0, b1, k, S)
+
+
+def sphquad_sample(q: SphQuad, uv):
+    """Returns (xu, yv): offsets from the shading point along the local x/y
+    axes; the sampled point is o_local + (xu, yv, z0*z_sign) which lands on
+    the rectangle plane z=0."""
+    u, v = uv[..., 0], uv[..., 1]
+    au = u * q.S + q.k
+    fu = (jnp.cos(au) * q.b0 - q.b1) / jnp.maximum(jnp.abs(jnp.sin(au)), 1e-12) * jnp.sign(jnp.sin(au))
+    cu = jnp.where(fu > 0.0, 1.0, -1.0) / jnp.sqrt(fu * fu + q.b0 * q.b0)
+    cu = jnp.clip(cu, -1.0, 1.0)
+    xu = -(cu * q.z0) / jnp.sqrt(jnp.maximum(1.0 - cu * cu, 1e-12))
+    xu = jnp.clip(xu, q.x0, q.x1)
+    d = jnp.sqrt(xu * xu + q.z0 * q.z0)
+    h0 = q.y0 / jnp.sqrt(d * d + q.y0 * q.y0)
+    h1 = q.y1 / jnp.sqrt(d * d + q.y1 * q.y1)
+    hv = h0 + v * (h1 - h0)
+    hv2 = hv * hv
+    eps = 9.5367431640625e-7
+    yv = jnp.where(hv2 < 1.0 - eps, (hv * d) / jnp.sqrt(jnp.maximum(1.0 - hv2, eps)), q.y1)
+    return xu, yv
+
+
+def sphquad_pdf(q: SphQuad, o_local, scale_x, scale_y):
+    """1/S solid angle, falling back to area-measure conversion when tiny
+    (ref rectangle.zig SphQuad.pdf)."""
+    sqr_dist = vm.dot(o_local, o_local)
+    area = scale_x * scale_y
+    numer = area * jnp.abs(o_local[..., 2])
+    denom = sqr_dist * jnp.sqrt(sqr_dist)
+    stable = numer > denom * DOT_MIN
+    inv_s = 1.0 / jnp.maximum(q.S, 1e-12)
+    return jnp.where(stable, inv_s, denom / jnp.maximum(numer, 1e-20))
+
+
+# ---------------------------------------------------------------------------
+# sample_light: dispatch over light shape types
+# ---------------------------------------------------------------------------
+
+
+def sample_light(scene: SceneData, light_idx, p, n, xi, total_sphere=False) -> LightSample:
+    """Sample a direction to light `light_idx` from shading point p.
+
+    xi: [N,2] uniforms. Returns solid-angle pdf (number-of-samples weighting
+    and splitting are handled by the integrator).
+    """
+    prop = scene.lights.prop[jnp.clip(light_idx, 0, scene.lights.count - 1)]
+    shape = scene.prop_shape[prop]
+    rot = scene.prop_rot[prop]
+    pos = scene.prop_pos[prop]
+    scale = scene.prop_scale[prop]
+
+    r0, r1, r2 = rot[..., 0, :], rot[..., 1, :], rot[..., 2, :]
+    nshape = p.shape[:-1]
+    zero = jnp.zeros(nshape, jnp.float32)
+
+    # --- rectangle (spherical rectangle sampling)
+    lp_local = jnp.stack(
+        [vm.dot(p - pos, r0), vm.dot(p - pos, r1), vm.dot(p - pos, r2)], axis=-1
+    )
+    q = sphquad_init(scale[..., 0], scale[..., 1], lp_local)
+    xu, yv = sphquad_sample(q, xi)
+    # sampled point = shading point + offsets, landing on the plane z=0
+    rect_p = (
+        pos
+        + (lp_local[..., 0] + xu)[..., None] * r0
+        + (lp_local[..., 1] + yv)[..., None] * r1
+    )
+    rect_axis = rect_p - p
+    rect_t = vm.length(rect_axis)
+    rect_wi = rect_axis / jnp.maximum(rect_t, 1e-20)[..., None]
+    rect_pdf = sphquad_pdf(q, lp_local, scale[..., 0], scale[..., 1])
+    rect_valid = q.S > 1e-7
+    rect_n = r2
+
+    # --- sphere (uniform cone, ref sphere.zig sampleTo)
+    v = pos - p
+    l2 = jnp.maximum(vm.dot(v, v), 1e-20)
+    l = jnp.sqrt(l2)
+    sp_r = 0.5 * scale[..., 0]
+    z_axis = v / l[..., None]
+    tx, ty = vm.orthonormal_basis(z_axis)
+    sin2_max = jnp.clip((sp_r * sp_r) / l2, 0.0, 0.9999)
+    cos_max = jnp.sqrt(1.0 - sin2_max)
+    small = sin2_max < 0.00068523
+    cos_theta = (cos_max - 1.0) * xi[..., 0] + 1.0
+    sin2_theta = 1.0 - cos_theta * cos_theta
+    sin2_theta = jnp.where(small, sin2_max * xi[..., 0], sin2_theta)
+    cos_theta = jnp.where(small, jnp.sqrt(1.0 - sin2_theta), cos_theta)
+    one_minus_cos_max = jnp.where(small, 0.5 * sin2_max, 1.0 - cos_max)
+    sin_max = jnp.sqrt(jnp.maximum(sin2_max, 1e-20))
+    cos_alpha = jnp.minimum(
+        sin2_theta / sin_max
+        + cos_theta * jnp.sqrt(jnp.maximum(1.0 - jnp.minimum(sin2_theta / jnp.maximum(sin2_max, 1e-20), 1.0), 0.0)),
+        1.0,
+    )
+    sin_alpha = jnp.sqrt(jnp.maximum(1.0 - cos_alpha * cos_alpha, 0.0))
+    phi = xi[..., 1] * (2.0 * jnp.pi)
+    w_local = jnp.stack([sin_alpha * jnp.cos(phi), sin_alpha * jnp.sin(phi), cos_alpha], axis=-1)
+    sph_n = -(vm.frame_to_world(tx, ty, z_axis, w_local))
+    sph_p = pos + sp_r[..., None] * sph_n
+    sph_axis = sph_p - p
+    sph_t = vm.length(sph_axis)
+    sph_wi = sph_axis / jnp.maximum(sph_t, 1e-20)[..., None]
+    sph_pdf = 1.0 / jnp.maximum(2.0 * jnp.pi * one_minus_cos_max, 1e-20)
+    sph_valid = l > sp_r + 1e-7
+
+    # --- disk (area sampling -> solid angle)
+    dk_r = 0.5 * scale[..., 0]
+    dxy = vm.sample_disk_concentric(xi)
+    dk_p = pos + dk_r[..., None] * (dxy[..., 0:1] * r0 + dxy[..., 1:2] * r1)
+    dk_axis = dk_p - p
+    dk_sl = jnp.maximum(vm.dot(dk_axis, dk_axis), 1e-20)
+    dk_t = jnp.sqrt(dk_sl)
+    dk_wi = dk_axis / dk_t[..., None]
+    dk_c = -vm.dot(r2, dk_wi)
+    dk_c_abs = jnp.abs(dk_c)  # two-sided handled by radiance gating
+    dk_area = jnp.pi * dk_r * dk_r
+    dk_pdf = dk_sl / jnp.maximum(dk_c_abs * dk_area, 1e-20)
+    dk_valid = dk_c_abs > DOT_MIN
+
+    # --- distant (sun disk, ref distant.zig sampleTo)
+    ds_radius = scale[..., 0]
+    ds_xy = vm.sample_disk_concentric(xi)
+    ws = ds_radius[..., None] * (ds_xy[..., 0:1] * r0 + ds_xy[..., 1:2] * r1)
+    ds_wi = vm.safe_normalize(ws - r2)
+    ds_solid_angle = (2.0 * jnp.pi) * (1.0 - jnp.sqrt(1.0 / (ds_radius * ds_radius + 1.0)))
+    ds_pdf = 1.0 / jnp.maximum(ds_solid_angle, 1e-20)
+    ds_valid = ds_radius > 0.0
+
+    # --- canopy: uniform hemisphere around light frame z (ref canopy.zig)
+    can_local, _ = vm.sample_hemisphere_uniform(xi)
+    can_wi = vm.frame_to_world(r0, r1, r2, can_local)
+    can_pdf = jnp.full(nshape, 1.0 / (2.0 * jnp.pi), jnp.float32)
+
+    # --- dome: hemisphere around the surface normal (ref dome.zig sampleTo)
+    dm_t, dm_b = vm.orthonormal_basis(n)
+    dm_local, _ = vm.sample_hemisphere_uniform(xi)
+    dm_wi_hemi = vm.frame_to_world(dm_t, dm_b, n, dm_local)
+    dm_wi_full, _ = vm.sample_sphere_uniform(xi)
+    dm_wi = jnp.where(jnp.asarray(total_sphere), dm_wi_full, dm_wi_hemi)
+    dm_pdf = jnp.where(
+        jnp.asarray(total_sphere), 1.0 / (4.0 * jnp.pi), 1.0 / (2.0 * jnp.pi)
+    ) * jnp.ones(nshape, jnp.float32)
+
+    def sel(vals, default):
+        out = default
+        for st, val in vals.items():
+            cond = shape == st
+            if out.ndim > cond.ndim:
+                cond = cond[..., None]
+            out = jnp.where(cond, val, out)
+        return out
+
+    wi = sel(
+        {
+            int(ShapeType.RECTANGLE): rect_wi,
+            int(ShapeType.SPHERE): sph_wi,
+            int(ShapeType.DISK): dk_wi,
+            int(ShapeType.DISTANT): ds_wi,
+            int(ShapeType.CANOPY): can_wi,
+            int(ShapeType.DOME): dm_wi,
+        },
+        rect_wi,
+    )
+    pdf = sel(
+        {
+            int(ShapeType.RECTANGLE): rect_pdf,
+            int(ShapeType.SPHERE): sph_pdf,
+            int(ShapeType.DISK): dk_pdf,
+            int(ShapeType.DISTANT): ds_pdf,
+            int(ShapeType.CANOPY): can_pdf,
+            int(ShapeType.DOME): dm_pdf,
+        },
+        rect_pdf,
+    )
+    light_p = sel(
+        {
+            int(ShapeType.RECTANGLE): rect_p,
+            int(ShapeType.SPHERE): sph_p,
+            int(ShapeType.DISK): dk_p,
+        },
+        jnp.float32(RAY_MAX_T) * wi + p,
+    )
+    light_n = sel(
+        {
+            int(ShapeType.RECTANGLE): rect_n,
+            int(ShapeType.SPHERE): sph_n,
+            int(ShapeType.DISK): r2,
+            int(ShapeType.DISTANT): r2,
+        },
+        -wi,
+    )
+    valid = sel(
+        {
+            int(ShapeType.RECTANGLE): rect_valid,
+            int(ShapeType.SPHERE): sph_valid,
+            int(ShapeType.DISK): dk_valid,
+            int(ShapeType.DISTANT): ds_valid,
+            int(ShapeType.CANOPY): jnp.ones(nshape, bool),
+            int(ShapeType.DOME): jnp.ones(nshape, bool),
+        },
+        jnp.zeros(nshape, bool),
+    )
+    infinite = (
+        (shape == int(ShapeType.DISTANT))
+        | (shape == int(ShapeType.CANOPY))
+        | (shape == int(ShapeType.DOME))
+    )
+    t_max = sel(
+        {
+            int(ShapeType.RECTANGLE): rect_t,
+            int(ShapeType.SPHERE): sph_t,
+            int(ShapeType.DISK): dk_t,
+        },
+        jnp.full(nshape, jnp.float32(RAY_MAX_T)),
+    )
+    # facing the shading hemisphere unless translucent
+    front = vm.dot(wi, n) > 0.0
+    valid = valid & (front | jnp.asarray(total_sphere)) & (pdf > 0.0)
+    return LightSample(wi, jnp.where(valid, pdf, 0.0), light_p, light_n, t_max, infinite)
+
+
+def light_radiance(scene: SceneData, light_idx, wi, light_n):
+    """Radiance emitted toward the shading point (ref light.evaluateTo):
+    emission gated on facing unless two-sided."""
+    li = jnp.clip(light_idx, 0, scene.lights.count - 1)
+    prop = scene.lights.prop[li]
+    m = scene.prop_material[prop]
+    emission = scene.materials.emission[m]
+    two_sided = scene.materials.two_sided[m]
+    facing = vm.dot(-wi, light_n) > 0.0
+    return jnp.where((facing | two_sided)[..., None], emission, 0.0)
+
+
+def light_hit_pdf(scene: SceneData, prop, ray_o, ray_d, hit_t, hit_p, hit_n, n_at_origin):
+    """Solid-angle pdf that NEE from ray_o would have sampled this hit —
+    the light side of the MIS weight for BSDF hits (ref shape pdf fns)."""
+    pm = jnp.maximum(prop, 0)
+    shape = scene.prop_shape[pm]
+    rot = scene.prop_rot[pm]
+    pos = scene.prop_pos[pm]
+    scale = scene.prop_scale[pm]
+    r0, r1, r2 = rot[..., 0, :], rot[..., 1, :], rot[..., 2, :]
+    nshape = hit_t.shape
+
+    # rectangle: 1/S of the sphquad seen from ray_o
+    lp_local = jnp.stack(
+        [vm.dot(ray_o - pos, r0), vm.dot(ray_o - pos, r1), vm.dot(ray_o - pos, r2)], axis=-1
+    )
+    q = sphquad_init(scale[..., 0], scale[..., 1], lp_local)
+    rect_pdf = sphquad_pdf(q, lp_local, scale[..., 0], scale[..., 1])
+
+    # sphere cone pdf (ref sphere.zig pdf)
+    v = pos - ray_o
+    l2 = jnp.maximum(vm.dot(v, v), 1e-20)
+    r = 0.5 * scale[..., 0]
+    sin2_max = jnp.clip((r * r) / l2, 0.0, 0.9999)
+    one_minus_cos = jnp.where(
+        sin2_max < 0.00068523, 0.5 * sin2_max, 1.0 - jnp.sqrt(1.0 - sin2_max)
+    )
+    sph_pdf = 1.0 / jnp.maximum(2.0 * jnp.pi * one_minus_cos, 1e-20)
+
+    # disk: area -> solid angle at the hit
+    sl = jnp.maximum(hit_t * hit_t, 1e-20)
+    c = jnp.abs(vm.dot(hit_n, ray_d))
+    dk_area = jnp.pi * (0.5 * scale[..., 0]) ** 2
+    dk_pdf = sl / jnp.maximum(c * dk_area, 1e-20)
+
+    # distant
+    ds_radius = scale[..., 0]
+    ds_solid = (2.0 * jnp.pi) * (1.0 - jnp.sqrt(1.0 / (ds_radius * ds_radius + 1.0)))
+    ds_pdf = 1.0 / jnp.maximum(ds_solid, 1e-20)
+
+    can_pdf = jnp.full(nshape, 1.0 / (2.0 * jnp.pi), jnp.float32)
+    # dome pdf depends on total_sphere at origin; hemisphere case
+    dm_pdf = jnp.full(nshape, 1.0 / (2.0 * jnp.pi), jnp.float32)
+
+    out = rect_pdf
+    for st, val in {
+        int(ShapeType.SPHERE): sph_pdf,
+        int(ShapeType.DISK): dk_pdf,
+        int(ShapeType.DISTANT): ds_pdf,
+        int(ShapeType.CANOPY): can_pdf,
+        int(ShapeType.DOME): dm_pdf,
+    }.items():
+        out = jnp.where(shape == st, val, out)
+    # shapes NEE can't sample (e.g. cube emitters) contribute pdf 0 -> MIS weight 1
+    unsupported = shape == int(ShapeType.CUBE)
+    return jnp.where(unsupported, 0.0, out)
