@@ -1,0 +1,145 @@
+"""Material model tests: GGX energy conservation (white furnace), sample/eval
+consistency, glass refraction sanity."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from zyg_tpu.io.take import Take, IntegratorSettings
+from zyg_tpu.render import materials as mat
+from zyg_tpu.render.camera import PerspectiveCamera
+from zyg_tpu.render.driver import Driver
+from zyg_tpu.scene.loader import load_scene_dict
+
+
+def furnace_scene(mat_body: dict):
+    return load_scene_dict(
+        {
+            "materials": [
+                {"name": "m", "rendering": mat_body},
+                {"name": "env", "rendering": {"Light": {"emittance": {"value": 1.0}}}},
+            ],
+            "entities": [
+                {
+                    "type": "Prop",
+                    "shape": {"type": "Sphere"},
+                    "materials": ["m"],
+                    "transformation": {"scale": [1, 1, 1]},
+                },
+                {"type": "Light", "shape": {"type": "Dome"}, "materials": ["env"]},
+            ],
+        }
+    )
+
+
+def render_furnace(scene, spp=96, depth=12, res=24):
+    take = Take()
+    take.num_samples_per_pixel = spp
+    take.integrator = IntegratorSettings(kind="PTMIS", max_depth_surface=depth)
+    cam = PerspectiveCamera(resolution=(res, res), fov=np.deg2rad(24.0))
+    cam.position = np.array([0, 0, -4.0], np.float32)
+    take.cameras = [cam]
+    d = Driver(take=take, scene=scene)
+    img = d.render_frame()
+    c = res // 2
+    return float(img[c - 4 : c + 4, c - 4 : c + 4].mean())
+
+
+class TestFurnace:
+    @pytest.mark.parametrize("roughness", [0.15, 0.5, 1.0])
+    def test_white_substitute(self, roughness):
+        """color=1 substitute in a radiance-1 dome should stay ~1 (energy
+        conservation incl. multi-scatter compensation)."""
+        scene = furnace_scene(
+            {"Substitute": {"color": [1.0, 1.0, 1.0], "roughness": roughness}}
+        )
+        v = render_furnace(scene)
+        assert abs(v - 1.0) < 0.05, f"furnace roughness={roughness}: {v}"
+
+    def test_white_metal(self):
+        scene = furnace_scene(
+            {"Substitute": {"color": [1.0, 1.0, 1.0], "roughness": 0.7, "metallic": 1.0}}
+        )
+        v = render_furnace(scene)
+        assert abs(v - 1.0) < 0.07, f"metal furnace: {v}"
+
+    def test_glass_furnace(self):
+        """Clear glass in a uniform furnace must be invisible (~1)."""
+        scene = furnace_scene({"Glass": {"ior": 1.5}})
+        v = render_furnace(scene, depth=24)
+        assert abs(v - 1.0) < 0.05, f"glass furnace: {v}"
+
+
+class TestSampleEvalConsistency:
+    def _params(self, n, roughness=0.4, metallic=0.0):
+        from zyg_tpu.scene.loader import MaterialDesc, materials_to_table
+
+        table = materials_to_table(
+            [MaterialDesc(color=np.array([0.7, 0.5, 0.3], np.float32), roughness=roughness, metallic=metallic)]
+        )
+        return mat.gather(table, jnp.zeros(n, jnp.int32))
+
+    def test_weight_equals_f_over_pdf(self, rng_np):
+        n = 4096
+        params = self._params(n)
+        normal = jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (n, 1))
+        wo = jnp.tile(jnp.asarray([0.3, 0.1, 0.95]) / np.linalg.norm([0.3, 0.1, 0.95]), (n, 1))
+        s3 = jnp.asarray(rng_np.random((n, 3)).astype(np.float32))
+        bs = mat.sample_bsdf(params, wo, normal, normal, s3)
+        f, pdf = mat.eval_bsdf(params, wo, bs.wi, normal, normal)
+        valid = np.asarray(bs.valid)
+        ratio = np.asarray(f)[valid] / np.maximum(np.asarray(pdf)[valid, None], 1e-9)
+        w = np.asarray(bs.weight)[valid]
+        np.testing.assert_allclose(ratio, w, rtol=2e-3, atol=1e-4)
+
+    def test_sampled_integral_matches_albedo_bound(self, rng_np):
+        """E[weight] (white albedo, rough) must stay <= 1 + eps and be close
+        to 1 for roughness 1 (energy conserving)."""
+        n = 1 << 15
+        from zyg_tpu.scene.loader import MaterialDesc, materials_to_table
+
+        table = materials_to_table(
+            [MaterialDesc(color=np.ones(3, np.float32), roughness=1.0, metallic=0.0)]
+        )
+        params = mat.gather(table, jnp.zeros(n, jnp.int32))
+        normal = jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (n, 1))
+        wo = jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (n, 1))
+        s3 = jnp.asarray(rng_np.random((n, 3)).astype(np.float32))
+        bs = mat.sample_bsdf(params, wo, normal, normal, s3)
+        mean_w = float(np.asarray(bs.weight).mean())
+        assert 0.9 < mean_w < 1.02, f"white rough albedo {mean_w}"
+
+
+class TestGlass:
+    def test_tir_no_nan(self, rng_np):
+        """Grazing rays from the dense side must TIR without NaNs."""
+        from zyg_tpu.scene.loader import MaterialDesc, materials_to_table
+        from zyg_tpu.scene.types import MaterialKind
+
+        n = 1024
+        d = MaterialDesc(kind=int(MaterialKind.GLASS), ior=1.5)
+        table = materials_to_table([d])
+        # inside the glass: medium ior = 1.5, shading from below
+        params = mat.gather(table, jnp.zeros(n, jnp.int32), medium_ior=jnp.full(n, 1.5))
+        normal = jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (n, 1))
+        # wo pointing from inside at grazing angle (same side as -n)
+        wo = jnp.tile(jnp.asarray([0.9, 0.0, -0.43]) / np.linalg.norm([0.9, 0, -0.43]), (n, 1))
+        s3 = jnp.asarray(rng_np.random((n, 3)).astype(np.float32))
+        bs = mat.sample_bsdf(params, wo, normal, normal, s3)
+        assert np.isfinite(np.asarray(bs.wi)).all()
+        assert np.isfinite(np.asarray(bs.weight)).all()
+        # TIR for wo at > critical angle: most lanes must be reflections
+        assert float(np.asarray(bs.transmission).mean()) < 0.5
+
+    def test_beer_absorption(self):
+        from zyg_tpu.scene.loader import MaterialDesc, materials_to_table
+        from zyg_tpu.scene.types import MaterialKind
+
+        d = MaterialDesc(kind=int(MaterialKind.GLASS), ior=1.5, attenuation_distance=1.0)
+        d.color = np.array([0.5, 0.7, 0.9], np.float32)
+        table = materials_to_table([d])
+        tr = mat.medium_absorption(table, jnp.zeros(4, jnp.int32), jnp.full(4, 1.0))
+        np.testing.assert_allclose(np.asarray(tr)[0], [0.5, 0.7, 0.9], rtol=1e-4)
+        tr_air = mat.medium_absorption(table, jnp.full(4, -1, jnp.int32), jnp.full(4, 1.0))
+        np.testing.assert_allclose(np.asarray(tr_air), 1.0)

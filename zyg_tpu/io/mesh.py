@@ -1,0 +1,122 @@
+"""Host-side mesh file loading.
+
+The reference reads its own binary SUB format plus JSON meshes (ref:
+src/core/scene/shape/shape_provider.zig) and glTF (ref: util/gltf_loader.zig).
+Here: Wavefront OBJ (ubiquitous for test assets), zyg-style JSON geometry,
+and procedural 'proc:' URIs; glTF/SUB come with the asset-pipeline round.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from ..scene.trimesh import HostMesh, make_cube_mesh, make_sphere_mesh
+
+
+def load_obj(path: str) -> HostMesh:
+    positions: list[list[float]] = []
+    normals: list[list[float]] = []
+    uvs: list[list[float]] = []
+    # OBJ allows per-corner (v, vt, vn) triples; rebuild unified vertices
+    corner_map: dict[tuple, int] = {}
+    out_pos: list = []
+    out_n: list = []
+    out_uv: list = []
+    faces: list[list[int]] = []
+    parts: list[int] = []
+    part = 0
+    seen_usemtl: dict[str, int] = {}
+
+    with open(path) as f:
+        for line in f:
+            if line.startswith("v "):
+                positions.append([float(x) for x in line.split()[1:4]])
+            elif line.startswith("vn "):
+                normals.append([float(x) for x in line.split()[1:4]])
+            elif line.startswith("vt "):
+                uvs.append([float(x) for x in line.split()[1:3]])
+            elif line.startswith("usemtl"):
+                name = line.split(maxsplit=1)[1].strip() if " " in line else ""
+                part = seen_usemtl.setdefault(name, len(seen_usemtl))
+            elif line.startswith("f "):
+                corners = line.split()[1:]
+                ids = []
+                for c in corners:
+                    key = c
+                    if key not in corner_map:
+                        vi, ti, ni = (list(c.split("/")) + ["", ""])[:3]
+                        vi = int(vi)
+                        vi = vi - 1 if vi > 0 else len(positions) + vi
+                        out_pos.append(positions[vi])
+                        if ni:
+                            nii = int(ni)
+                            out_n.append(normals[nii - 1 if nii > 0 else len(normals) + nii])
+                        if ti:
+                            tii = int(ti)
+                            out_uv.append(uvs[tii - 1 if tii > 0 else len(uvs) + tii])
+                        corner_map[key] = len(out_pos) - 1
+                    ids.append(corner_map[key])
+                # fan-triangulate
+                for k in range(1, len(ids) - 1):
+                    faces.append([ids[0], ids[k], ids[k + 1]])
+                    parts.append(part)
+
+    return HostMesh(
+        positions=np.asarray(out_pos, np.float32),
+        indices=np.asarray(faces, np.int32),
+        normals=np.asarray(out_n, np.float32) if len(out_n) == len(out_pos) else None,
+        uvs=np.asarray(out_uv, np.float32) if len(out_uv) == len(out_pos) else None,
+        parts=np.asarray(parts, np.int32),
+    )
+
+
+def load_json_mesh(path: str) -> HostMesh | None:
+    """zyg JSON geometry (ref shape_provider.zig loadData): object with
+    'geometry': {positions, normals, texture_coordinates_0, parts, indices}."""
+    with open(path) as f:
+        root = json.load(f)
+    geo = root.get("geometry", root)
+    if "positions" not in geo and "vertices" not in geo:
+        return None
+    pos = np.asarray(geo.get("positions", geo.get("vertices")), np.float32).reshape(-1, 3)
+    idx = np.asarray(geo["indices"], np.int32).reshape(-1, 3)
+    nrm = geo.get("normals")
+    uv = geo.get("texture_coordinates_0", geo.get("uvs"))
+    parts = None
+    if "parts" in geo:
+        parts = np.zeros(len(idx), np.int32)
+        for pi, p in enumerate(geo["parts"]):
+            start = int(p.get("start_index", 0)) // 3
+            count = int(p.get("num_indices", 0)) // 3
+            parts[start : start + count] = pi
+    return HostMesh(
+        positions=pos,
+        indices=idx,
+        normals=np.asarray(nrm, np.float32).reshape(-1, 3) if nrm is not None else None,
+        uvs=np.asarray(uv, np.float32).reshape(-1, 2) if uv is not None else None,
+        parts=parts,
+    )
+
+
+def load_mesh_file(path: str) -> HostMesh | None:
+    if path.startswith("proc:"):
+        kind = path.split(":", 1)[1]
+        if kind == "cube":
+            return make_cube_mesh()
+        if kind.startswith("sphere"):
+            return make_sphere_mesh()
+        return None
+    ext = os.path.splitext(path)[1].lower()
+    try:
+        if ext == ".obj":
+            return load_obj(path)
+        if ext in (".json", ".mesh"):
+            return load_json_mesh(path)
+    except (OSError, ValueError, KeyError) as e:
+        import logging
+
+        logging.getLogger(__name__).warning("mesh load failed %s: %s", path, e)
+    return None

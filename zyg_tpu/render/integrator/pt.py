@@ -3,6 +3,8 @@
 TPU-native rebuild of ref src/core/rendering/integrator/surface/pathtracer.zig:
 the recursive per-ray loop becomes a ``lax.while_loop`` over a whole ray
 batch with masked (alive) lanes — SoA path state, uniform control flow.
+Medium tracking is a single-entry stack (current medium material id) with
+Beer-Lambert absorption applied per segment.
 """
 
 from __future__ import annotations
@@ -29,6 +31,7 @@ class PathState(NamedTuple):
     throughput: jax.Array  # [N,3]
     radiance: jax.Array  # [N,3]
     alive: jax.Array  # bool[N]
+    medium: jax.Array  # int32[N] material id of enclosing medium (-1 = air)
     depth: jax.Array  # int32 scalar
     rays: jax.Array  # int32 scalar: total scene-intersection rays traced
     sobol: SobolArrays
@@ -43,6 +46,7 @@ def integrate(scene: SceneData, o, d, sobol: SobolSampler, settings: PtSettings)
         throughput=jnp.ones((n, 3), jnp.float32),
         radiance=jnp.zeros((n, 3), jnp.float32),
         alive=jnp.ones((n,), bool),
+        medium=jnp.full((n,), -1, jnp.int32),
         depth=jnp.int32(0),
         rays=jnp.int32(0),
         sobol=sobol.arrays,
@@ -59,33 +63,49 @@ def integrate(scene: SceneData, o, d, sobol: SobolSampler, settings: PtSettings)
             scene, s.o, s.d, jnp.float32(0.0), jnp.float32(RAY_MAX_T),
             "reflection", primary=primary,
         )
-
         frag = shapes.build_fragment(scene, hit, s.o, s.d)
-        params = mat.gather(scene.materials, frag.material)
 
+        medium_ior = jnp.where(
+            s.medium >= 0, scene.materials.ior[jnp.maximum(s.medium, 0)], 1.0
+        )
+        params = mat.gather(scene.materials, frag.material, medium_ior)
         wo = -s.d
+
+        # Beer-Lambert absorption through the current medium
+        throughput = s.throughput * mat.medium_absorption(scene.materials, s.medium, hit.t)
+
         emission = mat.eval_radiance(params, wo, frag.geo_n)
         emission = jnp.where(hit.valid()[..., None], emission, 0.0)
         radiance = s.radiance + jnp.where(
-            s.alive[..., None], s.throughput * emission, 0.0
+            s.alive[..., None], throughput * emission, 0.0
         )
 
-        # continue?
         finite_hit = hit.valid() & (hit.t < RAY_MAX_T)
         cont = s.alive & finite_hit & (s.depth < settings.max_depth)
 
         # russian roulette (ref pathtracer.zig:58 -> helper.zig)
         r = smp.sample_1d()
-        throughput, kill = mat.russian_roulette(s.throughput, r)
+        throughput, kill = mat.russian_roulette(throughput, r)
         cont = cont & ~kill
 
         # BSDF sample
-        xi = smp.sample_2d()
-        bs = mat.sample_bsdf(params, wo, frag.n, frag.geo_n, xi)
+        s3 = smp.sample_3d()
+        bs = mat.sample_bsdf(params, wo, frag.n, frag.geo_n, s3)
         cont = cont & bs.valid
         throughput = throughput * bs.weight
 
-        new_o = shapes.offset_ray(frag.p, jnp.where(vm.dot(bs.wi, frag.geo_n)[..., None] >= 0.0, frag.geo_n, -frag.geo_n))
+        # medium interface change (ref vertex.zig interfaceChange)
+        entering = vm.dot(wo, frag.geo_n) > 0.0
+        new_medium = jnp.where(
+            bs.transmission & cont,
+            jnp.where(entering, frag.material, -1),
+            s.medium,
+        )
+
+        new_o = shapes.offset_ray(
+            frag.p,
+            jnp.where(vm.dot(bs.wi, frag.geo_n)[..., None] >= 0.0, frag.geo_n, -frag.geo_n),
+        )
         smp.increment_padding()
 
         return PathState(
@@ -94,6 +114,7 @@ def integrate(scene: SceneData, o, d, sobol: SobolSampler, settings: PtSettings)
             throughput=throughput,
             radiance=radiance,
             alive=cont,
+            medium=new_medium,
             depth=s.depth + 1,
             rays=s.rays + jnp.sum(s.alive, dtype=jnp.int32),
             sobol=smp.arrays,

@@ -58,6 +58,7 @@ class PathState(NamedTuple):
     alive: jax.Array
     bxdf_pdf: jax.Array  # [N] pdf of the previous BSDF sample
     singular: jax.Array  # bool[N] previous bounce was a delta event
+    medium: jax.Array  # int32[N] enclosing medium material id (-1 = air)
     depth: jax.Array  # int32 scalar
     rays: jax.Array  # int32 scalar
     sobol: SobolArrays
@@ -84,6 +85,7 @@ def integrate(scene: SceneData, o, d, sobol: SobolSampler, settings: PtmisSettin
         alive=jnp.ones((n,), bool),
         bxdf_pdf=jnp.zeros((n,), jnp.float32),
         singular=jnp.ones((n,), bool),  # camera rays count as singular
+        medium=jnp.full((n,), -1, jnp.int32),
         depth=jnp.int32(0),
         rays=jnp.int32(0),
         sobol=sobol.arrays,
@@ -104,8 +106,14 @@ def integrate(scene: SceneData, o, d, sobol: SobolSampler, settings: PtmisSettin
             "reflection", primary=primary,
         )
         frag = shapes.build_fragment(scene, hit, s.o, s.d)
-        params = mat.gather(scene.materials, frag.material)
+        medium_ior = jnp.where(
+            s.medium >= 0, scene.materials.ior[jnp.maximum(s.medium, 0)], 1.0
+        )
+        params = mat.gather(scene.materials, frag.material, medium_ior)
         wo = -s.d
+        # Beer-Lambert absorption through the current medium
+        seg_tr = mat.medium_absorption(scene.materials, s.medium, hit.t)
+        throughput0 = s.throughput * seg_tr
 
         # ---- connectLight: BSDF-sampled emission with MIS (ref connectLight
         # + vertex.evaluateRadiance + scene.lightPdf)
@@ -125,7 +133,7 @@ def integrate(scene: SceneData, o, d, sobol: SobolSampler, settings: PtmisSettin
             mis_w = jnp.where(s.singular, 1.0, jnp.where(is_light, 0.0, 1.0))
         else:
             mis_w = jnp.ones_like(hit.t)
-        contrib = jnp.where(s.alive[..., None], s.throughput * mis_w[..., None] * emission, 0.0)
+        contrib = jnp.where(s.alive[..., None], throughput0 * mis_w[..., None] * emission, 0.0)
         result = s.result.add(
             contrib, s.depth, 2, primary & jnp.ones_like(s.alive), s.singular
         )
@@ -135,7 +143,7 @@ def integrate(scene: SceneData, o, d, sobol: SobolSampler, settings: PtmisSettin
 
         # ---- russian roulette
         r = smp.sample_1d()
-        throughput, kill = mat.russian_roulette(s.throughput, r)
+        throughput, kill = mat.russian_roulette(throughput0, r)
         cont = cont & ~kill
 
         # ---- NEE (ref sampleLights/evaluateLight)
@@ -164,7 +172,7 @@ def integrate(scene: SceneData, o, d, sobol: SobolSampler, settings: PtmisSettin
                 lsmp.wi,
                 shadow_axis / jnp.maximum(slen, 1e-20)[..., None],
             )
-            nee_active = cont & (lsmp.pdf > 0.0) & (jnp.max(f, axis=-1) > 0.0)
+            nee_active = cont & mat.can_evaluate(params) & (lsmp.pdf > 0.0) & (jnp.max(f, axis=-1) > 0.0)
             blocked = shapes.occluded(
                 scene, shadow_o, sdir, jnp.float32(0.0), jnp.where(lsmp.infinite, jnp.float32(RAY_MAX_T) * 0.9, slen)
             )
@@ -180,10 +188,18 @@ def integrate(scene: SceneData, o, d, sobol: SobolSampler, settings: PtmisSettin
             _ = smp.sample_2d()
 
         # ---- BSDF sample
-        xi = smp.sample_2d()
-        bs = mat.sample_bsdf(params, wo, frag.n, frag.geo_n, xi)
+        s3 = smp.sample_3d()
+        bs = mat.sample_bsdf(params, wo, frag.n, frag.geo_n, s3)
         cont = cont & bs.valid
         throughput = throughput * bs.weight
+
+        # medium interface change (ref vertex.zig interfaceChange)
+        entering = vm.dot(wo, frag.geo_n) > 0.0
+        new_medium = jnp.where(
+            bs.transmission & cont,
+            jnp.where(entering, frag.material, -1),
+            s.medium,
+        )
 
         new_o = shapes.offset_ray(
             frag.p,
@@ -199,6 +215,7 @@ def integrate(scene: SceneData, o, d, sobol: SobolSampler, settings: PtmisSettin
             alive=cont,
             bxdf_pdf=bs.pdf,
             singular=bs.singular,
+            medium=new_medium,
             depth=s.depth + 1,
             rays=rays,
             sobol=smp.arrays,

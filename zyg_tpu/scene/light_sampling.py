@@ -389,6 +389,7 @@ def light_hit_pdf(scene: SceneData, prop, ray_o, ray_d, hit_t, hit_p, hit_n, n_a
         int(ShapeType.DOME): dm_pdf,
     }.items():
         out = jnp.where(shape == st, val, out)
-    # shapes NEE can't sample (e.g. cube emitters) contribute pdf 0 -> MIS weight 1
-    unsupported = shape == int(ShapeType.CUBE)
+    # shapes NEE can't sample (cube/mesh emitters, until per-triangle CDFs)
+    # contribute pdf 0 -> MIS weight 1 on BSDF hits
+    unsupported = (shape == int(ShapeType.CUBE)) | (shape == int(ShapeType.TRIANGLE_MESH))
     return jnp.where(unsupported, 0.0, out)

@@ -21,6 +21,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from .types import SceneData, Materials, Lights, ShapeType, MaterialKind
+from .trimesh import HostMesh, build_arena
 from ..core.spectrum import LUMINANCE_WEIGHTS
 
 
@@ -227,12 +228,15 @@ class PropDesc:
     visible_reflection: bool = True
     visible_shadow: bool = True
     is_light: bool = False
+    mesh_id: int = -1
 
 
 class SceneBuilder:
     def __init__(self):
         self.props: list[PropDesc] = []
         self.materials: list[MaterialDesc] = []
+        self.meshes: list[HostMesh] = []
+        self._mesh_by_name: dict[str, int] = {}
         self._mat_by_name: dict[str, int] = {}
         # fallback material id 0
         self._fallback = self.add_material(MaterialDesc(color=np.array([1.0, 0.0, 0.6], np.float32)))
@@ -255,6 +259,26 @@ class SceneBuilder:
         self.props.append(desc)
         return len(self.props) - 1
 
+    def add_mesh(self, mesh: HostMesh, name: str | None = None) -> int:
+        if name and name in self._mesh_by_name:
+            return self._mesh_by_name[name]
+        self.meshes.append(mesh)
+        mid = len(self.meshes) - 1
+        if name:
+            self._mesh_by_name[name] = mid
+        return mid
+
+    def add_mesh_prop(self, mesh_id: int, trafo: Transformation, material: int, **kw) -> int:
+        return self.add_prop(
+            PropDesc(
+                shape=int(ShapeType.TRIANGLE_MESH),
+                trafo=trafo,
+                material=material,
+                mesh_id=mesh_id,
+                **kw,
+            )
+        )
+
     # -- light power: luminance-weighted emission * emitting measure
     def _light_weight(self, p: PropDesc) -> float:
         m = self.materials[p.material]
@@ -273,6 +297,11 @@ class SceneBuilder:
             area = float(2.0 * (s[0] * s[1] + s[0] * s[2] + s[1] * s[2]))
         elif shape == ShapeType.DISTANT:
             area = float(2.0 * np.pi * (1.0 - np.sqrt(1.0 / (s[0] ** 2 + 1.0))))
+        elif shape == ShapeType.TRIANGLE_MESH:
+            # emissive meshes: NEE sampling needs per-triangle CDFs (next
+            # round); exclude from the light set — BSDF hits still collect
+            # their emission unbiased (MIS weight 1, light pdf 0).
+            return 0.0
         else:  # canopy/dome env
             area = 4.0 * np.pi
         if m.two_sided:
@@ -296,6 +325,9 @@ class SceneBuilder:
         for li, pi in enumerate(light_props):
             prop_light[pi] = li
 
+        meshes = build_arena(self.meshes) if self.meshes else None
+        mesh_props = [i for i, p in enumerate(props) if p.mesh_id >= 0]
+
         return SceneData(
             prop_shape=jnp.asarray([p.shape for p in props], jnp.int32),
             prop_rot=jnp.asarray(np.stack([p.trafo.rotation for p in props]), jnp.float32),
@@ -312,6 +344,9 @@ class SceneBuilder:
                 cdf=jnp.asarray(cdf, jnp.float32),
             ),
             prop_light=jnp.asarray(prop_light, jnp.int32),
+            meshes=meshes,
+            mesh_props=jnp.asarray(mesh_props, jnp.int32) if meshes is not None else None,
+            prop_mesh=jnp.asarray([p.mesh_id for p in props], jnp.int32) if meshes is not None else None,
         )
 
 
@@ -341,10 +376,21 @@ def _load_entities(entities, parent: Transformation, local_materials, builder: S
         if etype in ("Prop", "Light"):
             shape_node = e.get("shape", {})
             stype = shape_node.get("type")
+            mesh_id = -1
             if stype in _SHAPE_NAMES:
                 shape = int(_SHAPE_NAMES[stype])
+            elif "file" in shape_node:
+                from ..io.mesh import load_mesh_file
+
+                fname = shape_node["file"]
+                if fname in builder._mesh_by_name:
+                    mesh_id = builder._mesh_by_name[fname]
+                else:
+                    mesh = load_mesh_file(os.path.join(base_dir, fname))
+                    mesh_id = builder.add_mesh(mesh, fname) if mesh is not None else -1
+                shape = int(ShapeType.TRIANGLE_MESH) if mesh_id >= 0 else None
             else:
-                shape = None  # mesh files handled by the trimesh path (later rounds here)
+                shape = None
             if shape is not None:
                 mat_names = e.get("materials", [])
                 mat = (
@@ -366,6 +412,7 @@ def _load_entities(entities, parent: Transformation, local_materials, builder: S
                         visible_reflection=bool(vis.get("in_reflection", True)),
                         visible_shadow=occluding and bool(vis.get("in_shadow", True)),
                         is_light=is_light,
+                        mesh_id=mesh_id,
                     )
                 )
         # children inherit this entity's transform

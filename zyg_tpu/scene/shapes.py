@@ -34,6 +34,7 @@ class Hit(NamedTuple):
     prop: jax.Array  # int32[N], -1 when miss
     u: jax.Array  # float32[N]
     v: jax.Array  # float32[N]
+    prim: jax.Array  # int32[N] arena triangle index for mesh hits (-1 else)
 
     def valid(self):
         return self.prop >= 0
@@ -231,7 +232,46 @@ def intersect_scene(scene: SceneData, o, d, tmin, tmax, ray_class: str = "reflec
         jnp.arange(scene.num_props, dtype=jnp.int32),
     )
     (t, p, u, v), _ = jax.lax.scan(body, init, props)
-    return Hit(t, p, u, v)
+    prim = jnp.full(o.shape[:-1], -1, jnp.int32)
+
+    if scene.meshes is not None:
+        t, p, u, v, prim = _intersect_meshes(
+            scene, o, d, tmin, tmax, vis, primary, t, p, u, v, prim
+        )
+    return Hit(t, p, u, v, prim)
+
+
+def _intersect_meshes(scene: SceneData, o, d, tmin, tmax, vis, primary, t_b, p_b, u_b, v_b, prim_b):
+    """Closest-hit over all mesh props: scan over instances, threaded-BVH
+    traversal per instance (ref: prop_tree -> triangle_tree two-level walk)."""
+    from . import trimesh
+
+    def body(carry, prop_idx):
+        t_b, p_b, u_b, v_b, prim_b = carry
+        rot = scene.prop_rot[prop_idx]
+        pos = scene.prop_pos[prop_idx]
+        scale = scene.prop_scale[prop_idx]
+        lane_vis = vis[prop_idx]
+        if primary is not None:
+            lane_vis = jnp.where(primary, scene.prop_visible_camera[prop_idx], lane_vis)
+        o_l = vm.world_to_object_point(rot, scale, pos, o)
+        d_l = vm.world_to_object_vector(rot, scale, d)
+        root = jnp.broadcast_to(
+            scene.meshes.mesh_root[scene.prop_mesh[prop_idx]], o.shape[:-1]
+        )
+        mh = trimesh.traverse(scene.meshes, root, o_l, d_l, tmin, jnp.minimum(tmax, t_b))
+        closer = (mh.prim >= 0) & (mh.t < t_b) & lane_vis
+        t_b = jnp.where(closer, mh.t, t_b)
+        p_b = jnp.where(closer, prop_idx, p_b)
+        u_b = jnp.where(closer, mh.u, u_b)
+        v_b = jnp.where(closer, mh.v, v_b)
+        prim_b = jnp.where(closer, mh.prim, prim_b)
+        return (t_b, p_b, u_b, v_b, prim_b), None
+
+    (t_b, p_b, u_b, v_b, prim_b), _ = jax.lax.scan(
+        body, (t_b, p_b, u_b, v_b, prim_b), scene.mesh_props
+    )
+    return t_b, p_b, u_b, v_b, prim_b
 
 
 def occluded(scene: SceneData, o, d, tmin, tmax) -> jax.Array:
@@ -251,6 +291,24 @@ def occluded(scene: SceneData, o, d, tmin, tmax) -> jax.Array:
     )
     init = jnp.zeros(o.shape[:-1], bool)
     blocked, _ = jax.lax.scan(body, init, props)
+
+    if scene.meshes is not None:
+        from . import trimesh
+
+        def mesh_body(blocked, prop_idx):
+            rot = scene.prop_rot[prop_idx]
+            pos = scene.prop_pos[prop_idx]
+            scale = scene.prop_scale[prop_idx]
+            o_l = vm.world_to_object_point(rot, scale, pos, o)
+            d_l = vm.world_to_object_vector(rot, scale, d)
+            root = jnp.broadcast_to(
+                scene.meshes.mesh_root[scene.prop_mesh[prop_idx]], o.shape[:-1]
+            )
+            root = jnp.where(blocked, -1, root)  # skip already-blocked lanes
+            mh = trimesh.traverse(scene.meshes, root, o_l, d_l, tmin, tmax, any_hit=True)
+            return blocked | ((mh.prim >= 0) & scene.prop_visible_shadow[prop_idx]), None
+
+        blocked, _ = jax.lax.scan(mesh_body, blocked, scene.mesh_props)
     return blocked
 
 
@@ -382,8 +440,41 @@ def build_fragment(scene: SceneData, hit: Hit, o, d) -> Fragment:
         | (shape == int(ShapeType.DOME))
     )
     p = jnp.where(is_inf[..., None], inf_p, p)
+    geo_n = n
 
-    return Fragment(p=p, geo_n=n, n=n, t=tangent, b=bitangent, uv=uv, prop=hit.prop, material=material)
+    if scene.meshes is not None:
+        arena = scene.meshes
+        pr = jnp.maximum(hit.prim, 0)
+        is_mesh = (shape == int(ShapeType.TRIANGLE_MESH)) & (hit.prim >= 0)
+        e1 = arena.tri_e1[pr]
+        e2 = arena.tri_e2[pr]
+        gn_l = vm.safe_normalize(vm.cross(e1, e2))
+        w0 = 1.0 - hit.u - hit.v
+        tn = arena.tri_n[pr]  # [N,3,3]
+        ns_l = (
+            w0[..., None] * tn[..., 0, :]
+            + hit.u[..., None] * tn[..., 1, :]
+            + hit.v[..., None] * tn[..., 2, :]
+        )
+        # normals transform by rotation only (ref composed_transformation.zig
+        # objectToWorldNormal — uniform-scale assumption like the reference)
+        gn_w = vm.safe_normalize(vm.object_to_world_normal(rot, gn_l))
+        ns_w = vm.safe_normalize(vm.object_to_world_normal(rot, ns_l))
+        tuv = arena.tri_uv[pr]
+        uv_m = (
+            w0[..., None] * tuv[..., 0, :]
+            + hit.u[..., None] * tuv[..., 1, :]
+            + hit.v[..., None] * tuv[..., 2, :]
+        )
+        mt, mb = vm.orthonormal_basis(ns_w)
+        mask = is_mesh[..., None]
+        geo_n = jnp.where(mask, gn_w, geo_n)
+        n = jnp.where(mask, ns_w, n)
+        tangent = jnp.where(mask, mt, tangent)
+        bitangent = jnp.where(mask, mb, bitangent)
+        uv = jnp.where(mask, uv_m, uv)
+
+    return Fragment(p=p, geo_n=geo_n, n=n, t=tangent, b=bitangent, uv=uv, prop=hit.prop, material=material)
 
 
 # ---------------------------------------------------------------------------

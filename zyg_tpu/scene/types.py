@@ -97,6 +97,10 @@ class SceneData(NamedTuple):
     lights: Lights
     # prop index -> light index (-1 if not a light)
     prop_light: jax.Array  # int32[P]
+    # triangle meshes: arena of all mesh BVHs/tris + the props that use them
+    meshes: "object" = None  # trimesh.MeshArena | None
+    mesh_props: jax.Array = None  # int32[Pm] prop indices with mesh shapes
+    prop_mesh: jax.Array = None  # int32[P] mesh id (-1 = analytic)
 
     @property
     def num_props(self) -> int:
