@@ -1,0 +1,95 @@
+"""Image codec roundtrip tests (PNG/EXR/RGBE) + take/scene loading."""
+
+import os
+import zlib
+
+import numpy as np
+import pytest
+
+from zyg_tpu.io.png import write_png, float_to_srgb8
+from zyg_tpu.io.exr import write_exr, read_exr, ZIP_COMPRESSION, NO_COMPRESSION
+from zyg_tpu.io.rgbe import write_hdr, read_hdr, float_to_rgbe, rgbe_to_float
+from zyg_tpu.io.mesh import load_obj
+
+
+class TestPng:
+    def test_roundtrip_via_zlib(self, tmp_path, rng_np):
+        img = (rng_np.random((16, 24, 3)) * 255).astype(np.uint8)
+        p = str(tmp_path / "x.png")
+        write_png(p, img)
+        data = open(p, "rb").read()
+        assert data[:8] == b"\x89PNG\r\n\x1a\n"
+        # decode IDAT manually
+        idat = data[data.index(b"IDAT") + 4 :]
+        raw = zlib.decompress(idat[: len(idat) - 12])
+        rows = np.frombuffer(raw, np.uint8).reshape(16, 1 + 24 * 3)
+        assert (rows[:, 0] == 0).all()
+        np.testing.assert_array_equal(rows[:, 1:].reshape(16, 24, 3), img)
+
+    def test_srgb8(self):
+        x = np.zeros((2, 2, 3), np.float32)
+        x[0, 0] = 1.0
+        out = float_to_srgb8(x, dither=False)
+        assert out[0, 0, 0] == 255 and out[1, 1, 0] == 0
+
+
+class TestExr:
+    @pytest.mark.parametrize("half", [True, False])
+    @pytest.mark.parametrize("compression", [ZIP_COMPRESSION, NO_COMPRESSION])
+    def test_roundtrip(self, tmp_path, rng_np, half, compression):
+        h, w = 21, 33  # non-multiple of block size
+        img = (rng_np.random((h, w, 3)).astype(np.float32) * 4.0) ** 2
+        p = str(tmp_path / "x.exr")
+        write_exr(
+            p,
+            {"R": img[..., 0], "G": img[..., 1], "B": img[..., 2]},
+            half=half,
+            compression=compression,
+        )
+        back = read_exr(p)
+        rtol = 1e-2 if half else 1e-6
+        for i, c in enumerate("RGB"):
+            np.testing.assert_allclose(back[c], img[..., i], rtol=rtol, atol=1e-3)
+
+    def test_aov_channels(self, tmp_path, rng_np):
+        h, w = 8, 8
+        depth = rng_np.random((h, w)).astype(np.float32)
+        write_exr(str(tmp_path / "a.exr"), {"Z": depth}, half=False)
+        back = read_exr(str(tmp_path / "a.exr"))
+        np.testing.assert_allclose(back["Z"], depth, rtol=1e-6)
+
+
+class TestRgbe:
+    def test_encode_decode(self, rng_np):
+        rgb = (rng_np.random((64, 3)).astype(np.float32) * 10.0) ** 2
+        back = rgbe_to_float(float_to_rgbe(rgb))
+        # shared-exponent format: absolute error bounded by pixel max / 256
+        bound = rgb.max(axis=-1, keepdims=True) / 256.0 + 1e-4
+        assert (np.abs(back - rgb) <= bound).all()
+
+    def test_file_roundtrip(self, tmp_path, rng_np):
+        img = (rng_np.random((12, 40, 3)).astype(np.float32) * 2.0) ** 2
+        p = str(tmp_path / "x.hdr")
+        write_hdr(p, img)
+        back = read_hdr(p)
+        bound = img.max(axis=-1, keepdims=True) / 256.0 + 1e-4
+        assert (np.abs(back - img) <= bound).all()
+
+
+class TestObj:
+    def test_load_simple(self, tmp_path):
+        obj = """
+v 0 0 0
+v 1 0 0
+v 0 1 0
+v 1 1 0
+vn 0 0 1
+f 1//1 2//1 3//1
+f 2//1 4//1 3//1
+"""
+        p = str(tmp_path / "m.obj")
+        open(p, "w").write(obj)
+        mesh = load_obj(p)
+        assert mesh.indices.shape == (2, 3)
+        assert mesh.positions.shape[0] == 4
+        np.testing.assert_allclose(mesh.normals, [[0, 0, 1]] * 4)

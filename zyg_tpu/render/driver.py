@@ -24,6 +24,7 @@ from ..io.take import Take, IntegratorSettings
 from ..scene.types import SceneData
 from . import sensor as sensor_mod
 from .camera import PerspectiveCamera, generate_rays
+from .integrator import aov as aov_mod
 from .integrator import pt as pt_mod
 from .integrator import ptmis as ptmis_mod
 from .sensor import Framebuffer
@@ -41,6 +42,9 @@ def _render_samples(
     num_expected_samples: int,
     integrator: IntegratorSettings,
     clamp_max: tuple,
+    filter_name: str = "Blackman",
+    filter_radius: int = 0,
+    resolution: tuple = (0, 0),
 ):
     """Accumulate `num_samples` consecutive samples into fb (one jit)."""
 
@@ -57,7 +61,19 @@ def _render_samples(
 
         o, d = generate_rays(cam_arrays, pixel_xy, s4[..., 0:2], s4[..., 2:4])
 
-        if integrator.kind == "PT":
+        if integrator.kind == "AOV":
+            radiance, _, rays = aov_mod.integrate(
+                scene,
+                o,
+                d,
+                smp,
+                aov_mod.AovSettings(
+                    value=integrator.aov_value,
+                    num_samples=integrator.aov_num_samples,
+                    radius=integrator.aov_radius,
+                ),
+            )
+        elif integrator.kind == "PT":
             radiance, _, rays = pt_mod.integrate(
                 scene, o, d, smp, pt_mod.PtSettings(max_depth=integrator.max_depth_surface)
             )
@@ -80,7 +96,14 @@ def _render_samples(
                 + sensor_mod.clamp_radiance(iv.indirect, clamp_max[2])
             )
 
-        return (fb.add_box(radiance), total_rays + rays), None
+        if filter_radius > 0:
+            fb = sensor_mod.splat_filtered(
+                fb, radiance, pixel_xy, s4[..., 0:2],
+                resolution[0], resolution[1], filter_name, filter_radius,
+            )
+        else:
+            fb = fb.add_box(radiance)
+        return (fb, total_rays + rays), None
 
     (fb, rays), _ = jax.lax.scan(
         one_sample, (fb, jnp.int32(0)), jnp.arange(num_samples, dtype=jnp.int32)
@@ -125,6 +148,9 @@ class Driver:
                     num_expected_samples=max(self.take.num_samples_per_pixel, 2),
                     integrator=self.take.integrator,
                     clamp_max=self._clamp_max,
+                    filter_name=self.take.sensor.filter_name,
+                    filter_radius=int(round(self.take.sensor.filter_radius)),
+                    resolution=self.camera.resolution,
                 )
             )
             self._render_cache[num_samples] = fn
@@ -169,7 +195,20 @@ class Driver:
         return np.asarray(jax.device_get(img))
 
     def export_frame(self, path: str):
-        from ..io.png import write_png, float_to_srgb8
+        """Write by extension: .png (tonemapped sRGB8), .exr (linear HDR),
+        .hdr (RGBE) — ref exporting/sink.zig ImageSequence."""
+        ext = path.rsplit(".", 1)[-1].lower()
+        if ext == "exr":
+            from ..io.exr import write_exr
 
-        img = self.resolve(tonemapped=True)
-        write_png(path, float_to_srgb8(img))
+            img = self.resolve(tonemapped=False)
+            write_exr(path, {"R": img[..., 0], "G": img[..., 1], "B": img[..., 2]})
+        elif ext == "hdr":
+            from ..io.rgbe import write_hdr
+
+            write_hdr(path, self.resolve(tonemapped=False))
+        else:
+            from ..io.png import write_png, float_to_srgb8
+
+            img = self.resolve(tonemapped=True)
+            write_png(path, float_to_srgb8(img))

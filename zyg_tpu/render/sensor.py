@@ -71,6 +71,76 @@ def clamp_radiance(radiance, max_value: float):
 
 
 # ---------------------------------------------------------------------------
+# Reconstruction filters (ref: rendering/sensor/sensor.zig:27-58 builds LUTs
+# of these; we evaluate analytically — ALU is free on the VPU)
+# ---------------------------------------------------------------------------
+
+
+def blackman(x, r):
+    """Blackman window over [-r, r]."""
+    a = jnp.pi * (x / r)
+    w = 0.42 + 0.5 * jnp.cos(a) + 0.08 * jnp.cos(2.0 * a)
+    return jnp.where(jnp.abs(x) <= r, w, 0.0)
+
+
+def mitchell(x, b: float = 1.0 / 3.0, c: float = 1.0 / 3.0):
+    """Mitchell-Netravali cubic over [-2, 2]."""
+    ax = jnp.abs(x)
+    ax2 = ax * ax
+    ax3 = ax2 * ax
+    inner = (
+        (12.0 - 9.0 * b - 6.0 * c) * ax3
+        + (-18.0 + 12.0 * b + 6.0 * c) * ax2
+        + (6.0 - 2.0 * b)
+    ) / 6.0
+    outer = (
+        (-b - 6.0 * c) * ax3
+        + (6.0 * b + 30.0 * c) * ax2
+        + (-12.0 * b - 48.0 * c) * ax
+        + (8.0 * b + 24.0 * c)
+    ) / 6.0
+    return jnp.where(ax < 1.0, inner, jnp.where(ax < 2.0, outer, 0.0))
+
+
+def filter_eval(name: str, x, radius: float):
+    if name == "Mitchell":
+        return mitchell(x * (2.0 / radius))
+    return blackman(x, radius)
+
+
+def splat_filtered(
+    fb: "Framebuffer",
+    radiance,  # [N,3]
+    pixel_xy,  # int[N,2]
+    pixel_uv,  # float[N,2] sample offset in [0,1)^2 within the pixel
+    width: int,
+    height: int,
+    filter_name: str,
+    radius: int,
+) -> "Framebuffer":
+    """Scatter-add a filtered sample to its (2r+1)^2 neighborhood.
+
+    Replaces the reference's atomic tile splats (sensor.zig addSample radius
+    1/2 unrolled paths) with a pure-functional scatter."""
+    px = pixel_xy[..., 0]
+    py = pixel_xy[..., 1]
+    sx = pixel_uv[..., 0] - 0.5
+    sy = pixel_uv[..., 1] - 0.5
+    value, weight = fb.value, fb.weight
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            wx = filter_eval(filter_name, sx - dx, float(radius))
+            wy = filter_eval(filter_name, sy - dy, float(radius))
+            w = wx * wy
+            tx = jnp.clip(px + dx, 0, width - 1)
+            ty = jnp.clip(py + dy, 0, height - 1)
+            ids = ty * width + tx
+            value = value.at[ids].add(w[..., None] * radiance)
+            weight = weight.at[ids].add(w)
+    return Framebuffer(value, weight)
+
+
+# ---------------------------------------------------------------------------
 # Tonemappers (ref: rendering/sensor/tonemapper.zig, agx.zig)
 # ---------------------------------------------------------------------------
 
