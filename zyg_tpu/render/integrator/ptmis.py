@@ -111,14 +111,29 @@ def integrate(scene: SceneData, o, d, sobol: SobolSampler, settings: PtmisSettin
         )
         params = mat.gather(scene.materials, frag.material, medium_ior)
         wo = -s.d
-        # Beer-Lambert absorption through the current medium
-        seg_tr = mat.medium_absorption(scene.materials, s.medium, hit.t)
-        throughput0 = s.throughput * seg_tr
+
+        # ---- medium transport: free-flight sampling in the enclosing medium
+        # (ref integrator/volume/volume_integrator.zig homogeneous tracking:
+        # analog decomposition with mean-mu_t distance sampling)
+        mu_t, mu_s, g_med = mat.medium_coefficients(scene.materials, s.medium)
+        mu_t_bar = jnp.mean(mu_t, axis=-1)
+        scattering_medium = jnp.max(mu_s, axis=-1) > 0.0
+        u_dist = smp.sample_1d()
+        t_free = -jnp.log(jnp.maximum(1.0 - u_dist, 1e-7)) / jnp.maximum(mu_t_bar, 1e-12)
+        seg_t = jnp.minimum(hit.t, jnp.float32(3.0e37))
+        scatter = s.alive & scattering_medium & hit.valid() & (t_free < seg_t)
+        pdf_sc = jnp.maximum(mu_t_bar * jnp.exp(-mu_t_bar * t_free), 1e-20)
+        tr_scatter = jnp.exp(-mu_t * t_free[..., None]) * mu_s / pdf_sc[..., None]
+        pdf_pass = jnp.where(scattering_medium, jnp.exp(-mu_t_bar * seg_t), 1.0)
+        tr_pass = jnp.exp(-mu_t * seg_t[..., None]) / jnp.maximum(pdf_pass, 1e-20)[..., None]
+        w_med = jnp.where(scatter[..., None], tr_scatter, tr_pass)
+        throughput0 = s.throughput * w_med
+        p_scatter = s.o + t_free[..., None] * s.d
 
         # ---- connectLight: BSDF-sampled emission with MIS (ref connectLight
         # + vertex.evaluateRadiance + scene.lightPdf)
         emission = mat.eval_radiance(params, wo, frag.geo_n)
-        emission = jnp.where(hit.valid()[..., None], emission, 0.0)
+        emission = jnp.where((hit.valid() & ~scatter)[..., None], emission, 0.0)
         light_id = jnp.where(hit.valid(), scene.prop_light[jnp.maximum(hit.prop, 0)], -1)
         is_light = light_id >= 0
         if has_lights and not settings.nee_only:
@@ -139,7 +154,7 @@ def integrate(scene: SceneData, o, d, sobol: SobolSampler, settings: PtmisSettin
         )
 
         finite_hit = hit.valid() & (hit.t < RAY_MAX_T)
-        cont = s.alive & finite_hit & (s.depth < settings.max_depth)
+        cont = s.alive & (finite_hit | scatter) & (s.depth < settings.max_depth)
 
         # ---- russian roulette
         r = smp.sample_1d()
@@ -151,15 +166,25 @@ def integrate(scene: SceneData, o, d, sobol: SobolSampler, settings: PtmisSettin
             u_sel = smp.sample_1d()
             xi_l = smp.sample_2d()
             light_idx, sel_pdf = ls_mod.select_light(scene, u_sel)
-            lsmp = ls_mod.sample_light(scene, light_idx, frag.p, frag.geo_n, xi_l)
+            nee_p = jnp.where(scatter[..., None], p_scatter, frag.p)
+            lsmp = ls_mod.sample_light(
+                scene, light_idx, nee_p, frag.geo_n, xi_l, total_sphere=scatter
+            )
             radiance = ls_mod.light_radiance(scene, light_idx, lsmp.wi, lsmp.light_n)
-            f, bpdf = mat.eval_bsdf(params, wo, lsmp.wi, frag.n, frag.geo_n)
+            f_srf, bpdf_srf = mat.eval_bsdf(params, wo, lsmp.wi, frag.n, frag.geo_n)
+            ph = mat.hg_phase(vm.dot(s.d, lsmp.wi), g_med)
+            f = jnp.where(scatter[..., None], ph[..., None], f_srf)
+            bpdf = jnp.where(scatter, ph, bpdf_srf)
             light_pdf = lsmp.pdf * sel_pdf
             w = predivided_power_heuristic(light_pdf, bpdf)
 
-            shadow_o = shapes.offset_ray(
-                frag.p,
-                jnp.where(vm.dot(lsmp.wi, frag.geo_n)[..., None] >= 0.0, frag.geo_n, -frag.geo_n),
+            shadow_o = jnp.where(
+                scatter[..., None],
+                p_scatter,
+                shapes.offset_ray(
+                    frag.p,
+                    jnp.where(vm.dot(lsmp.wi, frag.geo_n)[..., None] >= 0.0, frag.geo_n, -frag.geo_n),
+                ),
             )
             # finite lights: aim at the (offset) sampled point
             lp_off = shapes.offset_ray(lsmp.light_p, lsmp.light_n)
@@ -172,7 +197,7 @@ def integrate(scene: SceneData, o, d, sobol: SobolSampler, settings: PtmisSettin
                 lsmp.wi,
                 shadow_axis / jnp.maximum(slen, 1e-20)[..., None],
             )
-            nee_active = cont & mat.can_evaluate(params) & (lsmp.pdf > 0.0) & (jnp.max(f, axis=-1) > 0.0)
+            nee_active = cont & (scatter | mat.can_evaluate(params)) & (lsmp.pdf > 0.0) & (jnp.max(f, axis=-1) > 0.0)
             blocked = shapes.occluded(
                 scene, shadow_o, sdir, jnp.float32(0.0), jnp.where(lsmp.infinite, jnp.float32(RAY_MAX_T) * 0.9, slen)
             )
@@ -187,34 +212,45 @@ def integrate(scene: SceneData, o, d, sobol: SobolSampler, settings: PtmisSettin
             _ = smp.sample_1d()
             _ = smp.sample_2d()
 
-        # ---- BSDF sample
+        # ---- BSDF / phase sample
         s3 = smp.sample_3d()
         bs = mat.sample_bsdf(params, wo, frag.n, frag.geo_n, s3)
-        cont = cont & bs.valid
-        throughput = throughput * bs.weight
+        wi_hg = mat.hg_sample(wo, g_med, s3[..., 1:3])
+        ph_s = mat.hg_phase(vm.dot(s.d, wi_hg), g_med)
+        wi = jnp.where(scatter[..., None], wi_hg, bs.wi)
+        bsdf_weight = jnp.where(scatter[..., None], 1.0, bs.weight)
+        new_bxdf_pdf = jnp.where(scatter, ph_s, bs.pdf)
+        new_singular = jnp.where(scatter, False, bs.singular)
+        cont = cont & (bs.valid | scatter)
+        throughput = throughput * bsdf_weight
 
-        # medium interface change (ref vertex.zig interfaceChange)
+        # medium interface change (ref vertex.zig interfaceChange); volume
+        # scatter events stay inside their medium
         entering = vm.dot(wo, frag.geo_n) > 0.0
         new_medium = jnp.where(
-            bs.transmission & cont,
+            bs.transmission & cont & ~scatter,
             jnp.where(entering, frag.material, -1),
             s.medium,
         )
 
-        new_o = shapes.offset_ray(
-            frag.p,
-            jnp.where(vm.dot(bs.wi, frag.geo_n)[..., None] >= 0.0, frag.geo_n, -frag.geo_n),
+        new_o = jnp.where(
+            scatter[..., None],
+            p_scatter,
+            shapes.offset_ray(
+                frag.p,
+                jnp.where(vm.dot(wi, frag.geo_n)[..., None] >= 0.0, frag.geo_n, -frag.geo_n),
+            ),
         )
         smp.increment_padding()
 
         return PathState(
             o=jnp.where(cont[..., None], new_o, s.o),
-            d=jnp.where(cont[..., None], bs.wi, s.d),
+            d=jnp.where(cont[..., None], wi, s.d),
             throughput=throughput,
             result=result,
             alive=cont,
-            bxdf_pdf=bs.pdf,
-            singular=bs.singular,
+            bxdf_pdf=new_bxdf_pdf,
+            singular=new_singular,
             medium=new_medium,
             depth=s.depth + 1,
             rays=rays,

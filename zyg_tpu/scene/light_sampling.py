@@ -238,14 +238,13 @@ def sample_light(scene: SceneData, light_idx, p, n, xi, total_sphere=False) -> L
     can_pdf = jnp.full(nshape, 1.0 / (2.0 * jnp.pi), jnp.float32)
 
     # --- dome: hemisphere around the surface normal (ref dome.zig sampleTo)
+    ts = jnp.broadcast_to(jnp.asarray(total_sphere), nshape)
     dm_t, dm_b = vm.orthonormal_basis(n)
     dm_local, _ = vm.sample_hemisphere_uniform(xi)
     dm_wi_hemi = vm.frame_to_world(dm_t, dm_b, n, dm_local)
     dm_wi_full, _ = vm.sample_sphere_uniform(xi)
-    dm_wi = jnp.where(jnp.asarray(total_sphere), dm_wi_full, dm_wi_hemi)
-    dm_pdf = jnp.where(
-        jnp.asarray(total_sphere), 1.0 / (4.0 * jnp.pi), 1.0 / (2.0 * jnp.pi)
-    ) * jnp.ones(nshape, jnp.float32)
+    dm_wi = jnp.where(ts[..., None], dm_wi_full, dm_wi_hemi)
+    dm_pdf = jnp.where(ts, 1.0 / (4.0 * jnp.pi), 1.0 / (2.0 * jnp.pi))
 
     def sel(vals, default):
         out = default

@@ -127,6 +127,8 @@ class MaterialDesc:
     two_sided: bool = False
     attenuation_distance: float = 0.0
     anisotropy: float = 0.0
+    subsurface_color: np.ndarray = field(default_factory=lambda: np.zeros(3, np.float32))
+    volumetric_anisotropy: float = 0.0
 
 
 def _read_color(v) -> np.ndarray:
@@ -170,8 +172,10 @@ def parse_material(value: dict) -> MaterialDesc:
         if not isinstance(body, dict):
             continue
         for key, v in body.items():
-            if key in ("color", "attenuation_color", "subsurface_color"):
+            if key in ("color", "attenuation_color"):
                 desc.color = _read_color(v)
+            elif key == "subsurface_color":
+                desc.subsurface_color = _read_color(v)
             elif key == "roughness" and isinstance(v, (int, float)):
                 desc.roughness = float(v)
             elif key == "metallic":
@@ -181,7 +185,11 @@ def parse_material(value: dict) -> MaterialDesc:
             elif key == "specular":
                 desc.specular = float(v)
             elif key == "anisotropy":
-                desc.anisotropy = float(v)
+                # surface materials: GGX anisotropy; volumetric: HG g
+                if kind_name == "Volumetric":
+                    desc.volumetric_anisotropy = float(v)
+                else:
+                    desc.anisotropy = float(v)
             elif key == "attenuation_distance":
                 desc.attenuation_distance = float(v)
             elif key == "two_sided":
@@ -207,6 +215,8 @@ def materials_to_table(descs: list[MaterialDesc]) -> Materials:
         two_sided=jnp.asarray([d.two_sided for d in descs], bool),
         attenuation_distance=jnp.asarray([d.attenuation_distance for d in descs], jnp.float32),
         anisotropy=jnp.asarray([d.anisotropy for d in descs], jnp.float32),
+        subsurface_color=jnp.asarray(np.stack([d.subsurface_color for d in descs]), jnp.float32),
+        volumetric_anisotropy=jnp.asarray([d.volumetric_anisotropy for d in descs], jnp.float32),
         color_tex=jnp.full((n,), -1, jnp.int32),
         roughness_tex=jnp.full((n,), -1, jnp.int32),
         normal_tex=jnp.full((n,), -1, jnp.int32),

@@ -58,7 +58,9 @@ class Materials(NamedTuple):
     emission: jax.Array  # float32[M,3] radiance (value*spectrum)
     two_sided: jax.Array  # bool[M]
     attenuation_distance: jax.Array  # float32[M] (glass/SSS)
-    anisotropy: jax.Array  # float32[M]
+    anisotropy: jax.Array  # float32[M] (surface GGX anisotropy)
+    subsurface_color: jax.Array  # float32[M,3] single-scatter albedo source
+    volumetric_anisotropy: jax.Array  # float32[M] HG g
     # texture indices into the atlas (-1 when uniform)
     color_tex: jax.Array  # int32[M]
     roughness_tex: jax.Array  # int32[M]
@@ -128,6 +130,8 @@ def default_materials(n: int = 1) -> Materials:
         two_sided=jnp.zeros((n,), bool),
         attenuation_distance=jnp.zeros((n,), jnp.float32),
         anisotropy=jnp.zeros((n,), jnp.float32),
+        subsurface_color=jnp.zeros((n, 3), jnp.float32),
+        volumetric_anisotropy=jnp.zeros((n,), jnp.float32),
         color_tex=jnp.full((n,), -1, jnp.int32),
         roughness_tex=jnp.full((n,), -1, jnp.int32),
         normal_tex=jnp.full((n,), -1, jnp.int32),
