@@ -131,8 +131,11 @@ class Driver:
         clamp = self.take.sensor.clamp
         self._clamp_max = (clamp.emission, clamp.direct, clamp.indirect)
         self._render_cache: dict[int, callable] = {}
-        # default chunk: bound path-state live range / compile size
-        self.chunk_size = min(max(self.take.num_samples_per_pixel, 1), 16)
+        # default chunk: bound device-step duration (a single dispatch that
+        # runs for minutes can trip the TPU watchdog) and compile size
+        lane_budget = 4_000_000
+        by_lanes = max(1, lane_budget // max(w * h, 1))
+        self.chunk_size = min(max(self.take.num_samples_per_pixel, 1), 16, by_lanes)
 
     def _render_fn(self, num_samples: int):
         fn = self._render_cache.get(num_samples)
