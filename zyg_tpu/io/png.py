@@ -40,6 +40,74 @@ def write_png(path: str, image: np.ndarray) -> None:
         f.write(data)
 
 
+def read_png(path: str) -> np.ndarray:
+    """Minimal PNG reader: 8/16-bit greyscale/RGB/RGBA, no interlace.
+
+    Returns uint8/uint16 [H,W,C]."""
+    with open(path, "rb") as f:
+        data = f.read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
+    pos = 8
+    idat = b""
+    w = h = bitdepth = color_type = None
+    palette = None
+    while pos < len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, bitdepth, color_type, _, _, interlace = struct.unpack(">IIBBBBB", chunk)
+            assert interlace == 0, "interlaced PNG unsupported"
+        elif tag == b"PLTE":
+            palette = np.frombuffer(chunk, np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat += chunk
+        elif tag == b"IEND":
+            break
+    raw = zlib.decompress(idat)
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    bpp_bytes = max(bitdepth // 8, 1) * channels
+    stride = (w * channels * bitdepth + 7) // 8
+    img = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    rpos = 0
+    for y in range(h):
+        ft = raw[rpos]
+        line = np.frombuffer(raw[rpos + 1 : rpos + 1 + stride], np.uint8).astype(np.int32)
+        rpos += 1 + stride
+        cur = line.copy()
+        if ft == 0:
+            pass
+        elif ft == 1:
+            for x in range(bpp_bytes, stride):
+                cur[x] = (cur[x] + cur[x - bpp_bytes]) & 0xFF
+        elif ft == 2:
+            cur = (cur + prev) & 0xFF
+        elif ft == 3:
+            for x in range(stride):
+                a = cur[x - bpp_bytes] if x >= bpp_bytes else 0
+                cur[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif ft == 4:
+            for x in range(stride):
+                a = cur[x - bpp_bytes] if x >= bpp_bytes else 0
+                b = prev[x]
+                c = prev[x - bpp_bytes] if x >= bpp_bytes else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (line[x] + pred) & 0xFF
+        img[y] = cur.astype(np.uint8)
+        prev = cur
+    if bitdepth == 16:
+        out = img.view(">u2").astype(np.uint16).reshape(h, w, channels)
+    else:
+        out = img.reshape(h, w, channels)
+    if color_type == 3:
+        out = palette[out[..., 0]]
+    return out
+
+
 def float_to_srgb8(image: np.ndarray, dither: bool = True, seed: int = 0) -> np.ndarray:
     """[H,W,3] linear float -> sRGB uint8, with blue-noise-ish dithering."""
     from ..core.spectrum import linear_to_srgb_np

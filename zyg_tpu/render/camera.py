@@ -88,6 +88,9 @@ def generate_rays(cam: CameraArrays, pixel_xy, pixel_uv, lens_uv=None):
     else:
         origin_l = jnp.zeros_like(direction)
 
-    d_world = vm.object_to_world_normal(cam.rot, vm.normalize(direction))
+    # normalize AFTER the rotation: look_at rotations are not orthonormalized
+    # (ref json.zig keeps the raw up vector), so the transform can scale
+    # lengths — downstream intersectors assume unit directions.
+    d_world = vm.normalize(vm.object_to_world_normal(cam.rot, vm.normalize(direction)))
     o_world = vm.object_to_world_normal(cam.rot, origin_l) + cam.pos
     return o_world, d_world

@@ -68,7 +68,7 @@ def integrate(scene: SceneData, o, d, sobol: SobolSampler, settings: PtSettings)
         medium_ior = jnp.where(
             s.medium >= 0, scene.materials.ior[jnp.maximum(s.medium, 0)], 1.0
         )
-        params = mat.gather(scene.materials, frag.material, medium_ior)
+        params = mat.gather(scene.materials, frag.material, medium_ior, scene.textures, frag.uv)
         wo = -s.d
 
         # Beer-Lambert absorption through the current medium

@@ -326,12 +326,40 @@ def sample_light(scene: SceneData, light_idx, p, n, xi, total_sphere=False) -> L
 
 def light_radiance(scene: SceneData, light_idx, wi, light_n):
     """Radiance emitted toward the shading point (ref light.evaluateTo):
-    emission gated on facing unless two-sided."""
+    emission gated on facing unless two-sided; env lights (dome/canopy)
+    modulate by their baked emission texture at the sampled direction."""
     li = jnp.clip(light_idx, 0, scene.lights.count - 1)
     prop = scene.lights.prop[li]
     m = scene.prop_material[prop]
     emission = scene.materials.emission[m]
     two_sided = scene.materials.two_sided[m]
+
+    if scene.textures is not None:
+        from .textures import sample_bilinear
+
+        et = scene.materials.emission_tex[m]
+        shape = scene.prop_shape[prop]
+        rot = scene.prop_rot[prop]
+        ldir = vm.safe_normalize(vm.world_to_object_normal(rot, wi))
+        # dome: lat-long uv (matches shapes.build_fragment dome branch)
+        phi = jnp.arctan2(ldir[..., 0], ldir[..., 2])
+        dome_uv = jnp.stack(
+            [phi * (0.5 / jnp.pi) + 0.5, jnp.arccos(jnp.clip(ldir[..., 1], -1, 1)) / jnp.pi],
+            axis=-1,
+        )
+        # canopy: equidistant disk uv
+        lz = jnp.clip(ldir[..., 2], -1.0, 1.0)
+        r_eq = jnp.arccos(lz) * (2.0 / jnp.pi)
+        lxy = jnp.sqrt(jnp.maximum(ldir[..., 0] ** 2 + ldir[..., 1] ** 2, 1e-20))
+        can_uv = jnp.stack(
+            [0.5 * (r_eq * ldir[..., 0] / lxy) + 0.5, 0.5 * (r_eq * ldir[..., 1] / lxy) + 0.5],
+            axis=-1,
+        )
+        uv = jnp.where((shape == int(ShapeType.CANOPY))[..., None], can_uv, dome_uv)
+        tex = sample_bilinear(scene.textures, et, uv)[..., :3]
+        env = (shape == int(ShapeType.DOME)) | (shape == int(ShapeType.CANOPY))
+        emission = jnp.where((env & (et >= 0))[..., None], emission * tex, emission)
+
     facing = vm.dot(-wi, light_n) > 0.0
     return jnp.where((facing | two_sided)[..., None], emission, 0.0)
 

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from .types import SceneData, Materials, Lights, ShapeType, MaterialKind
 from .trimesh import HostMesh, build_arena
+from .textures import TextureBuilder
 from ..core.spectrum import LUMINANCE_WEIGHTS
 
 
@@ -129,6 +130,10 @@ class MaterialDesc:
     anisotropy: float = 0.0
     subsurface_color: np.ndarray = field(default_factory=lambda: np.zeros(3, np.float32))
     volumetric_anisotropy: float = 0.0
+    color_tex: int = -1
+    roughness_tex: int = -1
+    normal_tex: int = -1
+    emission_tex: int = -1
 
 
 def _read_color(v) -> np.ndarray:
@@ -145,10 +150,18 @@ def _read_color(v) -> np.ndarray:
     return np.array([float(x) for x in v[:3]], np.float32)
 
 
-def parse_material(value: dict) -> MaterialDesc:
-    """Parse one material JSON node (ref: material_provider.zig loadMaterial)."""
+def parse_material(value: dict, builder: "SceneBuilder | None" = None, base_dir: str = "") -> MaterialDesc:
+    """Parse one material JSON node (ref: material_provider.zig loadMaterial).
+
+    Texture-valued parameters ({"file": ...} nodes) are packed into the
+    builder's texture arena when a builder is provided."""
     rendering = value.get("rendering", value)
     desc = MaterialDesc()
+
+    def tex(v, srgb):
+        if builder is not None and isinstance(v, dict) and "file" in v:
+            return builder.load_texture(os.path.join(base_dir, v["file"]), srgb=srgb)
+        return -1
     for kind_name, body in rendering.items():
         if kind_name == "Substitute":
             desc.kind = int(MaterialKind.SUBSTITUTE)
@@ -173,11 +186,23 @@ def parse_material(value: dict) -> MaterialDesc:
             continue
         for key, v in body.items():
             if key in ("color", "attenuation_color"):
-                desc.color = _read_color(v)
+                t = tex(v, srgb=True)
+                if t >= 0:
+                    desc.color_tex = t
+                    desc.color = np.ones(3, np.float32)
+                else:
+                    desc.color = _read_color(v)
             elif key == "subsurface_color":
                 desc.subsurface_color = _read_color(v)
-            elif key == "roughness" and isinstance(v, (int, float)):
-                desc.roughness = float(v)
+            elif key == "normal":
+                desc.normal_tex = tex(v, srgb=False)
+            elif key == "roughness":
+                t = tex(v, srgb=False)
+                if t >= 0:
+                    desc.roughness_tex = t
+                    desc.roughness = 1.0
+                elif isinstance(v, (int, float)):
+                    desc.roughness = float(v)
             elif key == "metallic":
                 desc.metallic = float(v)
             elif key == "ior":
@@ -197,6 +222,8 @@ def parse_material(value: dict) -> MaterialDesc:
             elif key == "emittance":
                 spectrum = _read_color(v.get("spectrum", [1.0, 1.0, 1.0]))
                 desc.emission = np.float32(v.get("value", 1.0)) * spectrum
+                if "emission_map" in v:
+                    desc.emission_tex = tex(v["emission_map"], srgb=False)
         break
     return desc
 
@@ -217,10 +244,10 @@ def materials_to_table(descs: list[MaterialDesc]) -> Materials:
         anisotropy=jnp.asarray([d.anisotropy for d in descs], jnp.float32),
         subsurface_color=jnp.asarray(np.stack([d.subsurface_color for d in descs]), jnp.float32),
         volumetric_anisotropy=jnp.asarray([d.volumetric_anisotropy for d in descs], jnp.float32),
-        color_tex=jnp.full((n,), -1, jnp.int32),
-        roughness_tex=jnp.full((n,), -1, jnp.int32),
-        normal_tex=jnp.full((n,), -1, jnp.int32),
-        emission_tex=jnp.full((n,), -1, jnp.int32),
+        color_tex=jnp.asarray([d.color_tex for d in descs], jnp.int32),
+        roughness_tex=jnp.asarray([d.roughness_tex for d in descs], jnp.int32),
+        normal_tex=jnp.asarray([d.normal_tex for d in descs], jnp.int32),
+        emission_tex=jnp.asarray([d.emission_tex for d in descs], jnp.int32),
     )
 
 
@@ -241,15 +268,59 @@ class PropDesc:
     mesh_id: int = -1
 
 
+def load_image(path: str):
+    """Load an image file by extension (PNG/HDR/EXR). Returns numpy or None."""
+    ext = os.path.splitext(path)[1].lower()
+    try:
+        if ext == ".png":
+            from ..io.png import read_png
+
+            return read_png(path)
+        if ext == ".hdr":
+            from ..io.rgbe import read_hdr
+
+            return read_hdr(path)
+        if ext == ".exr":
+            from ..io.exr import read_exr
+
+            chans = read_exr(path)
+            keys = [k for k in ("R", "G", "B") if k in chans] or sorted(chans)
+            return np.stack([chans[k] for k in keys], axis=-1)
+    except (OSError, ValueError, KeyError, AssertionError) as e:
+        import logging
+
+        logging.getLogger(__name__).warning("texture load failed %s: %s", path, e)
+    return None
+
+
 class SceneBuilder:
+    base_dir: str = ""
+
     def __init__(self):
         self.props: list[PropDesc] = []
         self.materials: list[MaterialDesc] = []
+        self.textures = TextureBuilder()
         self.meshes: list[HostMesh] = []
         self._mesh_by_name: dict[str, int] = {}
         self._mat_by_name: dict[str, int] = {}
         # fallback material id 0
         self._fallback = self.add_material(MaterialDesc(color=np.array([1.0, 0.0, 0.6], np.float32)))
+
+    def load_texture(self, path: str, srgb: bool = False) -> int:
+        key = (path, srgb)
+        if not hasattr(self, "_tex_by_path"):
+            self._tex_by_path = {}
+        if key in self._tex_by_path:
+            return self._tex_by_path[key]
+        img = load_image(path)
+        if img is None:
+            return -1
+        tid = self.textures.add(img, srgb=srgb)
+        self._tex_by_path[key] = tid
+        return tid
+
+    def add_texture_image(self, image: np.ndarray, srgb: bool = False) -> int:
+        return self.textures.add(image, srgb=srgb)
 
     def add_material(self, desc: MaterialDesc, name: str | None = None) -> int:
         idx = len(self.materials)
@@ -262,7 +333,9 @@ class SceneBuilder:
         if name in self._mat_by_name:
             return self._mat_by_name[name]
         if name in local_materials:
-            return self.add_material(parse_material(local_materials[name]), name)
+            return self.add_material(
+                parse_material(local_materials[name], self, self.base_dir), name
+            )
         return self._fallback
 
     def add_prop(self, desc: PropDesc) -> int:
@@ -337,6 +410,7 @@ class SceneBuilder:
 
         meshes = build_arena(self.meshes) if self.meshes else None
         mesh_props = [i for i, p in enumerate(props) if p.mesh_id >= 0]
+        texture_arena = self.textures.build()
 
         return SceneData(
             prop_shape=jnp.asarray([p.shape for p in props], jnp.int32),
@@ -357,6 +431,7 @@ class SceneBuilder:
             meshes=meshes,
             mesh_props=jnp.asarray(mesh_props, jnp.int32) if meshes is not None else None,
             prop_mesh=jnp.asarray([p.mesh_id for p in props], jnp.int32) if meshes is not None else None,
+            textures=texture_arena,
         )
 
 
@@ -371,6 +446,7 @@ def load_scene_dict(root: dict, builder: SceneBuilder | None = None, base_dir: s
 
 
 def _load_entities(entities, parent: Transformation, local_materials, builder: SceneBuilder, base_dir: str):
+    builder.base_dir = base_dir
     for e in entities:
         if "file" in e:
             path = os.path.join(base_dir, e["file"])
@@ -383,7 +459,9 @@ def _load_entities(entities, parent: Transformation, local_materials, builder: S
             continue
         etype = e.get("type")
         trafo = parent.compose(read_transformation(e.get("transformation")))
-        if etype in ("Prop", "Light"):
+        if etype == "Sky":
+            _load_sky(e, builder)
+        elif etype in ("Prop", "Light"):
             shape_node = e.get("shape", {})
             stype = shape_node.get("type")
             mesh_id = -1
@@ -396,7 +474,8 @@ def _load_entities(entities, parent: Transformation, local_materials, builder: S
                 if fname in builder._mesh_by_name:
                     mesh_id = builder._mesh_by_name[fname]
                 else:
-                    mesh = load_mesh_file(os.path.join(base_dir, fname))
+                    path = fname if fname.startswith("proc:") else os.path.join(base_dir, fname)
+                    mesh = load_mesh_file(path)
                     mesh_id = builder.add_mesh(mesh, fname) if mesh is not None else -1
                 shape = int(ShapeType.TRIANGLE_MESH) if mesh_id >= 0 else None
             else:
@@ -428,6 +507,57 @@ def _load_entities(entities, parent: Transformation, local_materials, builder: S
         # children inherit this entity's transform
         if "entities" in e:
             _load_entities(e["entities"], trafo, local_materials, builder, base_dir)
+
+
+def _load_sky(e: dict, builder: SceneBuilder) -> None:
+    """Sky entity -> baked Preetham dome + distant sun (ref core/sky/sky.zig:
+    the reference bakes its Prague-model sky to an env image the same way)."""
+    from .sky import bake_sky, sun_radiance, SUN_ANGULAR_RADIUS
+
+    params = e.get("parameters", {})
+    turbidity = float(params.get("turbidity", 2.5))
+    sun_node = params.get("sun", {})
+    if "rotation" in sun_node:
+        sun_rot = rotation_matrix_from_euler_degrees(_read_vec3(sun_node["rotation"]))
+    else:
+        # default: sun overhead shining straight down (ref sky.zig:41)
+        sun_rot = np.array([[1, 0, 0], [0, 0, 1], [0, -1, 0]], np.float32)
+    sun_dir = sun_rot[2]
+
+    sky_img = bake_sky(sun_dir, turbidity)
+    tex = builder.add_texture_image(sky_img)
+    sky_mat = builder.add_material(
+        MaterialDesc(
+            kind=int(MaterialKind.LIGHT),
+            emission=np.ones(3, np.float32),
+            emission_tex=tex,
+        )
+    )
+    builder.add_prop(
+        PropDesc(
+            shape=int(ShapeType.DOME),
+            trafo=Transformation(),
+            material=sky_mat,
+            visible_shadow=False,
+            is_light=True,
+        )
+    )
+    sun_mat = builder.add_material(
+        MaterialDesc(kind=int(MaterialKind.LIGHT), emission=sun_radiance(sun_dir, turbidity))
+    )
+    radius = float(np.tan(SUN_ANGULAR_RADIUS))
+    builder.add_prop(
+        PropDesc(
+            shape=int(ShapeType.DISTANT),
+            trafo=Transformation(
+                rotation=sun_rot.astype(np.float32),
+                scale=np.array([radius, radius, radius], np.float32),
+            ),
+            material=sun_mat,
+            visible_shadow=False,
+            is_light=True,
+        )
+    )
 
 
 def load_scene_file(path: str) -> SceneData:

@@ -1,0 +1,120 @@
+"""Texture engine: flat device arena + bilinear/nearest sampling.
+
+ref: src/core/texture/ — the reference has typed images + stochastic
+filtering; here all textures are packed into one float32 RGBA-interleaved
+arena (TPU gathers like flat arrays, and one arena = one HBM allocation):
+
+    data   [total_texels, 4]   (unused channels are 0)
+    desc   offset/width/height int32 per texture
+
+sRGB decode and unorm conversion happen at pack time (host). Sampling is
+vectorized bilinear with wrap addressing (the reference default for most
+maps; clamp for env strips can come with the sampler-mode plumbing).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class TextureArena(NamedTuple):
+    data: jax.Array  # [T, 4] float32
+    offset: jax.Array  # [K] int32
+    width: jax.Array  # [K] int32
+    height: jax.Array  # [K] int32
+
+    @property
+    def count(self) -> int:
+        return self.offset.shape[0]
+
+
+class TextureBuilder:
+    def __init__(self):
+        self._images: list[np.ndarray] = []
+
+    def add(self, image: np.ndarray, srgb: bool = False) -> int:
+        """image: [H,W,C] uint8/uint16/float32 -> texture id."""
+        img = np.asarray(image)
+        if img.ndim == 2:
+            img = img[..., None]
+        if img.dtype == np.uint8:
+            img = img.astype(np.float32) / 255.0
+        elif img.dtype == np.uint16:
+            img = img.astype(np.float32) / 65535.0
+        else:
+            img = img.astype(np.float32)
+        if srgb:
+            from ..core.spectrum import srgb_to_linear_np
+
+            img = img.copy()
+            img[..., : min(img.shape[-1], 3)] = srgb_to_linear_np(
+                img[..., : min(img.shape[-1], 3)]
+            )
+        h, w, c = img.shape
+        rgba = np.zeros((h, w, 4), np.float32)
+        rgba[..., :c] = img
+        if c == 1:
+            rgba[..., 1] = rgba[..., 2] = rgba[..., 0]
+            rgba[..., 3] = 1.0
+        self._images.append(rgba)
+        return len(self._images) - 1
+
+    def build(self) -> TextureArena | None:
+        if not self._images:
+            return None
+        offsets = []
+        off = 0
+        for img in self._images:
+            offsets.append(off)
+            off += img.shape[0] * img.shape[1]
+        data = np.concatenate([i.reshape(-1, 4) for i in self._images], axis=0)
+        return TextureArena(
+            data=jnp.asarray(data),
+            offset=jnp.asarray(offsets, jnp.int32),
+            width=jnp.asarray([i.shape[1] for i in self._images], jnp.int32),
+            height=jnp.asarray([i.shape[0] for i in self._images], jnp.int32),
+        )
+
+
+def sample_bilinear(arena: TextureArena, tex_id, uv):
+    """Bilinear sample with wrap addressing. tex_id int32[N], uv [N,2].
+    Returns [N,4]; tex_id < 0 returns ones (callers select)."""
+    tid = jnp.maximum(tex_id, 0)
+    w = arena.width[tid]
+    h = arena.height[tid]
+    off = arena.offset[tid]
+    fw = w.astype(jnp.float32)
+    fh = h.astype(jnp.float32)
+    x = uv[..., 0] * fw - 0.5
+    y = uv[..., 1] * fh - 0.5
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    tx = x - x0.astype(jnp.float32)
+    ty = y - y0.astype(jnp.float32)
+
+    def texel(xi, yi):
+        xi = jnp.mod(xi, w)
+        yi = jnp.mod(yi, h)
+        return arena.data[off + yi * w + xi]
+
+    c00 = texel(x0, y0)
+    c10 = texel(x0 + 1, y0)
+    c01 = texel(x0, y0 + 1)
+    c11 = texel(x0 + 1, y0 + 1)
+    top = c00 + (c10 - c00) * tx[..., None]
+    bot = c01 + (c11 - c01) * tx[..., None]
+    return top + (bot - top) * ty[..., None]
+
+
+def sample_nearest(arena: TextureArena, tex_id, uv):
+    tid = jnp.maximum(tex_id, 0)
+    w = arena.width[tid]
+    h = arena.height[tid]
+    off = arena.offset[tid]
+    xi = jnp.mod((uv[..., 0] * w.astype(jnp.float32)).astype(jnp.int32), w)
+    yi = jnp.mod((uv[..., 1] * h.astype(jnp.float32)).astype(jnp.int32), h)
+    return arena.data[off + yi * w + xi]

@@ -103,6 +103,8 @@ class SceneData(NamedTuple):
     meshes: "object" = None  # trimesh.MeshArena | None
     mesh_props: jax.Array = None  # int32[Pm] prop indices with mesh shapes
     prop_mesh: jax.Array = None  # int32[P] mesh id (-1 = analytic)
+    # texture arena (None when the scene has no image textures)
+    textures: "object" = None  # textures.TextureArena | None
 
     @property
     def num_props(self) -> int:
