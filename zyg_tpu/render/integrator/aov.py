@@ -30,7 +30,7 @@ def integrate(scene: SceneData, o, d, sobol: SobolSampler, settings: AovSettings
     hit = shapes.intersect_scene(
         scene, o, d, jnp.float32(0.0), jnp.float32(RAY_MAX_T), "camera"
     )
-    frag = shapes.build_fragment(scene, hit, o, d)
+    frag = shapes.build_fragment(scene, hit, o, d, need_uv=True, need_tangents=True)
     valid = hit.valid() & (hit.t < RAY_MAX_T)
     rays = jnp.sum(jnp.ones_like(valid), dtype=jnp.int32)
 

@@ -19,6 +19,7 @@ from ...core.sobol import SobolSampler, SobolArrays
 from ...scene import shapes
 from ...scene.types import SceneData, RAY_MAX_T
 from .. import materials as mat
+from ...core.gather import small_gather
 
 
 class PtSettings(NamedTuple):
@@ -66,7 +67,7 @@ def integrate(scene: SceneData, o, d, sobol: SobolSampler, settings: PtSettings)
         frag = shapes.build_fragment(scene, hit, s.o, s.d)
 
         medium_ior = jnp.where(
-            s.medium >= 0, scene.materials.ior[jnp.maximum(s.medium, 0)], 1.0
+            s.medium >= 0, small_gather(scene.materials.ior, jnp.maximum(s.medium, 0)), 1.0
         )
         params = mat.gather(scene.materials, frag.material, medium_ior, scene.textures, frag.uv)
         wo = -s.d

@@ -23,6 +23,7 @@ from ...core.sobol import SobolSampler, SobolArrays
 from ...scene import shapes, light_sampling as ls_mod
 from ...scene.types import SceneData, RAY_MAX_T
 from .. import materials as mat
+from ...core.gather import small_gather
 
 
 class PtmisSettings(NamedTuple):
@@ -107,7 +108,7 @@ def integrate(scene: SceneData, o, d, sobol: SobolSampler, settings: PtmisSettin
         )
         frag = shapes.build_fragment(scene, hit, s.o, s.d)
         medium_ior = jnp.where(
-            s.medium >= 0, scene.materials.ior[jnp.maximum(s.medium, 0)], 1.0
+            s.medium >= 0, small_gather(scene.materials.ior, jnp.maximum(s.medium, 0)), 1.0
         )
         params = mat.gather(scene.materials, frag.material, medium_ior, scene.textures, frag.uv)
         wo = -s.d
@@ -134,7 +135,7 @@ def integrate(scene: SceneData, o, d, sobol: SobolSampler, settings: PtmisSettin
         # + vertex.evaluateRadiance + scene.lightPdf)
         emission = mat.eval_radiance(params, wo, frag.geo_n)
         emission = jnp.where((hit.valid() & ~scatter)[..., None], emission, 0.0)
-        light_id = jnp.where(hit.valid(), scene.prop_light[jnp.maximum(hit.prop, 0)], -1)
+        light_id = jnp.where(hit.valid(), small_gather(scene.prop_light, jnp.maximum(hit.prop, 0)), -1)
         is_light = light_id >= 0
         if has_lights and not settings.nee_only:
             lp = ls_mod.light_hit_pdf(

@@ -26,81 +26,69 @@ import numpy as np
 
 from ..core import vecmath as vm
 from ..scene.types import Materials, MaterialKind
+from ..core.gather import small_gather
 
 MIN_ROUGHNESS = 0.01314  # ref ggx.zig MinRoughness
 MIN_ALPHA = MIN_ROUGHNESS * MIN_ROUGHNESS
 
 # ---------------------------------------------------------------------------
-# Energy tables (generated by tools/generate_ggx_tables.py)
+# Energy functions (directional/average GGX albedos).
+#
+# The reference ships LUTs (ggx_integral.zig). Table gathers are slow on the
+# TPU VPU, so we use tensor-polynomial fits of the same integrals (generated
+# by tools/generate_ggx_tables.py + the fit in ggx_fit.npz; max err ~2.5%,
+# below the furnace tolerance). Schlick fresnel is LINEAR in f0, so
+#     E_schlick(f0) = f0 * E_m + (1 - f0) * E_p
+# with E_m = albedo at F=1 and E_p = albedo weighted by (1-cos_h)^5.
+# All evaluations are unrolled Horner chains — pure FMA, no memory traffic.
 # ---------------------------------------------------------------------------
 
-_tables = np.load(os.path.join(os.path.dirname(__file__), "ggx_tables.npz"))
-_E_M = jnp.asarray(_tables["e_m"])  # [NA, NU]
-_E_M_AVG = jnp.asarray(_tables["e_m_avg"])  # [NA]
-_E_S = jnp.asarray(_tables["e_s"])  # [NF, NA, NU]
-_E_S_AVG = jnp.asarray(_tables["e_s_avg"])  # [NF, NA]
-_NU, _NA, _NF = _E_M.shape[1], _E_M.shape[0], _E_S.shape[0]
+_fit = np.load(os.path.join(os.path.dirname(__file__), "ggx_fit.npz"))
+_CM = np.asarray(_fit["cm"], np.float64)  # [7,7] coeffs over alpha^i * sqrt(mu)^j
+_CP = np.asarray(_fit["cp"], np.float64)
+_CMA = np.asarray(_fit["cma"], np.float64)  # [7] coeffs over alpha^i
+_CPA = np.asarray(_fit["cpa"], np.float64)
 
 
-def _lerp_axis(table, x, n, axis_gather):
-    xf = jnp.clip(x * n - 0.5, 0.0, n - 1.0)
-    i0 = jnp.floor(xf).astype(jnp.int32)
-    i1 = jnp.minimum(i0 + 1, n - 1)
-    t = xf - i0.astype(jnp.float32)
-    return axis_gather(table, i0), axis_gather(table, i1), t
+def _poly2(c, x, y):
+    res = None
+    for i in reversed(range(c.shape[0])):
+        row = None
+        for j in reversed(range(c.shape[1])):
+            row = jnp.float32(c[i, j]) if row is None else row * y + jnp.float32(c[i, j])
+        res = row if res is None else res * x + row
+    return res
+
+
+def _poly1(c, x):
+    res = None
+    for i in reversed(range(c.shape[0])):
+        res = jnp.float32(c[i]) if res is None else res * x + jnp.float32(c[i])
+    return res
 
 
 def eval_e_m(alpha, mu):
-    """Bilinear E_m(alpha, mu)."""
-    a0, a1, ta = _lerp_axis(_E_M, alpha, _NA, lambda tbl, i: tbl[i])
-    def along_mu(rows):
-        m0, m1, tm = _lerp_axis(rows, mu, _NU, lambda tbl, i: jnp.take_along_axis(tbl, i[..., None], axis=-1)[..., 0])
-        return m0 + (m1 - m0) * tm
-    return along_mu(a0) + (along_mu(a1) - along_mu(a0)) * ta
+    return jnp.clip(_poly2(_CM, alpha, jnp.sqrt(jnp.maximum(mu, 0.0))), 0.0, 1.0)
+
+
+def eval_e_p(alpha, mu):
+    return jnp.clip(_poly2(_CP, alpha, jnp.sqrt(jnp.maximum(mu, 0.0))), 0.0, 1.0)
 
 
 def eval_e_m_avg(alpha):
-    a0, a1, t = _lerp_axis(_E_M_AVG, alpha, _NA, lambda tbl, i: tbl[i])
-    return a0 + (a1 - a0) * t
+    return jnp.clip(_poly1(_CMA, alpha), 0.0, 1.0)
 
 
-def _eval_3d(table, f0, alpha, mu):
-    nf, na, nu = table.shape
-    ff = jnp.clip(f0 * nf - 0.5, 0.0, nf - 1.0)
-    fa = jnp.clip(alpha * na - 0.5, 0.0, na - 1.0)
-    fu = jnp.clip(mu * nu - 0.5, 0.0, nu - 1.0)
-    i0, j0, k0 = (jnp.floor(v).astype(jnp.int32) for v in (ff, fa, fu))
-    i1, j1, k1 = (jnp.minimum(v + 1, lim - 1) for v, lim in ((i0, nf), (j0, na), (k0, nu)))
-    ti, tj, tk = ff - i0, fa - j0, fu - k0
-
-    def g(i, j, k):
-        return table[i, j, k]
-
-    c00 = g(i0, j0, k0) * (1 - tk) + g(i0, j0, k1) * tk
-    c01 = g(i0, j1, k0) * (1 - tk) + g(i0, j1, k1) * tk
-    c10 = g(i1, j0, k0) * (1 - tk) + g(i1, j0, k1) * tk
-    c11 = g(i1, j1, k0) * (1 - tk) + g(i1, j1, k1) * tk
-    c0 = c00 * (1 - tj) + c01 * tj
-    c1 = c10 * (1 - tj) + c11 * tj
-    return c0 * (1 - ti) + c1 * ti
+def eval_e_p_avg(alpha):
+    return jnp.clip(_poly1(_CPA, alpha), 0.0, 1.0)
 
 
 def eval_e_s(f0, alpha, mu):
-    return _eval_3d(_E_S, f0, alpha, mu)
+    return f0 * eval_e_m(alpha, mu) + (1.0 - f0) * eval_e_p(alpha, mu)
 
 
 def eval_e_s_avg(f0, alpha):
-    nf, na = _E_S_AVG.shape
-    ff = jnp.clip(f0 * nf - 0.5, 0.0, nf - 1.0)
-    fa = jnp.clip(alpha * na - 0.5, 0.0, na - 1.0)
-    i0 = jnp.floor(ff).astype(jnp.int32)
-    j0 = jnp.floor(fa).astype(jnp.int32)
-    i1 = jnp.minimum(i0 + 1, nf - 1)
-    j1 = jnp.minimum(j0 + 1, na - 1)
-    ti, tj = ff - i0, fa - j0
-    c0 = _E_S_AVG[i0, j0] * (1 - tj) + _E_S_AVG[i0, j1] * tj
-    c1 = _E_S_AVG[i1, j0] * (1 - tj) + _E_S_AVG[i1, j1] * tj
-    return c0 * (1 - ti) + c1 * ti
+    return f0 * eval_e_m_avg(alpha) + (1.0 - f0) * eval_e_p_avg(alpha)
 
 
 # ---------------------------------------------------------------------------
@@ -127,24 +115,24 @@ def gather(materials: Materials, mat_id, medium_ior=None, textures=None, uv=None
     textures/uv: optional texture arena + per-lane uv; texture-mapped
     parameters multiply their uniform values (ref texture.zig Texture scale)."""
     m = jnp.maximum(mat_id, 0)
-    kind = materials.kind[m]
-    color = materials.color[m]
-    metallic = materials.metallic[m]
-    ior = materials.ior[m]
-    roughness = materials.roughness[m]
+    kind = small_gather(materials.kind, m)
+    color = small_gather(materials.color, m)
+    metallic = small_gather(materials.metallic, m)
+    ior = small_gather(materials.ior, m)
+    roughness = small_gather(materials.roughness, m)
     emission_scale = None
     if textures is not None and uv is not None:
         from ..scene.textures import sample_bilinear
 
-        ct = materials.color_tex[m]
+        ct = small_gather(materials.color_tex, m)
         color = jnp.where(
             (ct >= 0)[..., None], color * sample_bilinear(textures, ct, uv)[..., :3], color
         )
-        rt = materials.roughness_tex[m]
+        rt = small_gather(materials.roughness_tex, m)
         roughness = jnp.where(
             rt >= 0, roughness * sample_bilinear(textures, rt, uv)[..., 0], roughness
         )
-        et = materials.emission_tex[m]
+        et = small_gather(materials.emission_tex, m)
         emission_scale = jnp.where(
             (et >= 0)[..., None], sample_bilinear(textures, et, uv)[..., :3], 1.0
         )
@@ -154,7 +142,7 @@ def gather(materials: Materials, mat_id, medium_ior=None, textures=None, uv=None
     f0_scalar = ior_to_f0(ior, ior_out)
     f0 = vm.lerp(f0_scalar[..., None] * jnp.ones_like(color), color, metallic[..., None])
     albedo = (1.0 - metallic[..., None]) * color
-    emission = materials.emission[m]
+    emission = small_gather(materials.emission, m)
     if emission_scale is not None:
         emission = emission * emission_scale
     return {
@@ -166,10 +154,10 @@ def gather(materials: Materials, mat_id, medium_ior=None, textures=None, uv=None
         "metallic": metallic,
         "ior": ior,
         "ior_outside": ior_out,
-        "specular": materials.specular[m],
+        "specular": small_gather(materials.specular, m),
         "emission": emission,
-        "two_sided": materials.two_sided[m],
-        "attenuation_distance": materials.attenuation_distance[m],
+        "two_sided": small_gather(materials.two_sided, m),
+        "attenuation_distance": small_gather(materials.attenuation_distance, m),
     }
 
 
@@ -412,21 +400,21 @@ def medium_coefficients(materials: Materials, medium_mat):
     """
     inside = medium_mat >= 0
     m = jnp.maximum(medium_mat, 0)
-    att_color = jnp.clip(materials.color[m], 0.01, 0.991102)
-    att_dist = materials.attenuation_distance[m]
+    att_color = jnp.clip(small_gather(materials.color, m), 0.01, 0.991102)
+    att_dist = small_gather(materials.attenuation_distance, m)
     has = inside & (att_dist > 0.0)
     mu_t = -jnp.log(att_color) / jnp.maximum(att_dist, 1e-6)[..., None]
     mu_t = jnp.where(has[..., None], mu_t, 0.0)
 
-    ssc = jnp.clip(materials.subsurface_color[m], 0.0, 1.0)
-    g = materials.volumetric_anisotropy[m]
+    ssc = jnp.clip(small_gather(materials.subsurface_color, m), 0.0, 1.0)
+    g = small_gather(materials.volumetric_anisotropy, m)
     root = jnp.sqrt(9.59217 + ssc * (41.6808 + ssc * 17.7126))
     factor = jnp.clip(4.097125 + 4.20863 * ssc - root, 0.0, 1.0)
     fsq = factor * factor
     pss = (1.0 - fsq) / jnp.maximum(1.0 - g[..., None] * fsq, 1e-6)
     mu_s = mu_t * pss
     # only volumetric media scatter; glass interiors absorb only
-    is_volume = materials.kind[m] == int(MaterialKind.VOLUMETRIC)
+    is_volume = small_gather(materials.kind, m) == int(MaterialKind.VOLUMETRIC)
     mu_s = jnp.where((has & is_volume)[..., None], mu_s, 0.0)
     return mu_t, mu_s, jnp.where(inside, g, 0.0)
 
@@ -471,8 +459,8 @@ def medium_absorption(materials: Materials, medium_mat, distance):
     """
     inside = medium_mat >= 0
     m = jnp.maximum(medium_mat, 0)
-    color = jnp.clip(materials.color[m], 1e-4, 1.0)
-    att_dist = materials.attenuation_distance[m]
+    color = jnp.clip(small_gather(materials.color, m), 1e-4, 1.0)
+    att_dist = small_gather(materials.attenuation_distance, m)
     has_att = att_dist > 0.0
     mu_t = -jnp.log(color) / jnp.maximum(att_dist, 1e-6)[..., None]
     d = jnp.minimum(distance, 1e12)

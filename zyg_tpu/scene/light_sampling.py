@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from ..core import vecmath as vm
 from .types import SceneData, ShapeType, RAY_MAX_T
+from ..core.gather import small_gather
 
 DOT_MIN = 0.00001
 
@@ -148,11 +149,11 @@ def sample_light(scene: SceneData, light_idx, p, n, xi, total_sphere=False) -> L
     xi: [N,2] uniforms. Returns solid-angle pdf (number-of-samples weighting
     and splitting are handled by the integrator).
     """
-    prop = scene.lights.prop[jnp.clip(light_idx, 0, scene.lights.count - 1)]
-    shape = scene.prop_shape[prop]
-    rot = scene.prop_rot[prop]
-    pos = scene.prop_pos[prop]
-    scale = scene.prop_scale[prop]
+    prop = small_gather(scene.lights.prop, jnp.clip(light_idx, 0, scene.lights.count - 1))
+    shape = small_gather(scene.prop_shape, prop)
+    rot = small_gather(scene.prop_rot, prop)
+    pos = small_gather(scene.prop_pos, prop)
+    scale = small_gather(scene.prop_scale, prop)
 
     r0, r1, r2 = rot[..., 0, :], rot[..., 1, :], rot[..., 2, :]
     nshape = p.shape[:-1]
@@ -329,17 +330,17 @@ def light_radiance(scene: SceneData, light_idx, wi, light_n):
     emission gated on facing unless two-sided; env lights (dome/canopy)
     modulate by their baked emission texture at the sampled direction."""
     li = jnp.clip(light_idx, 0, scene.lights.count - 1)
-    prop = scene.lights.prop[li]
-    m = scene.prop_material[prop]
-    emission = scene.materials.emission[m]
-    two_sided = scene.materials.two_sided[m]
+    prop = small_gather(scene.lights.prop, li)
+    m = small_gather(scene.prop_material, prop)
+    emission = small_gather(scene.materials.emission, m)
+    two_sided = small_gather(scene.materials.two_sided, m)
 
     if scene.textures is not None:
         from .textures import sample_bilinear
 
-        et = scene.materials.emission_tex[m]
-        shape = scene.prop_shape[prop]
-        rot = scene.prop_rot[prop]
+        et = small_gather(scene.materials.emission_tex, m)
+        shape = small_gather(scene.prop_shape, prop)
+        rot = small_gather(scene.prop_rot, prop)
         ldir = vm.safe_normalize(vm.world_to_object_normal(rot, wi))
         # dome: lat-long uv (matches shapes.build_fragment dome branch)
         phi = jnp.arctan2(ldir[..., 0], ldir[..., 2])
@@ -368,10 +369,10 @@ def light_hit_pdf(scene: SceneData, prop, ray_o, ray_d, hit_t, hit_p, hit_n, n_a
     """Solid-angle pdf that NEE from ray_o would have sampled this hit —
     the light side of the MIS weight for BSDF hits (ref shape pdf fns)."""
     pm = jnp.maximum(prop, 0)
-    shape = scene.prop_shape[pm]
-    rot = scene.prop_rot[pm]
-    pos = scene.prop_pos[pm]
-    scale = scene.prop_scale[pm]
+    shape = small_gather(scene.prop_shape, pm)
+    rot = small_gather(scene.prop_rot, pm)
+    pos = small_gather(scene.prop_pos, pm)
+    scale = small_gather(scene.prop_scale, pm)
     r0, r1, r2 = rot[..., 0, :], rot[..., 1, :], rot[..., 2, :]
     nshape = hit_t.shape
 

@@ -411,6 +411,11 @@ class SceneBuilder:
         meshes = build_arena(self.meshes) if self.meshes else None
         mesh_props = [i for i, p in enumerate(props) if p.mesh_id >= 0]
         texture_arena = self.textures.build()
+        groups: dict[int, list[int]] = {}
+        for i, p in enumerate(props):
+            if p.mesh_id < 0:
+                groups.setdefault(p.shape, []).append(i)
+        prop_groups = {k: jnp.asarray(v, jnp.int32) for k, v in sorted(groups.items())}
 
         return SceneData(
             prop_shape=jnp.asarray([p.shape for p in props], jnp.int32),
@@ -432,6 +437,7 @@ class SceneBuilder:
             mesh_props=jnp.asarray(mesh_props, jnp.int32) if meshes is not None else None,
             prop_mesh=jnp.asarray([p.mesh_id for p in props], jnp.int32) if meshes is not None else None,
             textures=texture_arena,
+            prop_groups=prop_groups,
         )
 
 

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from ..core import vecmath as vm
 from .types import SceneData, ShapeType, RAY_MAX_T
+from ..core.gather import small_gather
 
 FAR = jnp.float32(3.0e37)  # "no hit" sentinel, >> RAY_MAX_T
 
@@ -151,8 +152,9 @@ def canopy_intersect(o, d, rot, pos, scale, tmin, tmax):
 
 
 def dome_intersect(o, d, rot, pos, scale, tmin, tmax):
-    del o, pos, scale, tmin, rot
-    hit = tmax >= RAY_MAX_T
+    del o, pos, scale, tmin
+    # always "hits" at infinity when nothing closer; shaped via a cheap dot
+    hit = (vm.dot(d, rot[..., 2, :]) > -2.0) & (tmax >= RAY_MAX_T)
     t = jnp.where(hit, jnp.float32(RAY_MAX_T), FAR)
     z = jnp.zeros_like(t)
     return t, z, z, hit
@@ -189,12 +191,18 @@ def _intersect_one_prop(o, d, tmin, tmax, shape_type, rot, pos, scale):
     return t_best, u_best, v_best, hit_best
 
 
-def intersect_scene(scene: SceneData, o, d, tmin, tmax, ray_class: str = "reflection", primary=None) -> Hit:
-    """Closest-hit over all props via lax.scan (each step full ray width).
+_GROUP_CHUNK = 32  # props per batched pass (bounds the [N, G] transients)
 
-    ray_class selects prop visibility: 'camera' | 'reflection' | 'shadow'
-    (ref: prop.zig Properties visibility bits). If `primary` (bool[N]) is
-    given, primary lanes use camera visibility and the rest `ray_class`.
+
+def intersect_scene(scene: SceneData, o, d, tmin, tmax, ray_class: str = "reflection", primary=None) -> Hit:
+    """Closest-hit over all props.
+
+    Props are batched by shape type (static groups built at compile): one
+    broadcasted [N, G] evaluation per type instead of a per-prop scan that
+    evaluates every shape formula — the wavefront analog of the reference's
+    typed dispatch. ray_class selects prop visibility ('camera' |
+    'reflection' | 'shadow', ref prop.zig); `primary` lanes use camera
+    visibility.
     """
     vis = {
         "camera": scene.prop_visible_camera,
@@ -202,43 +210,47 @@ def intersect_scene(scene: SceneData, o, d, tmin, tmax, ray_class: str = "reflec
         "shadow": scene.prop_visible_shadow,
     }[ray_class]
 
-    def body(carry, prop):
-        t_b, p_b, u_b, v_b = carry
-        shape_type, rot, pos, scale, visible, vis_cam, idx = prop
-        t, u, v, hit = _intersect_one_prop(o, d, tmin, tmax, shape_type, rot, pos, scale)
-        lane_vis = visible if primary is None else jnp.where(primary, vis_cam, visible)
-        hit = hit & lane_vis
-        closer = hit & (t < t_b)
-        t_b = jnp.where(closer, t, t_b)
-        p_b = jnp.where(closer, idx, p_b)
-        u_b = jnp.where(closer, u, u_b)
-        v_b = jnp.where(closer, v, v_b)
-        return (t_b, p_b, u_b, v_b), None
-
     n_shape = o.shape[:-1]
-    init = (
-        jnp.full(n_shape, FAR, jnp.float32),
-        jnp.full(n_shape, -1, jnp.int32),
-        jnp.zeros(n_shape, jnp.float32),
-        jnp.zeros(n_shape, jnp.float32),
-    )
-    props = (
-        scene.prop_shape,
-        scene.prop_rot,
-        scene.prop_pos,
-        scene.prop_scale,
-        vis,
-        scene.prop_visible_camera,
-        jnp.arange(scene.num_props, dtype=jnp.int32),
-    )
-    (t, p, u, v), _ = jax.lax.scan(body, init, props)
-    prim = jnp.full(o.shape[:-1], -1, jnp.int32)
+    t_b = jnp.full(n_shape, FAR, jnp.float32)
+    p_b = jnp.full(n_shape, -1, jnp.int32)
+    u_b = jnp.zeros(n_shape, jnp.float32)
+    v_b = jnp.zeros(n_shape, jnp.float32)
 
+    # group axis LEADS: shapes [G, N] keep the big N on the TPU lane dim
+    o_e = o[None]
+    d_e = d[None]
+
+    groups = scene.prop_groups or {}
+    for st, all_idx in groups.items():
+        fn = _INTERSECTORS[int(st)]
+        g_total = all_idx.shape[0]
+        for c0 in range(0, g_total, _GROUP_CHUNK):
+            idx = all_idx[c0 : c0 + _GROUP_CHUNK]
+            rot = scene.prop_rot[idx][:, None]
+            pos = scene.prop_pos[idx][:, None]
+            scale = scene.prop_scale[idx][:, None]
+            t, u, v, hit = fn(o_e, d_e, rot, pos, scale, tmin, tmax)  # [G,N]
+            lane_vis = vis[idx][:, None]
+            if primary is not None:
+                lane_vis = jnp.where(
+                    primary[None], scene.prop_visible_camera[idx][:, None], lane_vis
+                )
+            t = jnp.where(hit & lane_vis, t, FAR)
+            gi = jnp.argmin(t, axis=0)  # [N]
+            tg = jnp.min(t, axis=0)
+            closer = tg < t_b
+            take = lambda arr: jnp.take_along_axis(arr, gi[None], axis=0)[0]
+            t_b = jnp.where(closer, tg, t_b)
+            p_b = jnp.where(closer, idx[gi], p_b)
+            u_b = jnp.where(closer, take(u), u_b)
+            v_b = jnp.where(closer, take(v), v_b)
+
+    prim = jnp.full(n_shape, -1, jnp.int32)
     if scene.meshes is not None:
-        t, p, u, v, prim = _intersect_meshes(
-            scene, o, d, tmin, tmax, vis, primary, t, p, u, v, prim
+        t_b, p_b, u_b, v_b, prim = _intersect_meshes(
+            scene, o, d, tmin, tmax, vis, primary, t_b, p_b, u_b, v_b, prim
         )
-    return Hit(t, p, u, v, prim)
+    return Hit(t_b, p_b, u_b, v_b, prim)
 
 
 def _intersect_meshes(scene: SceneData, o, d, tmin, tmax, vis, primary, t_b, p_b, u_b, v_b, prim_b):
@@ -276,21 +288,20 @@ def _intersect_meshes(scene: SceneData, o, d, tmin, tmax, vis, primary, t_b, p_b
 
 def occluded(scene: SceneData, o, d, tmin, tmax) -> jax.Array:
     """Any-hit visibility query for shadow rays. True = blocked."""
+    blocked = jnp.zeros(o.shape[:-1], bool)
+    o_e = o[None]
+    d_e = d[None]
 
-    def body(blocked, prop):
-        shape_type, rot, pos, scale, visible = prop
-        _, _, _, hit = _intersect_one_prop(o, d, tmin, tmax, shape_type, rot, pos, scale)
-        return blocked | (hit & visible), None
-
-    props = (
-        scene.prop_shape,
-        scene.prop_rot,
-        scene.prop_pos,
-        scene.prop_scale,
-        scene.prop_visible_shadow,
-    )
-    init = jnp.zeros(o.shape[:-1], bool)
-    blocked, _ = jax.lax.scan(body, init, props)
+    groups = scene.prop_groups or {}
+    for st, all_idx in groups.items():
+        fn = _INTERSECTORS[int(st)]
+        for c0 in range(0, all_idx.shape[0], _GROUP_CHUNK):
+            idx = all_idx[c0 : c0 + _GROUP_CHUNK]
+            rot = scene.prop_rot[idx][:, None]
+            pos = scene.prop_pos[idx][:, None]
+            scale = scene.prop_scale[idx][:, None]
+            _, _, _, hit = fn(o_e, d_e, rot, pos, scale, tmin, tmax)
+            blocked = blocked | jnp.any(hit & scene.prop_visible_shadow[idx][:, None], axis=0)
 
     if scene.meshes is not None:
         from . import trimesh
@@ -317,129 +328,145 @@ def occluded(scene: SceneData, o, d, tmin, tmax) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def build_fragment(scene: SceneData, hit: Hit, o, d) -> Fragment:
+def build_fragment(scene: SceneData, hit: Hit, o, d, need_uv: bool | None = None, need_tangents: bool = False) -> Fragment:
+    """Shading fragment for the closest hit.
+
+    Only shape types PRESENT in the scene (static prop_groups keys) are
+    evaluated/selected — keeps the per-bounce cost proportional to the scene,
+    not the shape catalog. uv and tangent frames are skipped unless needed
+    (textures / anisotropy / AOVs) — they carry the expensive trig.
+    """
+    if need_uv is None:
+        need_uv = scene.textures is not None
+    present = set(int(k) for k in (scene.prop_groups or {}).keys())
+    if scene.meshes is not None:
+        present.add(int(ShapeType.TRIANGLE_MESH))
+
     prop = jnp.maximum(hit.prop, 0)
-    shape = scene.prop_shape[prop]
-    rot = scene.prop_rot[prop]
-    pos = scene.prop_pos[prop]
-    scale = scene.prop_scale[prop]
-    material = scene.prop_material[prop]
+    shape = small_gather(scene.prop_shape, prop)
+    rot = small_gather(scene.prop_rot, prop)
+    pos = small_gather(scene.prop_pos, prop)
+    scale = small_gather(scene.prop_scale, prop)
+    material = small_gather(scene.prop_material, prop)
 
     p = o + hit.t[..., None] * d
     r0, r1, r2 = rot[..., 0, :], rot[..., 1, :], rot[..., 2, :]
 
-    # rectangle / disk: n = r2, t = -r0, b = -r1
-    rect_n, rect_t, rect_b = r2, -r0, -r1
-    rect_uv = jnp.stack([0.5 * (hit.u + 1.0), 0.5 * (hit.v + 1.0)], axis=-1)
-    disk_uv = jnp.stack([0.5 * (hit.u + 1.0), 0.5 * (hit.v + 1.0)], axis=-1)
+    has = lambda *ts: any(int(t) in present for t in ts)
 
-    # sphere
-    sph_n = vm.safe_normalize(p - pos)
-    xyz = vm.safe_normalize(vm.world_to_object_normal(rot, sph_n))
-    phi = -jnp.arctan2(xyz[..., 0], xyz[..., 2]) + jnp.pi
-    theta = jnp.arccos(jnp.clip(xyz[..., 1], -1.0, 1.0))
-    sin_theta = jnp.maximum(jnp.sin(theta), 1e-5)
-    sph_t_local = jnp.stack(
-        [sin_theta * jnp.cos(phi), jnp.zeros_like(phi), sin_theta * jnp.sin(phi)], axis=-1
-    )
-    sph_t = vm.safe_normalize(vm.object_to_world_normal(rot, sph_t_local))
-    sph_b = -vm.cross(sph_t, sph_n)
-    sph_uv = jnp.stack([phi * (0.5 / jnp.pi), theta * (1.0 / jnp.pi)], axis=-1)
+    n_vals, t_vals, b_vals, uv_vals = {}, {}, {}, {}
+    zero2 = jnp.zeros(hit.t.shape + (2,), jnp.float32)
 
-    # cube: face normal from dominant local axis
-    local_p = vm.world_to_object_point(rot, scale, pos, p)
-    dist_face = 0.5 - jnp.abs(local_p)
-    face = jnp.argmin(dist_face, axis=-1)
-    sign = jnp.sign(jnp.take_along_axis(local_p, face[..., None], axis=-1))[..., 0]
-    face_n = jnp.take_along_axis(rot, face[..., None, None], axis=-2)[..., 0, :]
-    cube_n = sign[..., None] * face_n
-    cube_t, cube_b = vm.orthonormal_basis(cube_n)
-    cube_uv = jnp.zeros_like(rect_uv)
+    if has(ShapeType.RECTANGLE, ShapeType.DISK):
+        for st in (ShapeType.RECTANGLE, ShapeType.DISK):
+            if has(st):
+                n_vals[int(st)] = r2
+                t_vals[int(st)] = -r0
+                b_vals[int(st)] = -r1
+                uv_vals[int(st)] = jnp.stack(
+                    [0.5 * (hit.u + 1.0), 0.5 * (hit.v + 1.0)], axis=-1
+                )
 
-    # infinite shapes: p at RAY_MAX_T*d, n = -d
-    inf_p = jnp.float32(RAY_MAX_T) * d
-    inf_n = -d
-    # canopy uv: equidistant disk mapping of local dir
-    ldir = vm.safe_normalize(vm.world_to_object_normal(rot, d))
-    # hemisphereToDiskEquidistant (ref base/math/sample_distribution.zig)
-    lz = jnp.clip(ldir[..., 2], -1.0, 1.0)
-    r_eq = jnp.arccos(lz) * (2.0 / jnp.pi)
-    lxy = jnp.sqrt(jnp.maximum(ldir[..., 0] ** 2 + ldir[..., 1] ** 2, 1e-20))
-    can_uv = jnp.stack(
-        [
-            0.5 * (r_eq * ldir[..., 0] / lxy) + 0.5,
-            0.5 * (r_eq * ldir[..., 1] / lxy) + 0.5,
-        ],
-        axis=-1,
-    )
-    dist_uv = jnp.stack([(hit.u + 1.0) * 0.5, (hit.v + 1.0) * 0.5], axis=-1)
-    # dome uv: latlong of local dir
-    dome_phi = jnp.arctan2(ldir[..., 0], ldir[..., 2])
-    dome_uv = jnp.stack(
-        [dome_phi * (0.5 / jnp.pi) + 0.5, jnp.arccos(jnp.clip(ldir[..., 1], -1, 1)) / jnp.pi],
-        axis=-1,
-    )
+    if has(ShapeType.SPHERE):
+        sph_n = vm.safe_normalize(p - pos)
+        n_vals[int(ShapeType.SPHERE)] = sph_n
+        if need_uv or need_tangents:
+            xyz = vm.safe_normalize(vm.world_to_object_normal(rot, sph_n))
+            phi = -jnp.arctan2(xyz[..., 0], xyz[..., 2]) + jnp.pi
+            theta = jnp.arccos(jnp.clip(xyz[..., 1], -1.0, 1.0))
+            uv_vals[int(ShapeType.SPHERE)] = jnp.stack(
+                [phi * (0.5 / jnp.pi), theta * (1.0 / jnp.pi)], axis=-1
+            )
+            if need_tangents:
+                sin_theta = jnp.maximum(jnp.sin(theta), 1e-5)
+                sph_t_local = jnp.stack(
+                    [sin_theta * jnp.cos(phi), jnp.zeros_like(phi), sin_theta * jnp.sin(phi)],
+                    axis=-1,
+                )
+                sph_t = vm.safe_normalize(vm.object_to_world_normal(rot, sph_t_local))
+                t_vals[int(ShapeType.SPHERE)] = sph_t
+                b_vals[int(ShapeType.SPHERE)] = -vm.cross(sph_t, sph_n)
+
+    if has(ShapeType.CUBE):
+        local_p = vm.world_to_object_point(rot, scale, pos, p)
+        ax, ay, az = (0.5 - jnp.abs(local_p[..., k]) for k in range(3))
+        use_x = (ax <= ay) & (ax <= az)
+        use_y = (~use_x) & (ay <= az)
+        face_n = jnp.where(
+            use_x[..., None], r0, jnp.where(use_y[..., None], r1, r2)
+        )
+        comp = jnp.where(use_x, local_p[..., 0], jnp.where(use_y, local_p[..., 1], local_p[..., 2]))
+        cube_n = jnp.sign(comp)[..., None] * face_n
+        n_vals[int(ShapeType.CUBE)] = cube_n
+        if need_tangents:
+            ct, cb = vm.orthonormal_basis(cube_n)
+            t_vals[int(ShapeType.CUBE)] = ct
+            b_vals[int(ShapeType.CUBE)] = cb
+
+    inf_present = has(ShapeType.CANOPY, ShapeType.DISTANT, ShapeType.DOME)
+    if inf_present:
+        inf_n = -d
+        if has(ShapeType.CANOPY):
+            n_vals[int(ShapeType.CANOPY)] = inf_n
+            t_vals[int(ShapeType.CANOPY)] = r0
+            b_vals[int(ShapeType.CANOPY)] = r1
+        if has(ShapeType.DOME):
+            n_vals[int(ShapeType.DOME)] = inf_n
+            t_vals[int(ShapeType.DOME)] = r0
+            b_vals[int(ShapeType.DOME)] = r1
+        if has(ShapeType.DISTANT):
+            n_vals[int(ShapeType.DISTANT)] = r2
+            t_vals[int(ShapeType.DISTANT)] = r0
+            b_vals[int(ShapeType.DISTANT)] = r1
+            uv_vals[int(ShapeType.DISTANT)] = jnp.stack(
+                [(hit.u + 1.0) * 0.5, (hit.v + 1.0) * 0.5], axis=-1
+            )
+        if need_uv and has(ShapeType.CANOPY, ShapeType.DOME):
+            ldir = vm.safe_normalize(vm.world_to_object_normal(rot, d))
+            if has(ShapeType.CANOPY):
+                lz = jnp.clip(ldir[..., 2], -1.0, 1.0)
+                r_eq = jnp.arccos(lz) * (2.0 / jnp.pi)
+                lxy = jnp.sqrt(jnp.maximum(ldir[..., 0] ** 2 + ldir[..., 1] ** 2, 1e-20))
+                uv_vals[int(ShapeType.CANOPY)] = jnp.stack(
+                    [0.5 * (r_eq * ldir[..., 0] / lxy) + 0.5, 0.5 * (r_eq * ldir[..., 1] / lxy) + 0.5],
+                    axis=-1,
+                )
+            if has(ShapeType.DOME):
+                dome_phi = jnp.arctan2(ldir[..., 0], ldir[..., 2])
+                uv_vals[int(ShapeType.DOME)] = jnp.stack(
+                    [dome_phi * (0.5 / jnp.pi) + 0.5, jnp.arccos(jnp.clip(ldir[..., 1], -1, 1)) / jnp.pi],
+                    axis=-1,
+                )
 
     def sel(vals, default):
-        out = default
-        for st, val in vals.items():
-            out = jnp.where((shape == st)[..., None] if out.ndim > shape.ndim else (shape == st), val, out)
+        keys = [k for k in vals.keys()]
+        if not keys:
+            return default
+        out = None
+        for st in keys:
+            val = vals[st]
+            if out is None:
+                out = val
+                continue
+            cond = shape == st
+            if val.ndim > cond.ndim:
+                cond = cond[..., None]
+            out = jnp.where(cond, val, out)
         return out
 
-    n = sel(
-        {
-            int(ShapeType.RECTANGLE): rect_n,
-            int(ShapeType.DISK): rect_n,
-            int(ShapeType.SPHERE): sph_n,
-            int(ShapeType.CUBE): cube_n,
-            int(ShapeType.CANOPY): inf_n,
-            int(ShapeType.DISTANT): r2,
-            int(ShapeType.DOME): inf_n,
-        },
-        rect_n,
-    )
-    tangent = sel(
-        {
-            int(ShapeType.RECTANGLE): rect_t,
-            int(ShapeType.DISK): rect_t,
-            int(ShapeType.SPHERE): sph_t,
-            int(ShapeType.CUBE): cube_t,
-            int(ShapeType.CANOPY): r0,
-            int(ShapeType.DISTANT): r0,
-            int(ShapeType.DOME): r0,
-        },
-        rect_t,
-    )
-    bitangent = sel(
-        {
-            int(ShapeType.RECTANGLE): rect_b,
-            int(ShapeType.DISK): rect_b,
-            int(ShapeType.SPHERE): sph_b,
-            int(ShapeType.CUBE): cube_b,
-            int(ShapeType.CANOPY): r1,
-            int(ShapeType.DISTANT): r1,
-            int(ShapeType.DOME): r1,
-        },
-        rect_b,
-    )
-    uv = sel(
-        {
-            int(ShapeType.RECTANGLE): rect_uv,
-            int(ShapeType.DISK): disk_uv,
-            int(ShapeType.SPHERE): sph_uv,
-            int(ShapeType.CUBE): cube_uv,
-            int(ShapeType.CANOPY): can_uv,
-            int(ShapeType.DISTANT): dist_uv,
-            int(ShapeType.DOME): dome_uv,
-        },
-        rect_uv,
-    )
-    is_inf = (
-        (shape == int(ShapeType.CANOPY))
-        | (shape == int(ShapeType.DISTANT))
-        | (shape == int(ShapeType.DOME))
-    )
-    p = jnp.where(is_inf[..., None], inf_p, p)
+    n = sel(n_vals, -d)
+    tangent = sel(t_vals, None)
+    bitangent = sel(b_vals, None)
+    if tangent is None or not need_tangents:
+        tangent, bitangent = (jnp.zeros_like(n), jnp.zeros_like(n)) if not need_tangents else vm.orthonormal_basis(n)
+    uv = sel(uv_vals, zero2) if need_uv or uv_vals else zero2
+
+    if inf_present:
+        is_inf = jnp.zeros(hit.t.shape, bool)
+        for st in (ShapeType.CANOPY, ShapeType.DISTANT, ShapeType.DOME):
+            if has(st):
+                is_inf = is_inf | (shape == int(st))
+        p = jnp.where(is_inf[..., None], jnp.float32(RAY_MAX_T) * d, p)
     geo_n = n
 
     if scene.meshes is not None:

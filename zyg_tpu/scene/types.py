@@ -105,6 +105,9 @@ class SceneData(NamedTuple):
     prop_mesh: jax.Array = None  # int32[P] mesh id (-1 = analytic)
     # texture arena (None when the scene has no image textures)
     textures: "object" = None  # textures.TextureArena | None
+    # props grouped by shape type for batched intersection: static dict
+    # {shape_type: int32[G] prop indices}; built by the loader
+    prop_groups: dict = None
 
     @property
     def num_props(self) -> int:
