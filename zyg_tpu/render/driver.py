@@ -48,6 +48,26 @@ def _render_samples(
 ):
     """Accumulate `num_samples` consecutive samples into fb (one jit)."""
 
+    # PTMIS/PTDL with a box filter uses the persistent wavefront (lane
+    # regeneration): ~3x utilization vs the per-sample scan below
+    if integrator.kind in ("PTMIS", "PTDL") and filter_radius == 0:
+        acc, rays = ptmis_mod.integrate_persistent(
+            scene,
+            cam_arrays,
+            pixel_xy,
+            pixel_ids,
+            first_iteration,
+            num_samples,
+            num_expected_samples,
+            ptmis_mod.PtmisSettings(
+                max_depth=integrator.max_depth_surface,
+                caustics=integrator.caustics,
+                nee_only=integrator.kind == "PTDL",
+            ),
+            clamp_max,
+        )
+        return Framebuffer(fb.value + acc, fb.weight + num_samples), rays
+
     def one_sample(carry, s):
         fb, total_rays = carry
         iteration = first_iteration + s
@@ -131,11 +151,17 @@ class Driver:
         clamp = self.take.sensor.clamp
         self._clamp_max = (clamp.emission, clamp.direct, clamp.indirect)
         self._render_cache: dict[int, callable] = {}
-        # default chunk: bound device-step duration (a single dispatch that
-        # runs for minutes can trip the TPU watchdog) and compile size
-        lane_budget = 4_000_000
-        by_lanes = max(1, lane_budget // max(w * h, 1))
-        self.chunk_size = min(max(self.take.num_samples_per_pixel, 1), 16, by_lanes)
+        # chunking: the persistent-wavefront path (PTMIS/PTDL, box filter)
+        # streams samples through resident lanes, so its footprint does not
+        # grow with spp — run all samples in one dispatch. The scan path
+        # bounds lanes*samples to keep device steps short.
+        spp = max(self.take.num_samples_per_pixel, 1)
+        if self.take.integrator.kind in ("PTMIS", "PTDL") and self.take.sensor.filter_radius == 0:
+            self.chunk_size = min(spp, 64)
+        else:
+            lane_budget = 4_000_000
+            by_lanes = max(1, lane_budget // max(w * h, 1))
+            self.chunk_size = min(spp, 16, by_lanes)
 
     def _render_fn(self, num_samples: int):
         fn = self._render_cache.get(num_samples)

@@ -60,7 +60,7 @@ class PathState(NamedTuple):
     bxdf_pdf: jax.Array  # [N] pdf of the previous BSDF sample
     singular: jax.Array  # bool[N] previous bounce was a delta event
     medium: jax.Array  # int32[N] enclosing medium material id (-1 = air)
-    depth: jax.Array  # int32 scalar
+    depth: jax.Array  # int32[N] per-lane bounce depth
     rays: jax.Array  # int32 scalar
     sobol: SobolArrays
 
@@ -87,21 +87,28 @@ def integrate(scene: SceneData, o, d, sobol: SobolSampler, settings: PtmisSettin
         bxdf_pdf=jnp.zeros((n,), jnp.float32),
         singular=jnp.ones((n,), bool),  # camera rays count as singular
         medium=jnp.full((n,), -1, jnp.int32),
-        depth=jnp.int32(0),
+        depth=jnp.zeros((n,), jnp.int32),
         rays=jnp.int32(0),
         sobol=sobol.arrays,
     )
 
-    has_lights = scene.lights.count > 0
-
     def cond(s: PathState):
-        return jnp.any(s.alive) & (s.depth <= settings.max_depth)
+        return jnp.any(s.alive)
+
+    body = _make_body(scene, settings)
+    final = jax.lax.while_loop(cond, body, state)
+    return final.result, SobolSampler(final.sobol, dim=5), final.rays
+
+
+def _make_body(scene: SceneData, settings: PtmisSettings):
+    """One masked wavefront bounce over per-lane path state."""
+    has_lights = scene.lights.count > 0
 
     def body(s: PathState):
         smp = SobolSampler(s.sobol, dim=5)
         rays = s.rays + jnp.sum(s.alive, dtype=jnp.int32)
 
-        primary = jnp.broadcast_to(s.depth == 0, s.alive.shape)
+        primary = s.depth == 0
         hit = shapes.intersect_scene(
             scene, s.o, s.d, jnp.float32(0.0), jnp.float32(RAY_MAX_T),
             "reflection", primary=primary,
@@ -253,10 +260,118 @@ def integrate(scene: SceneData, o, d, sobol: SobolSampler, settings: PtmisSettin
             bxdf_pdf=new_bxdf_pdf,
             singular=new_singular,
             medium=new_medium,
-            depth=s.depth + 1,
+            depth=jnp.where(cont, s.depth + 1, s.depth),
             rays=rays,
             sobol=smp.arrays,
         )
 
-    final = jax.lax.while_loop(cond, body, state)
-    return final.result, SobolSampler(final.sobol, dim=5), final.rays
+    return body
+
+
+# ---------------------------------------------------------------------------
+# Persistent wavefront: dead lanes immediately regenerate the next sample of
+# their pixel inside ONE while_loop — near-100% lane utilization (the TPU
+# analog of GPU "persistent threads" path regeneration; replaces the
+# reference's tile loop over samples, worker.zig:130-166).
+# ---------------------------------------------------------------------------
+
+
+class PersistentState(NamedTuple):
+    path: PathState  # path.result holds the CURRENT sample's IValue sums
+    acc: jax.Array  # [N,3] clamped, accumulated finished samples
+    done: jax.Array  # int32[N] samples finished per lane
+
+
+def integrate_persistent(
+    scene: SceneData,
+    cam_arrays,
+    pixel_xy,
+    pixel_ids,
+    first_iteration,
+    num_samples: int,
+    num_expected_samples: int,
+    settings: PtmisSettings,
+    clamp_max=(float("inf"), float("inf"), float("inf")),
+):
+    """Render `num_samples` samples/pixel with lane regeneration.
+
+    Returns (acc_radiance[N,3] summed over samples, num_rays)."""
+    from ..camera import generate_rays
+    from .. import sensor as sensor_mod
+
+    n = pixel_ids.shape[0]
+    zero3 = jnp.zeros((n, 3), jnp.float32)
+    body = _make_body(scene, settings)
+
+    path0 = PathState(
+        o=zero3,
+        d=jnp.concatenate([jnp.zeros((n, 2), jnp.float32), jnp.ones((n, 1), jnp.float32)], -1),
+        throughput=zero3,
+        result=IValue.zeros(n),
+        alive=jnp.zeros((n,), bool),
+        bxdf_pdf=jnp.zeros((n,), jnp.float32),
+        singular=jnp.ones((n,), bool),
+        medium=jnp.full((n,), -1, jnp.int32),
+        depth=jnp.zeros((n,), jnp.int32),
+        rays=jnp.int32(0),
+        sobol=SobolSampler.start_pixel(pixel_ids, jnp.zeros_like(pixel_ids)).arrays,
+    )
+    state = PersistentState(path=path0, acc=zero3, done=jnp.zeros((n,), jnp.int32))
+
+    def clamp_cur(cur: IValue):
+        return (
+            sensor_mod.clamp_radiance(cur.emission, clamp_max[0])
+            + sensor_mod.clamp_radiance(cur.direct, clamp_max[1])
+            + sensor_mod.clamp_radiance(cur.indirect, clamp_max[2])
+        )
+
+    def cond(ps: PersistentState):
+        return jnp.any(ps.path.alive | (ps.done < num_samples))
+
+    def step(ps: PersistentState):
+        s = ps.path
+        # ---- regenerate finished lanes with their pixel's next sample
+        regen = (~s.alive) & (ps.done < num_samples)
+        iteration = (first_iteration + ps.done).astype(jnp.uint32)
+        sample_index = pixel_ids * jnp.uint32(num_expected_samples) + iteration
+        seed = (iteration // jnp.uint32(num_expected_samples))
+        fresh = SobolSampler.start_pixel(sample_index, seed).arrays
+        sob = jax.tree.map(
+            lambda f, old: jnp.where(regen.reshape(regen.shape + (1,) * (old.ndim - 1)), f, old),
+            fresh,
+            s.sobol,
+        )
+        smp = SobolSampler(sob, dim=5)
+        # camera block: consumed uniformly by every lane every iteration
+        s4 = smp.sample_4d()
+        _time = smp.sample_1d()
+        smp.increment_padding()
+        o_cam, d_cam = generate_rays(cam_arrays, pixel_xy, s4[..., 0:2], s4[..., 2:4])
+
+        rm = regen[..., None]
+        s = PathState(
+            o=jnp.where(rm, o_cam, s.o),
+            d=jnp.where(rm, d_cam, s.d),
+            throughput=jnp.where(rm, 1.0, s.throughput),
+            # result doubles as the current sample's accumulator
+            result=IValue(*(jnp.where(rm, 0.0, c) for c in s.result)),
+            alive=s.alive | regen,
+            bxdf_pdf=jnp.where(regen, 0.0, s.bxdf_pdf),
+            singular=jnp.where(regen, True, s.singular),
+            medium=jnp.where(regen, -1, s.medium),
+            depth=jnp.where(regen, 0, s.depth),
+            rays=s.rays,
+            sobol=smp.arrays,
+        )
+        done = ps.done + regen.astype(jnp.int32)
+
+        was_alive = s.alive
+        s = body(s)
+
+        # ---- flush samples that finished THIS iteration (clamped once)
+        finished = was_alive & ~s.alive
+        acc_add = jnp.where(finished[..., None], clamp_cur(s.result), 0.0)
+        return PersistentState(path=s, acc=ps.acc + acc_add, done=done)
+
+    final = jax.lax.while_loop(cond, step, state)
+    return final.acc, final.path.rays

@@ -147,8 +147,12 @@ def sample_light(scene: SceneData, light_idx, p, n, xi, total_sphere=False) -> L
     """Sample a direction to light `light_idx` from shading point p.
 
     xi: [N,2] uniforms. Returns solid-angle pdf (number-of-samples weighting
-    and splitting are handled by the integrator).
+    and splitting are handled by the integrator). Only the light shape types
+    actually present in the scene (static scene.light_shapes) are computed.
     """
+    present = set(int(k) for k in (scene.light_shapes or {int(t): True for t in ShapeType}).keys())
+    has = lambda t: int(t) in present
+
     prop = small_gather(scene.lights.prop, jnp.clip(light_idx, 0, scene.lights.count - 1))
     shape = small_gather(scene.prop_shape, prop)
     rot = small_gather(scene.prop_rot, prop)
@@ -157,168 +161,145 @@ def sample_light(scene: SceneData, light_idx, p, n, xi, total_sphere=False) -> L
 
     r0, r1, r2 = rot[..., 0, :], rot[..., 1, :], rot[..., 2, :]
     nshape = p.shape[:-1]
-    zero = jnp.zeros(nshape, jnp.float32)
+    ones_b = jnp.ones(nshape, bool)
+    far_t = jnp.full(nshape, jnp.float32(RAY_MAX_T))
 
-    # --- rectangle (spherical rectangle sampling)
-    lp_local = jnp.stack(
-        [vm.dot(p - pos, r0), vm.dot(p - pos, r1), vm.dot(p - pos, r2)], axis=-1
-    )
-    q = sphquad_init(scale[..., 0], scale[..., 1], lp_local)
-    xu, yv = sphquad_sample(q, xi)
-    # sampled point = shading point + offsets, landing on the plane z=0
-    rect_p = (
-        pos
-        + (lp_local[..., 0] + xu)[..., None] * r0
-        + (lp_local[..., 1] + yv)[..., None] * r1
-    )
-    rect_axis = rect_p - p
-    rect_t = vm.length(rect_axis)
-    rect_wi = rect_axis / jnp.maximum(rect_t, 1e-20)[..., None]
-    rect_pdf = sphquad_pdf(q, lp_local, scale[..., 0], scale[..., 1])
-    rect_valid = q.S > 1e-7
-    rect_n = r2
+    wi_v, pdf_v, lp_v, ln_v, valid_v, t_v = {}, {}, {}, {}, {}, {}
 
-    # --- sphere (uniform cone, ref sphere.zig sampleTo)
-    v = pos - p
-    l2 = jnp.maximum(vm.dot(v, v), 1e-20)
-    l = jnp.sqrt(l2)
-    sp_r = 0.5 * scale[..., 0]
-    z_axis = v / l[..., None]
-    tx, ty = vm.orthonormal_basis(z_axis)
-    sin2_max = jnp.clip((sp_r * sp_r) / l2, 0.0, 0.9999)
-    cos_max = jnp.sqrt(1.0 - sin2_max)
-    small = sin2_max < 0.00068523
-    cos_theta = (cos_max - 1.0) * xi[..., 0] + 1.0
-    sin2_theta = 1.0 - cos_theta * cos_theta
-    sin2_theta = jnp.where(small, sin2_max * xi[..., 0], sin2_theta)
-    cos_theta = jnp.where(small, jnp.sqrt(1.0 - sin2_theta), cos_theta)
-    one_minus_cos_max = jnp.where(small, 0.5 * sin2_max, 1.0 - cos_max)
-    sin_max = jnp.sqrt(jnp.maximum(sin2_max, 1e-20))
-    cos_alpha = jnp.minimum(
-        sin2_theta / sin_max
-        + cos_theta * jnp.sqrt(jnp.maximum(1.0 - jnp.minimum(sin2_theta / jnp.maximum(sin2_max, 1e-20), 1.0), 0.0)),
-        1.0,
-    )
-    sin_alpha = jnp.sqrt(jnp.maximum(1.0 - cos_alpha * cos_alpha, 0.0))
-    phi = xi[..., 1] * (2.0 * jnp.pi)
-    w_local = jnp.stack([sin_alpha * jnp.cos(phi), sin_alpha * jnp.sin(phi), cos_alpha], axis=-1)
-    sph_n = -(vm.frame_to_world(tx, ty, z_axis, w_local))
-    sph_p = pos + sp_r[..., None] * sph_n
-    sph_axis = sph_p - p
-    sph_t = vm.length(sph_axis)
-    sph_wi = sph_axis / jnp.maximum(sph_t, 1e-20)[..., None]
-    sph_pdf = 1.0 / jnp.maximum(2.0 * jnp.pi * one_minus_cos_max, 1e-20)
-    sph_valid = l > sp_r + 1e-7
+    if has(ShapeType.RECTANGLE):
+        lp_local = jnp.stack(
+            [vm.dot(p - pos, r0), vm.dot(p - pos, r1), vm.dot(p - pos, r2)], axis=-1
+        )
+        q = sphquad_init(scale[..., 0], scale[..., 1], lp_local)
+        xu, yv = sphquad_sample(q, xi)
+        rect_p = (
+            pos
+            + (lp_local[..., 0] + xu)[..., None] * r0
+            + (lp_local[..., 1] + yv)[..., None] * r1
+        )
+        rect_axis = rect_p - p
+        rect_t = vm.length(rect_axis)
+        k = int(ShapeType.RECTANGLE)
+        wi_v[k] = rect_axis / jnp.maximum(rect_t, 1e-20)[..., None]
+        pdf_v[k] = sphquad_pdf(q, lp_local, scale[..., 0], scale[..., 1])
+        lp_v[k] = rect_p
+        ln_v[k] = r2
+        valid_v[k] = q.S > 1e-7
+        t_v[k] = rect_t
 
-    # --- disk (area sampling -> solid angle)
-    dk_r = 0.5 * scale[..., 0]
-    dxy = vm.sample_disk_concentric(xi)
-    dk_p = pos + dk_r[..., None] * (dxy[..., 0:1] * r0 + dxy[..., 1:2] * r1)
-    dk_axis = dk_p - p
-    dk_sl = jnp.maximum(vm.dot(dk_axis, dk_axis), 1e-20)
-    dk_t = jnp.sqrt(dk_sl)
-    dk_wi = dk_axis / dk_t[..., None]
-    dk_c = -vm.dot(r2, dk_wi)
-    dk_c_abs = jnp.abs(dk_c)  # two-sided handled by radiance gating
-    dk_area = jnp.pi * dk_r * dk_r
-    dk_pdf = dk_sl / jnp.maximum(dk_c_abs * dk_area, 1e-20)
-    dk_valid = dk_c_abs > DOT_MIN
+    if has(ShapeType.SPHERE):
+        v = pos - p
+        l2 = jnp.maximum(vm.dot(v, v), 1e-20)
+        l = jnp.sqrt(l2)
+        sp_r = 0.5 * scale[..., 0]
+        z_axis = v / l[..., None]
+        tx, ty = vm.orthonormal_basis(z_axis)
+        sin2_max = jnp.clip((sp_r * sp_r) / l2, 0.0, 0.9999)
+        cos_max = jnp.sqrt(1.0 - sin2_max)
+        small = sin2_max < 0.00068523
+        cos_theta = (cos_max - 1.0) * xi[..., 0] + 1.0
+        sin2_theta = 1.0 - cos_theta * cos_theta
+        sin2_theta = jnp.where(small, sin2_max * xi[..., 0], sin2_theta)
+        cos_theta = jnp.where(small, jnp.sqrt(1.0 - sin2_theta), cos_theta)
+        one_minus_cos_max = jnp.where(small, 0.5 * sin2_max, 1.0 - cos_max)
+        sin_max = jnp.sqrt(jnp.maximum(sin2_max, 1e-20))
+        cos_alpha = jnp.minimum(
+            sin2_theta / sin_max
+            + cos_theta * jnp.sqrt(jnp.maximum(1.0 - jnp.minimum(sin2_theta / jnp.maximum(sin2_max, 1e-20), 1.0), 0.0)),
+            1.0,
+        )
+        sin_alpha = jnp.sqrt(jnp.maximum(1.0 - cos_alpha * cos_alpha, 0.0))
+        phi = xi[..., 1] * (2.0 * jnp.pi)
+        w_local = jnp.stack([sin_alpha * jnp.cos(phi), sin_alpha * jnp.sin(phi), cos_alpha], axis=-1)
+        sph_n = -(vm.frame_to_world(tx, ty, z_axis, w_local))
+        sph_p = pos + sp_r[..., None] * sph_n
+        sph_axis = sph_p - p
+        sph_t = vm.length(sph_axis)
+        k = int(ShapeType.SPHERE)
+        wi_v[k] = sph_axis / jnp.maximum(sph_t, 1e-20)[..., None]
+        pdf_v[k] = 1.0 / jnp.maximum(2.0 * jnp.pi * one_minus_cos_max, 1e-20)
+        lp_v[k] = sph_p
+        ln_v[k] = sph_n
+        valid_v[k] = l > sp_r + 1e-7
+        t_v[k] = sph_t
 
-    # --- distant (sun disk, ref distant.zig sampleTo)
-    ds_radius = scale[..., 0]
-    ds_xy = vm.sample_disk_concentric(xi)
-    ws = ds_radius[..., None] * (ds_xy[..., 0:1] * r0 + ds_xy[..., 1:2] * r1)
-    ds_wi = vm.safe_normalize(ws - r2)
-    ds_solid_angle = (2.0 * jnp.pi) * (1.0 - jnp.sqrt(1.0 / (ds_radius * ds_radius + 1.0)))
-    ds_pdf = 1.0 / jnp.maximum(ds_solid_angle, 1e-20)
-    ds_valid = ds_radius > 0.0
+    if has(ShapeType.DISK):
+        dk_r = 0.5 * scale[..., 0]
+        dxy = vm.sample_disk_concentric(xi)
+        dk_p = pos + dk_r[..., None] * (dxy[..., 0:1] * r0 + dxy[..., 1:2] * r1)
+        dk_axis = dk_p - p
+        dk_sl = jnp.maximum(vm.dot(dk_axis, dk_axis), 1e-20)
+        dk_t = jnp.sqrt(dk_sl)
+        dk_wi = dk_axis / dk_t[..., None]
+        dk_c_abs = jnp.abs(-vm.dot(r2, dk_wi))
+        dk_area = jnp.pi * dk_r * dk_r
+        k = int(ShapeType.DISK)
+        wi_v[k] = dk_wi
+        pdf_v[k] = dk_sl / jnp.maximum(dk_c_abs * dk_area, 1e-20)
+        lp_v[k] = dk_p
+        ln_v[k] = r2
+        valid_v[k] = dk_c_abs > DOT_MIN
+        t_v[k] = dk_t
 
-    # --- canopy: uniform hemisphere around light frame z (ref canopy.zig)
-    can_local, _ = vm.sample_hemisphere_uniform(xi)
-    can_wi = vm.frame_to_world(r0, r1, r2, can_local)
-    can_pdf = jnp.full(nshape, 1.0 / (2.0 * jnp.pi), jnp.float32)
+    if has(ShapeType.DISTANT):
+        ds_radius = scale[..., 0]
+        ds_xy = vm.sample_disk_concentric(xi)
+        ws = ds_radius[..., None] * (ds_xy[..., 0:1] * r0 + ds_xy[..., 1:2] * r1)
+        ds_wi = vm.safe_normalize(ws - r2)
+        ds_solid_angle = (2.0 * jnp.pi) * (1.0 - jnp.sqrt(1.0 / (ds_radius * ds_radius + 1.0)))
+        k = int(ShapeType.DISTANT)
+        wi_v[k] = ds_wi
+        pdf_v[k] = 1.0 / jnp.maximum(ds_solid_angle, 1e-20)
+        ln_v[k] = r2
+        valid_v[k] = ds_radius > 0.0
 
-    # --- dome: hemisphere around the surface normal (ref dome.zig sampleTo)
-    ts = jnp.broadcast_to(jnp.asarray(total_sphere), nshape)
-    dm_t, dm_b = vm.orthonormal_basis(n)
-    dm_local, _ = vm.sample_hemisphere_uniform(xi)
-    dm_wi_hemi = vm.frame_to_world(dm_t, dm_b, n, dm_local)
-    dm_wi_full, _ = vm.sample_sphere_uniform(xi)
-    dm_wi = jnp.where(ts[..., None], dm_wi_full, dm_wi_hemi)
-    dm_pdf = jnp.where(ts, 1.0 / (4.0 * jnp.pi), 1.0 / (2.0 * jnp.pi))
+    if has(ShapeType.CANOPY):
+        can_local, _ = vm.sample_hemisphere_uniform(xi)
+        k = int(ShapeType.CANOPY)
+        wi_v[k] = vm.frame_to_world(r0, r1, r2, can_local)
+        pdf_v[k] = jnp.full(nshape, 1.0 / (2.0 * jnp.pi), jnp.float32)
+        valid_v[k] = ones_b
+
+    if has(ShapeType.DOME):
+        ts = jnp.broadcast_to(jnp.asarray(total_sphere), nshape)
+        dm_t, dm_b = vm.orthonormal_basis(n)
+        dm_local, _ = vm.sample_hemisphere_uniform(xi)
+        dm_wi_hemi = vm.frame_to_world(dm_t, dm_b, n, dm_local)
+        dm_wi_full, _ = vm.sample_sphere_uniform(xi)
+        k = int(ShapeType.DOME)
+        wi_v[k] = jnp.where(ts[..., None], dm_wi_full, dm_wi_hemi)
+        pdf_v[k] = jnp.where(ts, 1.0 / (4.0 * jnp.pi), 1.0 / (2.0 * jnp.pi))
+        valid_v[k] = ones_b
 
     def sel(vals, default):
-        out = default
+        out = None
         for st, val in vals.items():
+            if out is None:
+                out = val
+                continue
             cond = shape == st
-            if out.ndim > cond.ndim:
+            if val.ndim > cond.ndim:
                 cond = cond[..., None]
             out = jnp.where(cond, val, out)
-        return out
+        return default if out is None else out
 
-    wi = sel(
-        {
-            int(ShapeType.RECTANGLE): rect_wi,
-            int(ShapeType.SPHERE): sph_wi,
-            int(ShapeType.DISK): dk_wi,
-            int(ShapeType.DISTANT): ds_wi,
-            int(ShapeType.CANOPY): can_wi,
-            int(ShapeType.DOME): dm_wi,
-        },
-        rect_wi,
-    )
-    pdf = sel(
-        {
-            int(ShapeType.RECTANGLE): rect_pdf,
-            int(ShapeType.SPHERE): sph_pdf,
-            int(ShapeType.DISK): dk_pdf,
-            int(ShapeType.DISTANT): ds_pdf,
-            int(ShapeType.CANOPY): can_pdf,
-            int(ShapeType.DOME): dm_pdf,
-        },
-        rect_pdf,
-    )
-    light_p = sel(
-        {
-            int(ShapeType.RECTANGLE): rect_p,
-            int(ShapeType.SPHERE): sph_p,
-            int(ShapeType.DISK): dk_p,
-        },
-        jnp.float32(RAY_MAX_T) * wi + p,
-    )
-    light_n = sel(
-        {
-            int(ShapeType.RECTANGLE): rect_n,
-            int(ShapeType.SPHERE): sph_n,
-            int(ShapeType.DISK): r2,
-            int(ShapeType.DISTANT): r2,
-        },
-        -wi,
-    )
-    valid = sel(
-        {
-            int(ShapeType.RECTANGLE): rect_valid,
-            int(ShapeType.SPHERE): sph_valid,
-            int(ShapeType.DISK): dk_valid,
-            int(ShapeType.DISTANT): ds_valid,
-            int(ShapeType.CANOPY): jnp.ones(nshape, bool),
-            int(ShapeType.DOME): jnp.ones(nshape, bool),
-        },
-        jnp.zeros(nshape, bool),
-    )
-    infinite = (
-        (shape == int(ShapeType.DISTANT))
-        | (shape == int(ShapeType.CANOPY))
-        | (shape == int(ShapeType.DOME))
-    )
-    t_max = sel(
-        {
-            int(ShapeType.RECTANGLE): rect_t,
-            int(ShapeType.SPHERE): sph_t,
-            int(ShapeType.DISK): dk_t,
-        },
-        jnp.full(nshape, jnp.float32(RAY_MAX_T)),
-    )
+    wi = sel(wi_v, jnp.zeros(nshape + (3,), jnp.float32))
+    pdf = sel(pdf_v, jnp.zeros(nshape, jnp.float32))
+    light_p = sel(lp_v, jnp.float32(RAY_MAX_T) * wi + p)
+    light_n = sel(ln_v, -wi)
+    valid = sel(valid_v, jnp.zeros(nshape, bool))
+    t_max = sel(t_v, far_t)
+    # finite shapes present but a lane is an infinite light -> fix positions
+    infinite = jnp.zeros(nshape, bool)
+    for t in (ShapeType.DISTANT, ShapeType.CANOPY, ShapeType.DOME):
+        if has(t):
+            infinite = infinite | (shape == int(t))
+    if any(has(t) for t in (ShapeType.DISTANT, ShapeType.CANOPY, ShapeType.DOME)):
+        light_p = jnp.where(infinite[..., None], jnp.float32(RAY_MAX_T) * wi + p, light_p)
+        env = infinite & (shape != int(ShapeType.DISTANT))
+        light_n = jnp.where(env[..., None], -wi, light_n)
+        t_max = jnp.where(infinite, far_t, t_max)
+
     # facing the shading hemisphere unless translucent
     front = vm.dot(wi, n) > 0.0
     valid = valid & (front | jnp.asarray(total_sphere)) & (pdf > 0.0)
@@ -367,7 +348,11 @@ def light_radiance(scene: SceneData, light_idx, wi, light_n):
 
 def light_hit_pdf(scene: SceneData, prop, ray_o, ray_d, hit_t, hit_p, hit_n, n_at_origin):
     """Solid-angle pdf that NEE from ray_o would have sampled this hit —
-    the light side of the MIS weight for BSDF hits (ref shape pdf fns)."""
+    the light side of the MIS weight for BSDF hits (ref shape pdf fns).
+    Only light shape types present in the scene are evaluated."""
+    present = set(int(k) for k in (scene.light_shapes or {int(t): True for t in ShapeType}).keys())
+    has = lambda t: int(t) in present
+
     pm = jnp.maximum(prop, 0)
     shape = small_gather(scene.prop_shape, pm)
     rot = small_gather(scene.prop_rot, pm)
@@ -376,47 +361,45 @@ def light_hit_pdf(scene: SceneData, prop, ray_o, ray_d, hit_t, hit_p, hit_n, n_a
     r0, r1, r2 = rot[..., 0, :], rot[..., 1, :], rot[..., 2, :]
     nshape = hit_t.shape
 
-    # rectangle: 1/S of the sphquad seen from ray_o
-    lp_local = jnp.stack(
-        [vm.dot(ray_o - pos, r0), vm.dot(ray_o - pos, r1), vm.dot(ray_o - pos, r2)], axis=-1
-    )
-    q = sphquad_init(scale[..., 0], scale[..., 1], lp_local)
-    rect_pdf = sphquad_pdf(q, lp_local, scale[..., 0], scale[..., 1])
+    vals = {}
+    if has(ShapeType.RECTANGLE):
+        lp_local = jnp.stack(
+            [vm.dot(ray_o - pos, r0), vm.dot(ray_o - pos, r1), vm.dot(ray_o - pos, r2)], axis=-1
+        )
+        q = sphquad_init(scale[..., 0], scale[..., 1], lp_local)
+        vals[int(ShapeType.RECTANGLE)] = sphquad_pdf(q, lp_local, scale[..., 0], scale[..., 1])
 
-    # sphere cone pdf (ref sphere.zig pdf)
-    v = pos - ray_o
-    l2 = jnp.maximum(vm.dot(v, v), 1e-20)
-    r = 0.5 * scale[..., 0]
-    sin2_max = jnp.clip((r * r) / l2, 0.0, 0.9999)
-    one_minus_cos = jnp.where(
-        sin2_max < 0.00068523, 0.5 * sin2_max, 1.0 - jnp.sqrt(1.0 - sin2_max)
-    )
-    sph_pdf = 1.0 / jnp.maximum(2.0 * jnp.pi * one_minus_cos, 1e-20)
+    if has(ShapeType.SPHERE):
+        v = pos - ray_o
+        l2 = jnp.maximum(vm.dot(v, v), 1e-20)
+        r = 0.5 * scale[..., 0]
+        sin2_max = jnp.clip((r * r) / l2, 0.0, 0.9999)
+        one_minus_cos = jnp.where(
+            sin2_max < 0.00068523, 0.5 * sin2_max, 1.0 - jnp.sqrt(1.0 - sin2_max)
+        )
+        vals[int(ShapeType.SPHERE)] = 1.0 / jnp.maximum(2.0 * jnp.pi * one_minus_cos, 1e-20)
 
-    # disk: area -> solid angle at the hit
-    sl = jnp.maximum(hit_t * hit_t, 1e-20)
-    c = jnp.abs(vm.dot(hit_n, ray_d))
-    dk_area = jnp.pi * (0.5 * scale[..., 0]) ** 2
-    dk_pdf = sl / jnp.maximum(c * dk_area, 1e-20)
+    if has(ShapeType.DISK):
+        sl = jnp.maximum(hit_t * hit_t, 1e-20)
+        c = jnp.abs(vm.dot(hit_n, ray_d))
+        dk_area = jnp.pi * (0.5 * scale[..., 0]) ** 2
+        vals[int(ShapeType.DISK)] = sl / jnp.maximum(c * dk_area, 1e-20)
 
-    # distant
-    ds_radius = scale[..., 0]
-    ds_solid = (2.0 * jnp.pi) * (1.0 - jnp.sqrt(1.0 / (ds_radius * ds_radius + 1.0)))
-    ds_pdf = 1.0 / jnp.maximum(ds_solid, 1e-20)
+    if has(ShapeType.DISTANT):
+        ds_radius = scale[..., 0]
+        ds_solid = (2.0 * jnp.pi) * (1.0 - jnp.sqrt(1.0 / (ds_radius * ds_radius + 1.0)))
+        vals[int(ShapeType.DISTANT)] = 1.0 / jnp.maximum(ds_solid, 1e-20)
 
-    can_pdf = jnp.full(nshape, 1.0 / (2.0 * jnp.pi), jnp.float32)
-    # dome pdf depends on total_sphere at origin; hemisphere case
-    dm_pdf = jnp.full(nshape, 1.0 / (2.0 * jnp.pi), jnp.float32)
+    if has(ShapeType.CANOPY):
+        vals[int(ShapeType.CANOPY)] = jnp.full(nshape, 1.0 / (2.0 * jnp.pi), jnp.float32)
+    if has(ShapeType.DOME):
+        vals[int(ShapeType.DOME)] = jnp.full(nshape, 1.0 / (2.0 * jnp.pi), jnp.float32)
 
-    out = rect_pdf
-    for st, val in {
-        int(ShapeType.SPHERE): sph_pdf,
-        int(ShapeType.DISK): dk_pdf,
-        int(ShapeType.DISTANT): ds_pdf,
-        int(ShapeType.CANOPY): can_pdf,
-        int(ShapeType.DOME): dm_pdf,
-    }.items():
-        out = jnp.where(shape == st, val, out)
+    out = None
+    for st, val in vals.items():
+        out = val if out is None else jnp.where(shape == st, val, out)
+    if out is None:
+        return jnp.zeros(nshape, jnp.float32)
     # shapes NEE can't sample (cube/mesh emitters, until per-triangle CDFs)
     # contribute pdf 0 -> MIS weight 1 on BSDF hits
     unsupported = (shape == int(ShapeType.CUBE)) | (shape == int(ShapeType.TRIANGLE_MESH))

@@ -416,6 +416,7 @@ class SceneBuilder:
             if p.mesh_id < 0:
                 groups.setdefault(p.shape, []).append(i)
         prop_groups = {k: jnp.asarray(v, jnp.int32) for k, v in sorted(groups.items())}
+        light_shapes = {int(props[i].shape): True for i in light_props}
 
         return SceneData(
             prop_shape=jnp.asarray([p.shape for p in props], jnp.int32),
@@ -438,6 +439,7 @@ class SceneBuilder:
             prop_mesh=jnp.asarray([p.mesh_id for p in props], jnp.int32) if meshes is not None else None,
             textures=texture_arena,
             prop_groups=prop_groups,
+            light_shapes=light_shapes,
         )
 
 

@@ -108,6 +108,9 @@ class SceneData(NamedTuple):
     # props grouped by shape type for batched intersection: static dict
     # {shape_type: int32[G] prop indices}; built by the loader
     prop_groups: dict = None
+    # shape types present among LIGHTS: static dict {shape_type: True} —
+    # dict keys ride the pytree treedef, so jit specializes on them
+    light_shapes: dict = None
 
     @property
     def num_props(self) -> int:
