@@ -1,0 +1,71 @@
+"""Lighttracer (backward pass) tests: forward/backward consistency."""
+
+import numpy as np
+
+from zyg_tpu.io.take import Take, IntegratorSettings
+from zyg_tpu.render.camera import PerspectiveCamera
+from zyg_tpu.render.driver import Driver
+from zyg_tpu.scene.loader import load_scene_dict
+
+
+def simple_box_scene():
+    """Small diffuse room with one area light — forward and backward
+    renders of this must agree in expectation."""
+    return load_scene_dict(
+        {
+            "materials": [
+                {"name": "white", "rendering": {"Substitute": {"color": [0.6, 0.6, 0.6], "roughness": 1.0}}},
+                {"name": "lamp", "rendering": {"Light": {"emittance": {"value": 10.0}}}},
+            ],
+            "entities": [
+                {
+                    "type": "Prop",
+                    "shape": {"type": "Rectangle"},
+                    "materials": ["white"],
+                    "transformation": {"position": [0, -1, 0], "rotation": [90, 0, 0], "scale": [4, 4, 1]},
+                },
+                {
+                    "type": "Prop",
+                    "shape": {"type": "Rectangle"},
+                    "materials": ["white"],
+                    "transformation": {"position": [0, 0, 2], "rotation": [0, 180, 0], "scale": [4, 4, 1]},
+                },
+                {
+                    "type": "Light",
+                    "shape": {"type": "Rectangle"},
+                    "materials": ["lamp"],
+                    "transformation": {"position": [0, 1.5, 0.5], "rotation": [-90, 0, 0], "scale": [1, 1, 1]},
+                },
+            ],
+        }
+    )
+
+
+def make_driver(scene, spp, ppp, res=32):
+    take = Take()
+    take.num_samples_per_pixel = spp
+    take.num_particles_per_pixel = ppp
+    take.integrator = IntegratorSettings(kind="PTMIS", max_depth_surface=4)
+    cam = PerspectiveCamera(resolution=(res, res), fov=np.deg2rad(60))
+    cam.position = np.array([0, 0.2, -3.2], np.float32)
+    take.cameras = [cam]
+    return Driver(take=take, scene=scene)
+
+
+class TestLighttracer:
+    def test_backward_matches_forward(self):
+        scene = simple_box_scene()
+        fwd = make_driver(scene, spp=64, ppp=0).render_frame()
+        bwd = make_driver(scene, spp=0, ppp=256).render_frame()
+        assert np.isfinite(bwd).all()
+        assert bwd.max() > 0.0
+        # compare the bottom half (diffuse floor/wall): the directly visible
+        # emitter (top) has no t=1 splat contribution by construction
+        ratio = bwd[16:].mean() / fwd[16:].mean()
+        assert abs(ratio - 1.0) < 0.08, f"backward/forward ratio {ratio}"
+
+    def test_combined_mode_runs(self):
+        scene = simple_box_scene()
+        d = make_driver(scene, spp=8, ppp=8)
+        img = d.render_frame()
+        assert np.isfinite(img).all() and img.max() > 0

@@ -1,0 +1,70 @@
+"""it/sow companion tool tests."""
+
+import json
+import os
+
+import numpy as np
+
+from zyg_tpu.tools import it, sow
+from zyg_tpu.io.exr import write_exr
+from zyg_tpu.scene.trimesh import make_cube_mesh
+
+
+class TestIt:
+    def _write(self, tmp_path, name, img):
+        p = str(tmp_path / name)
+        write_exr(p, {"R": img[..., 0], "G": img[..., 1], "B": img[..., 2]}, half=False)
+        return p
+
+    def test_diff(self, tmp_path, rng_np):
+        a = rng_np.random((16, 16, 3)).astype(np.float32)
+        b = a + 0.1
+        pa = self._write(tmp_path, "a.exr", a)
+        pb = self._write(tmp_path, "b.exr", b)
+        out, stats = it.op_diff([pa, pb])
+        assert abs(stats[0]["rmse"] - 0.1) < 1e-3
+        assert abs(stats[0]["max"] - 0.1) < 1e-3
+
+    def test_cli_diff(self, tmp_path, rng_np, capsys):
+        a = rng_np.random((8, 8, 3)).astype(np.float32)
+        pa = self._write(tmp_path, "a.exr", a)
+        pb = self._write(tmp_path, "b.exr", a)
+        rc = it.main(["--diff", pa, pb, "-o", str(tmp_path / "d.png")])
+        assert rc == 0
+        stats = json.loads(capsys.readouterr().out)
+        assert stats[0]["rmse"] == 0.0
+
+    def test_downsample(self):
+        img = np.arange(16, dtype=np.float32).reshape(4, 4, 1).repeat(3, -1)
+        out = it.op_downsample(img, 2)
+        assert out.shape == (2, 2, 3)
+        assert abs(out[0, 0, 0] - np.mean([0, 1, 4, 5])) < 1e-6
+
+    def test_denoise_reduces_noise(self, rng_np):
+        clean = np.ones((24, 24, 3), np.float32) * 0.5
+        noisy = clean + rng_np.normal(0, 0.2, clean.shape).astype(np.float32)
+        albedo = np.ones_like(clean)
+        out = it.op_denoise(noisy, albedo=albedo)
+        assert np.abs(out - clean).mean() < np.abs(noisy - clean).mean() * 0.5
+
+
+class TestSow:
+    def test_scatter_on_surface(self, tmp_path):
+        mesh = make_cube_mesh()
+        pts, rots, scales = sow.scatter_on_mesh(mesh, 500, seed=1)
+        assert pts.shape == (500, 3)
+        # all points on the cube surface: one coordinate at +-0.5
+        on_face = (np.abs(np.abs(pts) - 0.5) < 1e-5).any(axis=-1)
+        assert on_face.all()
+        # rotations orthonormal
+        eye = rots @ np.transpose(rots, (0, 2, 1))
+        assert np.abs(eye - np.eye(3)).max() < 1e-4
+
+    def test_instancer_roundtrip(self, tmp_path):
+        mesh = make_cube_mesh()
+        pts, rots, scales = sow.scatter_on_mesh(mesh, 10, seed=2)
+        p = str(tmp_path / "x.instancer")
+        sow.write_instancer(p, "proc:sphere", pts, rots, scales)
+        data = json.load(open(p))
+        assert len(data["instances"]) == 10
+        assert data["prototype"]["shape"]["file"] == "proc:sphere"

@@ -109,6 +109,10 @@ def _load_integrator(node: dict, take: Take) -> None:
     particle = node.get("particle")
     if particle:
         take.num_particles_per_pixel = int(particle.get("particles_per_pixel", 1))
+        # with both integrators active, caustic chains move to the
+        # lighttracer (ref take.zig: caustics_path = caustics and !lighttracer)
+        if "surface" in node:
+            take.integrator.caustics = False
 
 
 def _load_sensor(node: dict) -> SensorSettings:

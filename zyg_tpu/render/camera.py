@@ -66,6 +66,39 @@ class PerspectiveCamera:
         return abs((2.0 / z) * (2.0 * ratio / z))
 
 
+def camera_sample_to(cam: CameraArrays, resolution, p):
+    """Connect a world point to the camera (ref camera_perspective.zig
+    sampleTo): returns (pixel_xy int[N,2], dir_to_cam[N,3], t[N], pdf[N],
+    valid[N]). pdf is w.r.t. sensor-area importance (wa*wb)."""
+    w, h = resolution
+    po = vm.world_to_frame(cam.rot[0], cam.rot[1], cam.rot[2], p - cam.pos)
+    t = vm.length(po)
+    dirs = po / jnp.maximum(t, 1e-20)[..., None]
+    cos_theta = dirs[..., 2]
+    valid = cos_theta > 1e-6
+
+    # project onto the sensor plane
+    z = cam.left_top[2]
+    pd = (z / jnp.maximum(dirs[..., 2], 1e-6))[..., None] * dirs
+    offset = pd - cam.left_top
+    x = offset[..., 0] / cam.d_x[0]
+    y = offset[..., 1] / cam.d_y[1]
+    px = jnp.floor(x).astype(jnp.int32)
+    py = jnp.floor(y).astype(jnp.int32)
+    valid = valid & (px >= 0) & (px < w) & (py >= 0) & (py < h)
+
+    # sensor area factor a (ref camera_perspective.zig update: self.a)
+    ratio = h / w
+    a = jnp.abs((2.0 / z) * (2.0 * ratio / z))
+    cos2 = cos_theta * cos_theta
+    wa = cos_theta / jnp.maximum(t * t, 1e-12)
+    wb = 1.0 / jnp.maximum(a * cos2 * cos2, 1e-12)
+    pdf = wa * wb
+    # direction from the world point TOWARD the camera
+    dir_to_cam = vm.safe_normalize(cam.pos - p)
+    return jnp.stack([px, py], -1), dir_to_cam, t, jnp.where(valid, pdf, 0.0), valid
+
+
 def generate_rays(cam: CameraArrays, pixel_xy, pixel_uv, lens_uv=None):
     """pixel_xy int[N,2], pixel_uv float[N,2] -> (origin[N,3], dir[N,3]).
 

@@ -146,6 +146,8 @@ class Driver:
         self._pixel_xy = jnp.asarray(np.stack([xs, ys], axis=-1), jnp.int32)
         self._pixel_ids = jnp.asarray(np.arange(w * h), jnp.uint32)
         self._fb = Framebuffer.zeros(w * h)
+        self._splat = jnp.zeros((w * h, 3), jnp.float32)
+        self._particles_traced = 0
         self._iteration = 0
         self.rays_traced = 0
         clamp = self.take.sensor.clamp
@@ -188,8 +190,50 @@ class Driver:
     def start_frame(self):
         w, h = self.camera.resolution
         self._fb = Framebuffer.zeros(w * h)
+        self._splat = jnp.zeros((w * h, 3), jnp.float32)
+        self._particles_traced = 0
         self._iteration = 0
         self.rays_traced = 0
+
+    def render_particles(self, num_per_pixel: int | None = None):
+        """Backward (light-tracing) pass: trace W*H*ppp light paths and
+        accumulate camera splats (ref driver.zig renderFrameBackward)."""
+        from .integrator import lighttracer as lt_mod
+
+        ppp = num_per_pixel if num_per_pixel is not None else self.take.num_particles_per_pixel
+        if ppp <= 0:
+            return
+        w, h = self.camera.resolution
+        fn = self._particle_fn()
+        for it in range(ppp):
+            keys = self._pixel_ids * jnp.uint32(max(ppp, 2)) + jnp.uint32(self._particles_traced)
+            splat, rays = fn(self.scene, self.camera.arrays(), keys)
+            self._splat = self._splat + splat
+            self._particles_traced += 1
+            self.rays_traced += int(rays)
+
+    def _particle_fn(self):
+        from .integrator import lighttracer as lt_mod
+
+        fn = self._render_cache.get("particles")
+        if fn is None:
+            # full light paths only without a forward pass; otherwise the
+            # lighttracer contributes caustic chains only (ref take.zig:
+            # full_light_path and !surface_integrator)
+            settings = lt_mod.LighttracerSettings(
+                max_depth=min(self.take.integrator.max_depth_surface, 8),
+                full_light_path=self.take.num_samples_per_pixel == 0,
+            )
+            fn = jax.jit(
+                functools.partial(
+                    lt_mod.trace,
+                    resolution=self.camera.resolution,
+                    settings=settings,
+                )
+            )
+            fn = lambda scene, cam, keys, _f=fn: _f(scene, cam, ray_keys=keys)
+            self._render_cache["particles"] = fn
+        return fn
 
     def render_iterations(self, num: int | None = None):
         """Render `num` further samples per pixel (default: take spp)."""
@@ -211,14 +255,21 @@ class Driver:
         return self._fb
 
     def render_frame(self) -> np.ndarray:
-        """Full frame at take spp. Returns linear HDR [H,W,3]."""
+        """Full frame at take spp (+ particle pass). Returns linear [H,W,3]."""
         self.start_frame()
-        self.render_iterations(self.take.num_samples_per_pixel)
+        if self.take.num_particles_per_pixel > 0:
+            self.render_particles()
+        if self.take.num_samples_per_pixel > 0:
+            self.render_iterations(self.take.num_samples_per_pixel)
         return self.resolve()
 
     def resolve(self, tonemapped: bool = False) -> np.ndarray:
         w, h = self.camera.resolution
         img = self._fb.resolve().reshape(h, w, 3)
+        if self._particles_traced > 0:
+            # light-traced splats: normalized by paths-per-pixel and ADDED to
+            # the forward image (BDPT t=1 convention; ref driver.zig:269)
+            img = img + (self._splat / self._particles_traced).reshape(h, w, 3)
         if tonemapped:
             img = sensor_mod.tonemap(img, self.take.sensor.tonemapper, self.take.sensor.exposure)
         return np.asarray(jax.device_get(img))

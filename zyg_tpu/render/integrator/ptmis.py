@@ -151,6 +151,10 @@ def _make_body(scene: SceneData, settings: PtmisSettings):
             mis_w = jnp.where(
                 s.singular | ~is_light, 1.0, power_heuristic(s.bxdf_pdf, lp)
             )
+            if not settings.caustics:
+                # caustic chains come from the lighttracer instead (ref
+                # connectLight: skip specular-previous non-primary hits)
+                mis_w = jnp.where(s.singular & (s.depth > 0) & is_light, 0.0, mis_w)
         elif settings.nee_only:
             # PTDL: only singular-previous hits count (no MIS)
             mis_w = jnp.where(s.singular, 1.0, jnp.where(is_light, 0.0, 1.0))

@@ -301,6 +301,73 @@ def _substitute_sample(params, wo, n, geo_n, p, xi):
     return wi, weight, pdf, ok
 
 
+def _smith_g1(mu, a2):
+    mu = jnp.clip(jnp.abs(mu), 1e-5, 1.0)
+    return (2.0 * mu) / (mu + jnp.sqrt(a2 + (1.0 - a2) * mu * mu))
+
+
+def _glass_rough_sample(params, wo, n, geo_n, p, xi):
+    """Rough dielectric via VNDF microfacet sampling (ref glass_sample.zig
+    roughSample): sample h ~ VNDF, pick reflect/refract by the microfacet
+    fresnel; the VNDF estimator weight is G2/G1(wo) for both events."""
+    same_side = vm.dot(wo, geo_n) > 0.0
+    ns = jnp.where(same_side[..., None], n, -n)
+    eta_i = jnp.where(same_side, params["ior_outside"], params["ior"])
+    eta_t = jnp.where(same_side, params["ior"], 1.0)
+    alpha = params["alpha"]
+    a2 = alpha * alpha
+
+    t, b = vm.orthonormal_basis(ns)
+    wo_l = vm.world_to_frame(t, b, ns, wo)
+    m_l = _vndf_sample(wo_l, alpha, xi)
+    h = vm.frame_to_world(t, b, ns, m_l)
+    wo_dot_h = _clamp(vm.dot(wo, h))
+
+    eta = eta_i / jnp.maximum(eta_t, 1e-6)
+    sint2 = (eta * eta) * (1.0 - wo_dot_h * wo_dot_h)
+    tir = sint2 >= 1.0
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sint2, 0.0))
+    r_p = (eta_t * wo_dot_h - eta_i * cos_t) / jnp.maximum(eta_t * wo_dot_h + eta_i * cos_t, 1e-12)
+    r_o = (eta_i * wo_dot_h - eta_t * cos_t) / jnp.maximum(eta_i * wo_dot_h + eta_t * cos_t, 1e-12)
+    f = jnp.where(tir, 1.0, 0.5 * (r_p * r_p + r_o * r_o))
+
+    wi_refl = vm.safe_normalize(2.0 * wo_dot_h[..., None] * h - wo)
+    wi_refr = vm.safe_normalize((eta * wo_dot_h - cos_t)[..., None] * h - eta[..., None] * wo)
+    reflect_it = p <= f
+    wi = jnp.where(reflect_it[..., None], wi_refl, wi_refr)
+
+    n_dot_wo = _clamp(jnp.abs(vm.dot(ns, wo)))
+    n_dot_wi = _clamp(jnp.abs(vm.dot(ns, wi)))
+    g1 = _smith_g1(n_dot_wo, a2)
+
+    def lam(mu):  # Smith Lambda for GGX
+        t2 = (1.0 - mu * mu) / jnp.clip(mu * mu, 1e-10, None)
+        return 0.5 * (jnp.sqrt(1.0 + a2 * t2) - 1.0)
+
+    g2 = 1.0 / (1.0 + lam(n_dot_wo) + lam(n_dot_wi))
+    # multi-scatter energy boost (ref ggx.zig ilmEpDielectric 1/E_s): the
+    # expected single-scatter VNDF weight is E_m(alpha, mu), so dividing by
+    # it restores the energy lost to microfacet shadowing on average
+    ms_boost = 1.0 / jnp.maximum(eval_e_m(alpha, n_dot_wo), 0.5)
+    weight = (g2 / jnp.maximum(g1, 1e-6) * ms_boost)[..., None] * params["specular"][..., None]
+
+    # pdf for MIS: VNDF pdf with the jacobian of the chosen event
+    n_dot_h = _clamp(vm.dot(ns, h))
+    d_ggx = _ggx_distribution(n_dot_h, a2)
+    pdf_h = g1 * wo_dot_h * d_ggx / jnp.maximum(n_dot_wo, 1e-6)
+    wi_dot_h = jnp.abs(vm.dot(wi, h))
+    denom = jnp.square(eta_i * wo_dot_h + eta_t * wi_dot_h)
+    jac = jnp.where(
+        reflect_it,
+        1.0 / jnp.maximum(4.0 * wo_dot_h, 1e-6),
+        (eta_t * eta_t * wi_dot_h) / jnp.maximum(denom, 1e-12),
+    )
+    sel_pdf = jnp.where(reflect_it, f, 1.0 - f)
+    pdf = pdf_h * jac * sel_pdf
+    transmission = ~reflect_it
+    return wi, weight, pdf, transmission
+
+
 def _glass_sample(params, wo, n, geo_n, p):
     """Smooth dielectric (ref glass_sample.zig specularSample, thick path)."""
     same_side = vm.dot(wo, geo_n) > 0.0
@@ -345,6 +412,7 @@ def sample_bsdf(params, wo, n, geo_n, s3) -> BsdfSample:
 
     sub_wi, sub_w, sub_pdf, sub_ok = _substitute_sample(params, wo, n, geo_n, p, xi)
     gl_wi, gl_w, gl_trans = _glass_sample(params, wo, n, geo_n, p)
+    gr_wi, gr_w, gr_pdf, gr_trans = _glass_rough_sample(params, wo, n, geo_n, p, xi)
 
     is_glass = kind == int(MaterialKind.GLASS)
     is_sub = kind == int(MaterialKind.SUBSTITUTE)
@@ -352,11 +420,17 @@ def sample_bsdf(params, wo, n, geo_n, s3) -> BsdfSample:
     # medium interior does the work (ref volumetric_material.zig)
     is_vol = kind == int(MaterialKind.VOLUMETRIC)
 
+    rough = params["alpha"] > MIN_ALPHA * 1.001
+    gl_wi = jnp.where(rough[..., None], gr_wi, gl_wi)
+    gl_w = jnp.where(rough[..., None], gr_w, gl_w)
+    gl_pdf = jnp.where(rough, gr_pdf, 1.0)
+    gl_trans = jnp.where(rough, gr_trans, gl_trans)
+
     wi = jnp.where(is_glass[..., None], gl_wi, sub_wi)
     weight = jnp.where(is_glass[..., None], gl_w, sub_w)
-    pdf = jnp.where(is_glass, 1.0, sub_pdf)
+    pdf = jnp.where(is_glass, gl_pdf, sub_pdf)
     valid = jnp.where(is_glass, True, sub_ok) & (is_glass | is_sub)
-    singular = is_glass  # smooth glass only; rough glass joins GGX path later
+    singular = is_glass & ~rough  # rough glass participates in MIS
     transmission = is_glass & gl_trans
 
     wi = jnp.where(is_vol[..., None], -wo, wi)

@@ -1,0 +1,185 @@
+"""`it` — image toolbox (ref: src/it/).
+
+Operators, mirroring the reference CLI surface:
+  --diff A B ...     difference images + RMSE/max stats (the de-facto
+                     regression harness, ref it/operator.zig Diff)
+  --denoise          joint bilateral denoise using albedo/normal/depth AOVs
+                     (ref it/denoise.zig)
+  --down N           integer box down-sample
+  --blur S           gaussian blur
+  --cat              horizontal concatenation
+  --tonemap NAME     tonemap + format conversion
+  -o / --output      output file (format by extension: png/exr/hdr)
+
+Usage: python -m zyg_tpu.tools.it --diff a.exr b.exr -o diff.png
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def load_image(path: str) -> np.ndarray:
+    from ..scene.loader import load_image as _li
+
+    img = _li(path)
+    if img is None:
+        raise SystemExit(f"it: cannot load {path}")
+    img = np.asarray(img, np.float32)
+    if img.dtype == np.uint8:
+        img = img.astype(np.float32) / 255.0
+    if img.ndim == 2:
+        img = img[..., None]
+    return img[..., :3] if img.shape[-1] >= 3 else np.repeat(img, 3, axis=-1)
+
+
+def save_image(path: str, img: np.ndarray) -> None:
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".exr":
+        from ..io.exr import write_exr
+
+        write_exr(path, {"R": img[..., 0], "G": img[..., 1], "B": img[..., 2]})
+    elif ext == ".hdr":
+        from ..io.rgbe import write_hdr
+
+        write_hdr(path, img)
+    else:
+        from ..io.png import write_png, float_to_srgb8
+
+        write_png(path, float_to_srgb8(img))
+
+
+def op_diff(paths: list[str], clamp: float = 1.0):
+    """Pairwise diff vs the first image. Returns (diff image, stats dict)."""
+    ref = load_image(paths[0])
+    stats = []
+    out = None
+    for p in paths[1:]:
+        img = load_image(p)
+        h = min(ref.shape[0], img.shape[0])
+        w = min(ref.shape[1], img.shape[1])
+        d = np.abs(ref[:h, :w] - img[:h, :w])
+        stats.append(
+            {
+                "image": p,
+                "rmse": float(np.sqrt(np.mean(d * d))),
+                "max": float(d.max()),
+                "mean": float(d.mean()),
+                "psnr": float(20 * np.log10(max(ref.max(), 1e-6) / max(np.sqrt(np.mean(d * d)), 1e-12))),
+            }
+        )
+        out = np.clip(d / clamp, 0.0, 1.0)
+    return out, stats
+
+
+def op_downsample(img: np.ndarray, n: int) -> np.ndarray:
+    h, w = (img.shape[0] // n) * n, (img.shape[1] // n) * n
+    return img[:h, :w].reshape(h // n, n, w // n, n, -1).mean(axis=(1, 3))
+
+
+def op_blur(img: np.ndarray, sigma: float) -> np.ndarray:
+    r = max(int(3 * sigma), 1)
+    x = np.arange(-r, r + 1)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    k /= k.sum()
+    out = img
+    out = np.apply_along_axis(lambda row: np.convolve(row, k, mode="same"), 1, out)
+    out = np.apply_along_axis(lambda col: np.convolve(col, k, mode="same"), 0, out)
+    return out
+
+
+def op_cat(images: list[np.ndarray]) -> np.ndarray:
+    h = max(i.shape[0] for i in images)
+    padded = [
+        np.pad(i, ((0, h - i.shape[0]), (0, 0), (0, 0))) for i in images
+    ]
+    return np.concatenate(padded, axis=1)
+
+
+def op_denoise(color: np.ndarray, albedo=None, normal=None, depth=None, radius: int = 3,
+               sigma_color: float = 0.25, sigma_feature: float = 0.2) -> np.ndarray:
+    """Joint bilateral filter guided by AOVs (ref it/denoise.zig)."""
+    h, w, _ = color.shape
+    acc = np.zeros_like(color)
+    wacc = np.zeros((h, w, 1), np.float32)
+    inv2sc = 1.0 / (2 * sigma_color * sigma_color)
+    inv2sf = 1.0 / (2 * sigma_feature * sigma_feature)
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            ys = slice(max(dy, 0), h + min(dy, 0))
+            yd = slice(max(-dy, 0), h + min(-dy, 0))
+            xs = slice(max(dx, 0), w + min(dx, 0))
+            xd = slice(max(-dx, 0), w + min(-dx, 0))
+            wgt = np.exp(-(dx * dx + dy * dy) / (2.0 * radius * radius)) * np.ones((h, w), np.float32)[yd, xd]
+            dc = color[ys, xs] - color[yd, xd]
+            wgt = wgt * np.exp(-np.sum(dc * dc, -1) * inv2sc)
+            for feat in (albedo, normal):
+                if feat is not None:
+                    df = feat[ys, xs] - feat[yd, xd]
+                    wgt = wgt * np.exp(-np.sum(df * df, -1) * inv2sf)
+            if depth is not None:
+                dd = depth[ys, xs, 0] - depth[yd, xd, 0]
+                wgt = wgt * np.exp(-dd * dd * inv2sf)
+            acc[yd, xd] += wgt[..., None] * color[ys, xs]
+            wacc[yd, xd] += wgt[..., None]
+    return acc / np.maximum(wacc, 1e-8)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="it", description="image toolbox")
+    p.add_argument("inputs", nargs="*")
+    p.add_argument("--diff", nargs="+", help="reference image + comparisons")
+    p.add_argument("--denoise", action="store_true")
+    p.add_argument("--albedo")
+    p.add_argument("--normal")
+    p.add_argument("--depth")
+    p.add_argument("--down", type=int, default=0)
+    p.add_argument("--blur", type=float, default=0.0)
+    p.add_argument("--cat", action="store_true")
+    p.add_argument("--tonemap", default="")
+    p.add_argument("-o", "--output", default="it_out.png")
+    args = p.parse_args(argv)
+
+    if args.diff:
+        out, stats = op_diff(args.diff)
+        print(json.dumps(stats, indent=2))
+        if out is not None:
+            save_image(args.output, out)
+        return 0
+
+    if not args.inputs:
+        p.print_help()
+        return 1
+    imgs = [load_image(x) for x in args.inputs]
+    img = imgs[0]
+
+    if args.denoise:
+        img = op_denoise(
+            img,
+            albedo=load_image(args.albedo) if args.albedo else None,
+            normal=load_image(args.normal) if args.normal else None,
+            depth=load_image(args.depth) if args.depth else None,
+        )
+    if args.down > 1:
+        img = op_downsample(img, args.down)
+    if args.blur > 0:
+        img = op_blur(img, args.blur)
+    if args.cat and len(imgs) > 1:
+        img = op_cat(imgs)
+    if args.tonemap:
+        import jax.numpy as jnp
+
+        from ..render.sensor import tonemap
+
+        img = np.asarray(tonemap(jnp.asarray(img), args.tonemap))
+    save_image(args.output, img)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
