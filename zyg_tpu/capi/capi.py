@@ -428,6 +428,9 @@ def su_register_log(post) -> int:
     if _engine is None:
         return -1
     _engine.log_fn = post
+    from ..utils import log as _log
+
+    _log.register((lambda lvl, msg: post(lvl, msg)) if post else None)
     return 0
 
 

@@ -53,6 +53,7 @@ def main(argv=None) -> int:
         take.num_samples_per_pixel = args.num_samples
 
     driver = Driver(take=take, scene=scene)
+    driver.progress.quiet = False
     t0 = time.time()
     driver.render_frame()
     render_time = time.time() - t0
@@ -66,9 +67,10 @@ def main(argv=None) -> int:
     print(f"Export time {time.time() - t0:.3f} s")
 
     if args.stats:
-        rays = w * h * spp  # camera rays (bounces add more)
-        print(f"resolution {w}x{h}, {spp} spp, {rays/1e6:.1f}M camera rays")
-        print(f"{rays / render_time / 1e6:.1f} M camera rays/s")
+        print(f"resolution {w}x{h}, {spp} spp, {driver.rays_traced/1e6:.1f}M rays")
+        print(f"{driver.rays_traced / render_time / 1e6:.1f} Mrays/s")
+        for k, v in driver.memory_stats().items():
+            print(f"  {k:12s} {v/1024/1024:8.2f} MiB")
     return 0
 
 

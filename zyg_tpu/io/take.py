@@ -63,6 +63,9 @@ def _load_camera(node: dict) -> PerspectiveCamera:
         if kind not in ("Perspective", "Orthographic"):
             continue
         params = body.get("parameters", {})
+        if kind == "Orthographic":
+            cam.projection = "orthographic"
+            cam.ortho_width = float(params.get("extent", params.get("width", 2.0)))
         if "fov" in params:
             cam.fov = float(np.deg2rad(params["fov"]))
         if "lens" in params:

@@ -17,15 +17,38 @@ from ..core import vecmath as vm
 
 
 class CameraArrays(NamedTuple):
-    """Device-side camera constants."""
+    """Device-side camera constants.
+
+    Rays are an affine function of pixel coords c=(cx,cy):
+        origin_local = o_base + o_dx*cx + o_dy*cy   (+ aperture lens offset)
+        dir_local    = d_base + d_dx*cx + d_dy*cy
+    Perspective: o_* = 0, d_* = left_top/d_x/d_y (ref camera_perspective.zig).
+    Orthographic: o_* spans the world-space sensor, d_base = +z.
+    Branch-free — both projections share one jitted ray generator.
+    """
 
     rot: jax.Array  # [3,3] rows = camera axes in world
     pos: jax.Array  # [3]
-    left_top: jax.Array  # [3]
-    d_x: jax.Array  # [3]
-    d_y: jax.Array  # [3]
+    o_base: jax.Array  # [3]
+    o_dx: jax.Array  # [3]
+    o_dy: jax.Array  # [3]
+    d_base: jax.Array  # [3]
+    d_dx: jax.Array  # [3]
+    d_dy: jax.Array  # [3]
     aperture_radius: jax.Array  # scalar
     focus_distance: jax.Array  # scalar
+
+    @property
+    def left_top(self):  # perspective sensor corner (for sampleTo)
+        return self.d_base
+
+    @property
+    def d_x(self):
+        return self.d_dx
+
+    @property
+    def d_y(self):
+        return self.d_dy
 
 
 @dataclass
@@ -37,22 +60,38 @@ class PerspectiveCamera:
     aperture_radius: float = 0.0
     focus_distance: float = 0.0
     crop: tuple[int, int, int, int] | None = None
+    projection: str = "perspective"  # "perspective" | "orthographic"
+    ortho_width: float = 2.0  # world-space sensor width (orthographic)
 
     def arrays(self) -> CameraArrays:
         w, h = self.resolution
         ratio = h / w
-        z = 1.0 / np.tan(0.5 * self.fov)
-        left_top = np.array([-1.0, ratio, z], np.float32)
-        right_top = np.array([1.0, ratio, z], np.float32)
-        left_bottom = np.array([-1.0, -ratio, z], np.float32)
-        d_x = (right_top - left_top) / w
-        d_y = (left_bottom - left_top) / h
+        zero = np.zeros(3, np.float32)
+        if self.projection == "orthographic":
+            ew = self.ortho_width
+            eh = ew * ratio
+            o_base = np.array([-0.5 * ew, 0.5 * eh, 0.0], np.float32)
+            o_dx = np.array([ew / w, 0.0, 0.0], np.float32)
+            o_dy = np.array([0.0, -eh / h, 0.0], np.float32)
+            d_base = np.array([0.0, 0.0, 1.0], np.float32)
+            d_dx = d_dy = zero
+        else:
+            z = 1.0 / np.tan(0.5 * self.fov)
+            d_base = np.array([-1.0, ratio, z], np.float32)
+            right_top = np.array([1.0, ratio, z], np.float32)
+            left_bottom = np.array([-1.0, -ratio, z], np.float32)
+            d_dx = (right_top - d_base) / w
+            d_dy = (left_bottom - d_base) / h
+            o_base = o_dx = o_dy = zero
         return CameraArrays(
             rot=jnp.asarray(self.rotation, jnp.float32),
             pos=jnp.asarray(self.position, jnp.float32),
-            left_top=jnp.asarray(left_top),
-            d_x=jnp.asarray(d_x),
-            d_y=jnp.asarray(d_y),
+            o_base=jnp.asarray(o_base),
+            o_dx=jnp.asarray(o_dx),
+            o_dy=jnp.asarray(o_dy),
+            d_base=jnp.asarray(d_base),
+            d_dx=jnp.asarray(d_dx),
+            d_dy=jnp.asarray(d_dy),
             aperture_radius=jnp.float32(self.aperture_radius),
             focus_distance=jnp.float32(self.focus_distance),
         )
@@ -105,21 +144,17 @@ def generate_rays(cam: CameraArrays, pixel_xy, pixel_uv, lens_uv=None):
     ref camera_perspective.zig generateVertex.
     """
     coords = pixel_xy.astype(jnp.float32) + pixel_uv
-    direction = (
-        cam.left_top + cam.d_x * coords[..., 0:1] + cam.d_y * coords[..., 1:2]
-    )
+    origin_l = cam.o_base + cam.o_dx * coords[..., 0:1] + cam.o_dy * coords[..., 1:2]
+    direction = cam.d_base + cam.d_dx * coords[..., 0:1] + cam.d_dy * coords[..., 1:2]
     if lens_uv is not None:
         # physical aperture: sample a disk of radius aperture_radius
         use = cam.aperture_radius > 0.0
         lens = cam.aperture_radius * vm.sample_disk_concentric(lens_uv)
-        origin_l = jnp.where(
-            use, jnp.stack([lens[..., 0], lens[..., 1], jnp.zeros_like(lens[..., 0])], -1), 0.0
-        )
-        t = cam.focus_distance / direction[..., 2:3]
+        lens_l = jnp.stack([lens[..., 0], lens[..., 1], jnp.zeros_like(lens[..., 0])], -1)
+        t = cam.focus_distance / jnp.where(jnp.abs(direction[..., 2:3]) < 1e-6, 1e-6, direction[..., 2:3])
         focus = t * direction
-        direction = jnp.where(use, focus - origin_l, direction)
-    else:
-        origin_l = jnp.zeros_like(direction)
+        origin_l = jnp.where(use, origin_l + lens_l, origin_l)
+        direction = jnp.where(use, focus - lens_l, direction)
 
     # normalize AFTER the rotation: look_at rotations are not orthonormalized
     # (ref json.zig keeps the raw up vector), so the transform can scale

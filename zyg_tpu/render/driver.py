@@ -21,6 +21,7 @@ import numpy as np
 
 from ..core.sobol import SobolSampler
 from ..io.take import Take, IntegratorSettings
+from ..utils.progress import Progressor
 from ..scene.types import SceneData
 from . import sensor as sensor_mod
 from .camera import PerspectiveCamera, generate_rays
@@ -153,6 +154,7 @@ class Driver:
         clamp = self.take.sensor.clamp
         self._clamp_max = (clamp.emission, clamp.direct, clamp.indirect)
         self._render_cache: dict[int, callable] = {}
+        self.progress = Progressor(quiet=True)
         # chunking: the persistent-wavefront path (PTMIS/PTDL, box filter)
         # streams samples through resident lanes, so its footprint does not
         # grow with spp — run all samples in one dispatch. The scan path
@@ -205,12 +207,14 @@ class Driver:
             return
         w, h = self.camera.resolution
         fn = self._particle_fn()
+        self.progress.start(ppp)
         for it in range(ppp):
             keys = self._pixel_ids * jnp.uint32(max(ppp, 2)) + jnp.uint32(self._particles_traced)
             splat, rays = fn(self.scene, self.camera.arrays(), keys)
             self._splat = self._splat + splat
             self._particles_traced += 1
             self.rays_traced += int(rays)
+            self.progress.tick()
 
     def _particle_fn(self):
         from .integrator import lighttracer as lt_mod
@@ -238,6 +242,7 @@ class Driver:
     def render_iterations(self, num: int | None = None):
         """Render `num` further samples per pixel (default: take spp)."""
         num = num if num is not None else self.take.num_samples_per_pixel
+        self.progress.start(num)
         done = 0
         while done < num:
             n = min(self.chunk_size, num - done)
@@ -252,6 +257,7 @@ class Driver:
             self._iteration += n
             done += n
             self.rays_traced += int(rays)
+            self.progress.tick(n)
         return self._fb
 
     def render_frame(self) -> np.ndarray:
@@ -273,6 +279,28 @@ class Driver:
         if tonemapped:
             img = sensor_mod.tonemap(img, self.take.sensor.tonemapper, self.take.sensor.exposure)
         return np.asarray(jax.device_get(img))
+
+    def memory_stats(self) -> dict:
+        """Device-memory byte counts per scene category (ref cli/main.zig
+        --stats report via numBytes())."""
+        def tree_bytes(t):
+            if t is None:
+                return 0
+            return sum(x.nbytes for x in jax.tree.leaves(t) if hasattr(x, "nbytes"))
+
+        sc = self.scene
+        return {
+            "props": sum(
+                tree_bytes(x)
+                for x in (sc.prop_shape, sc.prop_rot, sc.prop_pos, sc.prop_scale,
+                          sc.prop_material, sc.prop_light)
+            ),
+            "materials": tree_bytes(sc.materials),
+            "lights": tree_bytes(sc.lights),
+            "meshes": tree_bytes(sc.meshes),
+            "textures": tree_bytes(sc.textures),
+            "framebuffer": tree_bytes(self._fb) + tree_bytes(self._splat),
+        }
 
     def export_frame(self, path: str):
         """Write by extension: .png (tonemapped sRGB8), .exr (linear HDR),
