@@ -164,3 +164,64 @@ class TestMeshRender:
         # sphere projects to roughly rows 22..38, cols 16..32 and is lit
         assert img[22:38, 16:32].mean() > 0.15
         assert img.mean() > 0.01
+
+
+class TestMeshLight:
+    def _scene(self):
+        b = SceneBuilder()
+        white = b.add_material(MaterialDesc(color=np.full(3, 0.7, np.float32)))
+        lightm = b.add_material(
+            MaterialDesc(kind=2, emission=np.full(3, 25.0, np.float32))
+        )
+        import zyg_tpu.scene.types as st
+        from zyg_tpu.scene.loader import PropDesc
+
+        rot_floor = np.array([[1, 0, 0], [0, 0, 1], [0, 1, 0]], np.float32)
+        b.add_prop(
+            PropDesc(
+                shape=int(st.ShapeType.RECTANGLE),
+                trafo=Transformation(
+                    position=np.array([0, 0, 0], np.float32),
+                    rotation=rot_floor,
+                    scale=np.array([6, 6, 1], np.float32),
+                ),
+                material=white,
+            )
+        )
+        # emissive mesh sphere hovering above the floor
+        mid = b.add_mesh(trimesh.make_sphere_mesh(12, 24, radius=0.5))
+        pid = b.add_mesh_prop(
+            mid,
+            Transformation(position=np.array([0, 1.5, 0], np.float32)),
+            lightm,
+        )
+        b.props[pid].is_light = True
+        b.props[pid].visible_shadow = False
+        return b.build()
+
+    def test_mesh_light_registered(self):
+        scene = self._scene()
+        assert scene.lights.count == 1
+        assert float(scene.lights.area[0]) > 0.0
+        assert int(scene.lights.tri_offset[0]) == 0
+        assert int(scene.lights.tri_count[0]) > 100
+
+    def test_nee_matches_bsdf_sampling(self):
+        scene = self._scene()
+        from zyg_tpu.io.take import Take, IntegratorSettings
+        from zyg_tpu.render.camera import PerspectiveCamera
+        from zyg_tpu.render.driver import Driver
+
+        def render(kind, spp):
+            take = Take()
+            take.num_samples_per_pixel = spp
+            take.integrator = IntegratorSettings(kind=kind, max_depth_surface=3)
+            cam = PerspectiveCamera(resolution=(32, 32), fov=np.deg2rad(50))
+            cam.position = np.array([0, 1.2, -4.0], np.float32)
+            take.cameras = [cam]
+            return Driver(take=take, scene=scene).render_frame()
+
+        pt = render("PT", 128)
+        mis = render("PTMIS", 16)
+        ratio = mis.mean() / pt.mean()
+        assert abs(ratio - 1.0) < 0.06, f"mesh light NEE biased: ratio {ratio}"

@@ -68,3 +68,30 @@ class TestSow:
         data = json.load(open(p))
         assert len(data["instances"]) == 10
         assert data["prototype"]["shape"]["file"] == "proc:sphere"
+
+
+class TestInstancer:
+    def test_sow_to_scene_roundtrip(self, tmp_path):
+        """Bake instances with sow, load them back as an Instancer entity."""
+        import jax.numpy as jnp
+        from zyg_tpu.scene.loader import load_scene_dict
+        from zyg_tpu.scene.types import ShapeType
+
+        mesh = make_cube_mesh()
+        pts, rots, scales = sow.scatter_on_mesh(mesh, 20, seed=3)
+        p = str(tmp_path / "f.instancer")
+        sow.write_instancer(p, "proc:sphere", pts, rots, scales)
+        scene = load_scene_dict(
+            {
+                "materials": [{"name": "m", "rendering": {"Substitute": {}}}],
+                "entities": [
+                    {"type": "Instancer", "source": "f.instancer", "materials": ["m"]}
+                ],
+            },
+            base_dir=str(tmp_path),
+        )
+        assert scene.num_props == 20
+        assert (np.asarray(scene.prop_shape) == int(ShapeType.TRIANGLE_MESH)).all()
+        # ALL instances share one mesh (arena has a single root)
+        assert scene.meshes.mesh_root.shape[0] == 1
+        assert (np.asarray(scene.prop_mesh) == 0).all()

@@ -161,7 +161,9 @@ class Driver:
         # bounds lanes*samples to keep device steps short.
         spp = max(self.take.num_samples_per_pixel, 1)
         if self.take.integrator.kind in ("PTMIS", "PTDL") and self.take.sensor.filter_radius == 0:
-            self.chunk_size = min(spp, 64)
+            # mesh traversal nests a while_loop per bounce — long dispatches
+            # with it have crashed the remote TPU worker; chunk smaller
+            self.chunk_size = min(spp, 8 if self.scene.meshes is not None else 64)
         else:
             lane_budget = 4_000_000
             by_lanes = max(1, lane_budget // max(w * h, 1))

@@ -271,6 +271,47 @@ def sample_light(scene: SceneData, light_idx, p, n, xi, total_sphere=False) -> L
         pdf_v[k] = jnp.where(ts, 1.0 / (4.0 * jnp.pi), 1.0 / (2.0 * jnp.pi))
         valid_v[k] = ones_b
 
+    if has(ShapeType.TRIANGLE_MESH) and scene.meshes is not None:
+        # emissive mesh: area-uniform triangle sampling via the per-light CDF
+        # (ref shape_sampler.zig MeshImpl / triangle_mesh sampleTo)
+        li = jnp.clip(light_idx, 0, scene.lights.count - 1)
+        t_off = small_gather(scene.lights.tri_offset, li)
+        t_cnt = small_gather(scene.lights.tri_count, li)
+        # per-lane binary search in the cdf slice [t_off, t_off + t_cnt)
+        u = xi[..., 0]
+        lo = jnp.maximum(t_off, 0)
+        hi = lo + jnp.maximum(t_cnt, 1)
+
+        def bs_step(_, lh):
+            lo, hi = lh
+            mid = (lo + hi) // 2
+            below = scene.lights.tri_cdf[jnp.clip(mid, 0, scene.lights.tri_cdf.shape[0] - 1)] < u
+            return jnp.where(below, mid + 1, lo), jnp.where(below, hi, mid)
+
+        lo, hi = jax.lax.fori_loop(0, 24, bs_step, (lo, hi))
+        tri = scene.lights.tri_idx[jnp.clip(lo, 0, scene.lights.tri_idx.shape[0] - 1)]
+        # object-space triangle -> world via the light prop transform
+        p0 = vm.object_to_world_point(rot, scale, pos, scene.meshes.tri_p0[tri])
+        e1 = vm.object_to_world_vector(rot, scale, scene.meshes.tri_e1[tri])
+        e2 = vm.object_to_world_vector(rot, scale, scene.meshes.tri_e2[tri])
+        bc = vm.sample_triangle_uniform(xi)
+        mp = p0 + bc[..., 0:1] * e1 + bc[..., 1:2] * e2
+        mn_raw = vm.cross(e1, e2)
+        mn = vm.safe_normalize(mn_raw)
+        axis = mp - p
+        sl = jnp.maximum(vm.dot(axis, axis), 1e-20)
+        mt = jnp.sqrt(sl)
+        mwi = axis / mt[..., None]
+        cosl = jnp.abs(vm.dot(mn, mwi))
+        area = small_gather(scene.lights.area, li)
+        k = int(ShapeType.TRIANGLE_MESH)
+        wi_v[k] = mwi
+        pdf_v[k] = sl / jnp.maximum(cosl * area, 1e-20)
+        lp_v[k] = mp
+        ln_v[k] = mn
+        valid_v[k] = (t_off >= 0) & (cosl > DOT_MIN) & (area > 0.0)
+        t_v[k] = mt
+
     def sel(vals, default):
         out = None
         for st, val in vals.items():
@@ -395,12 +436,20 @@ def light_hit_pdf(scene: SceneData, prop, ray_o, ray_d, hit_t, hit_p, hit_n, n_a
     if has(ShapeType.DOME):
         vals[int(ShapeType.DOME)] = jnp.full(nshape, 1.0 / (2.0 * jnp.pi), jnp.float32)
 
+    if has(ShapeType.TRIANGLE_MESH) and scene.lights.area is not None:
+        li = small_gather(scene.prop_light, pm)
+        area = small_gather(scene.lights.area, jnp.clip(li, 0, scene.lights.count - 1))
+        sl = jnp.maximum(hit_t * hit_t, 1e-20)
+        c = jnp.abs(vm.dot(hit_n, ray_d))
+        vals[int(ShapeType.TRIANGLE_MESH)] = jnp.where(
+            area > 0.0, sl / jnp.maximum(c * area, 1e-20), 0.0
+        )
+
     out = None
     for st, val in vals.items():
         out = val if out is None else jnp.where(shape == st, val, out)
     if out is None:
         return jnp.zeros(nshape, jnp.float32)
-    # shapes NEE can't sample (cube/mesh emitters, until per-triangle CDFs)
-    # contribute pdf 0 -> MIS weight 1 on BSDF hits
-    unsupported = (shape == int(ShapeType.CUBE)) | (shape == int(ShapeType.TRIANGLE_MESH))
+    # shapes NEE can't sample (cube emitters) contribute pdf 0 -> MIS weight 1
+    unsupported = shape == int(ShapeType.CUBE)
     return jnp.where(unsupported, 0.0, out)

@@ -381,15 +381,42 @@ class SceneBuilder:
         elif shape == ShapeType.DISTANT:
             area = float(2.0 * np.pi * (1.0 - np.sqrt(1.0 / (s[0] ** 2 + 1.0))))
         elif shape == ShapeType.TRIANGLE_MESH:
-            # emissive meshes: NEE sampling needs per-triangle CDFs (next
-            # round); exclude from the light set — BSDF hits still collect
-            # their emission unbiased (MIS weight 1, light pdf 0).
-            return 0.0
+            area = self._mesh_world_area(p)
         else:  # canopy/dome env
             area = 4.0 * np.pi
         if m.two_sided:
             area *= 2.0
         return lum * area
+
+    def _mesh_world_area(self, p: PropDesc) -> float:
+        mesh = self.meshes[p.mesh_id]
+        pos = np.asarray(mesh.positions, np.float32)
+        idx = np.asarray(mesh.indices, np.int32)
+        # world-space vertices under the prop transform
+        w = (pos * p.trafo.scale) @ p.trafo.rotation + p.trafo.position
+        e1 = w[idx[:, 1]] - w[idx[:, 0]]
+        e2 = w[idx[:, 2]] - w[idx[:, 0]]
+        return float(0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1).sum())
+
+    def _mesh_light_cdf(self, p: PropDesc, mesh_tri_base: dict[int, int]):
+        """Per-triangle world-area CDF; triangle ids are ARENA-global."""
+        mesh = self.meshes[p.mesh_id]
+        pos = np.asarray(mesh.positions, np.float32)
+        idx = np.asarray(mesh.indices, np.int32)
+        w = (pos * p.trafo.scale) @ p.trafo.rotation + p.trafo.position
+        e1 = w[idx[:, 1]] - w[idx[:, 0]]
+        e2 = w[idx[:, 2]] - w[idx[:, 0]]
+        areas = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
+        # arena order permutes triangles (BVH leaf order): build in that order
+        from .bvh import build_bvh  # noqa: F401 (order comes from arena build)
+
+        order = self._mesh_orders[p.mesh_id]
+        areas = areas[order]
+        total = max(float(areas.sum()), 1e-20)
+        cdf = np.cumsum(areas / total).astype(np.float32)
+        cdf[-1] = 1.0
+        tri_ids = (np.arange(len(order), dtype=np.int32) + mesh_tri_base[p.mesh_id])
+        return cdf, tri_ids, total
 
     def build(self) -> SceneData:
         props = self.props or [
@@ -409,6 +436,21 @@ class SceneBuilder:
             prop_light[pi] = li
 
         meshes = build_arena(self.meshes) if self.meshes else None
+        # per-mesh: triangle permutation (BVH leaf order) + arena base offsets
+        self._mesh_orders = {}
+        mesh_tri_base = {}
+        if self.meshes:
+            base = 0
+            from .bvh import build_bvh
+
+            for mi, m in enumerate(self.meshes):
+                pos = np.asarray(m.positions, np.float32)
+                idx = np.asarray(m.indices, np.int32)
+                v0, v1, v2 = pos[idx[:, 0]], pos[idx[:, 1]], pos[idx[:, 2]]
+                bvh = build_bvh(np.minimum(np.minimum(v0, v1), v2), np.maximum(np.maximum(v0, v1), v2))
+                self._mesh_orders[mi] = bvh.prim_order
+                mesh_tri_base[mi] = base
+                base += len(idx)
         mesh_props = [i for i, p in enumerate(props) if p.mesh_id >= 0]
         texture_arena = self.textures.build()
         groups: dict[int, list[int]] = {}
@@ -417,6 +459,36 @@ class SceneBuilder:
                 groups.setdefault(p.shape, []).append(i)
         prop_groups = {k: jnp.asarray(v, jnp.int32) for k, v in sorted(groups.items())}
         light_shapes = {int(props[i].shape): True for i in light_props}
+
+        # emissive-mesh triangle CDF arena
+        light_area = []
+        tri_off, tri_cnt = [], []
+        tri_cdf_parts, tri_idx_parts = [], []
+        off = 0
+        for li, pi in enumerate(light_props):
+            p = props[pi]
+            if p.mesh_id >= 0 and weights[li] > 0.0:
+                mcdf, tids, total = self._mesh_light_cdf(p, mesh_tri_base)
+                light_area.append(total)
+                tri_off.append(off)
+                tri_cnt.append(len(tids))
+                tri_cdf_parts.append(mcdf)
+                tri_idx_parts.append(tids)
+                off += len(tids)
+            else:
+                light_area.append(0.0)
+                tri_off.append(-1)
+                tri_cnt.append(0)
+        tri_cdf = (
+            jnp.asarray(np.concatenate(tri_cdf_parts), jnp.float32)
+            if tri_cdf_parts
+            else jnp.zeros((1,), jnp.float32)
+        )
+        tri_idx = (
+            jnp.asarray(np.concatenate(tri_idx_parts), jnp.int32)
+            if tri_idx_parts
+            else jnp.zeros((1,), jnp.int32)
+        )
 
         return SceneData(
             prop_shape=jnp.asarray([p.shape for p in props], jnp.int32),
@@ -432,6 +504,11 @@ class SceneBuilder:
                 prop=jnp.asarray(light_props, jnp.int32),
                 two_sided=jnp.asarray([self.materials[props[i].material].two_sided for i in light_props], bool),
                 cdf=jnp.asarray(cdf, jnp.float32),
+                area=jnp.asarray(light_area, jnp.float32),
+                tri_offset=jnp.asarray(tri_off, jnp.int32),
+                tri_count=jnp.asarray(tri_cnt, jnp.int32),
+                tri_cdf=tri_cdf,
+                tri_idx=tri_idx,
             ),
             prop_light=jnp.asarray(prop_light, jnp.int32),
             meshes=meshes,
@@ -469,6 +546,8 @@ def _load_entities(entities, parent: Transformation, local_materials, builder: S
         trafo = parent.compose(read_transformation(e.get("transformation")))
         if etype == "Sky":
             _load_sky(e, builder)
+        elif etype == "Instancer":
+            _load_instancer(e, trafo, local_materials, builder, base_dir)
         elif etype in ("Prop", "Light"):
             shape_node = e.get("shape", {})
             stype = shape_node.get("type")
@@ -515,6 +594,68 @@ def _load_entities(entities, parent: Transformation, local_materials, builder: S
         # children inherit this entity's transform
         if "entities" in e:
             _load_entities(e["entities"], trafo, local_materials, builder, base_dir)
+
+
+def _load_instancer(e: dict, parent: Transformation, local_materials, builder: SceneBuilder, base_dir: str) -> None:
+    """Instancer entity: a prototype replicated under many transforms.
+
+    ref: scene_loader.zig loadInstancer + prop/instancer.zig. Instances of a
+    mesh prototype share ONE BVH in the mesh arena (prop_mesh indirection),
+    so this is memory-wise two-level instancing; traversal runs per instance.
+    Accepts zyg-style nested files ("source") and sow-baked .instancer JSON
+    ({prototype, instances:[{position, rotation_matrix|rotation, scale}]})."""
+    node = e
+    if "source" in e:
+        path = os.path.join(base_dir, e["source"])
+        try:
+            with open(path) as f:
+                node = json.load(f)
+        except OSError as err:
+            import logging
+
+            logging.getLogger(__name__).warning("instancer load failed %s: %s", path, err)
+            return
+
+    proto = node.get("prototype")
+    instances = node.get("instances", [])
+    if proto is None or not instances:
+        return
+
+    shape_node = proto.get("shape", {})
+    mesh_id = -1
+    shape = None
+    stype = shape_node.get("type")
+    if stype in _SHAPE_NAMES:
+        shape = int(_SHAPE_NAMES[stype])
+    elif "file" in shape_node:
+        from ..io.mesh import load_mesh_file
+
+        fname = shape_node["file"]
+        path = fname if fname.startswith("proc:") else os.path.join(base_dir, fname)
+        mesh = load_mesh_file(path)
+        if mesh is None:
+            return
+        mesh_id = builder.add_mesh(mesh, fname)
+        shape = int(ShapeType.TRIANGLE_MESH)
+    if shape is None:
+        return
+
+    mat_names = proto.get("materials", e.get("materials", []))
+    mat = builder.material_id(mat_names[0], local_materials) if mat_names else builder._fallback
+
+    for inst in instances:
+        t = Transformation()
+        if "position" in inst:
+            t.position = _read_vec3(inst["position"])
+        if "rotation_matrix" in inst:
+            t.rotation = np.asarray(inst["rotation_matrix"], np.float32).reshape(3, 3)
+        elif "rotation" in inst:
+            t.rotation = rotation_matrix_from_euler_degrees(_read_vec3(inst["rotation"]))
+        if "scale" in inst:
+            t.scale = _read_vec3(inst["scale"], default=(1.0, 1.0, 1.0))
+        builder.add_prop(
+            PropDesc(shape=shape, trafo=parent.compose(t), material=mat, mesh_id=mesh_id)
+        )
 
 
 def _load_sky(e: dict, builder: SceneBuilder) -> None:

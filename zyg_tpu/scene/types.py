@@ -79,6 +79,13 @@ class Lights(NamedTuple):
     two_sided: jax.Array  # bool[L]
     # power-distribution CDF over lights, cdf[0]=0..cdf[L]=1
     cdf: jax.Array  # float32[L+1]
+    # emissive-mesh sampling (ref shape_sampler.zig MeshImpl): per-light slice
+    # into the triangle CDF arena; -1 offset for non-mesh lights
+    area: jax.Array = None  # float32[L] world-space emitting area
+    tri_offset: jax.Array = None  # int32[L]
+    tri_count: jax.Array = None  # int32[L]
+    tri_cdf: jax.Array = None  # float32[sum] per-light normalized area CDF
+    tri_idx: jax.Array = None  # int32[sum] arena triangle ids
 
     @property
     def count(self) -> int:
