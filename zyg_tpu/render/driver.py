@@ -242,24 +242,40 @@ class Driver:
         return fn
 
     def render_iterations(self, num: int | None = None):
-        """Render `num` further samples per pixel (default: take spp)."""
+        """Render `num` further samples per pixel (default: take spp).
+
+        Mesh scenes run in pixel tiles of bounded lane count: the fused
+        integrator + nested BVH-traversal loop has crashed the TPU worker
+        (kernel fault, likely VMEM pressure) above ~10^5 lanes."""
         num = num if num is not None else self.take.num_samples_per_pixel
-        self.progress.start(num)
+        n_pixels = self._pixel_ids.shape[0]
+        # filtered splats write across tile borders — only tile box-filter runs
+        can_tile = self.scene.meshes is not None and self.take.sensor.filter_radius == 0
+        tile = min(n_pixels, 16384) if can_tile else n_pixels
+        self.progress.start(num * ((n_pixels + tile - 1) // tile))
         done = 0
         while done < num:
             n = min(self.chunk_size, num - done)
-            self._fb, rays = self._render_fn(n)(
-                self.scene,
-                self.camera.arrays(),
-                self._fb,
-                self._pixel_xy,
-                self._pixel_ids,
-                jnp.int32(self._iteration),
-            )
+            fn = self._render_fn(n)
+            for t0 in range(0, n_pixels, tile):
+                t1 = min(t0 + tile, n_pixels)
+                fb_t = Framebuffer(self._fb.value[t0:t1], self._fb.weight[t0:t1])
+                fb_t, rays = fn(
+                    self.scene,
+                    self.camera.arrays(),
+                    fb_t,
+                    self._pixel_xy[t0:t1],
+                    self._pixel_ids[t0:t1],
+                    jnp.int32(self._iteration),
+                )
+                self._fb = Framebuffer(
+                    self._fb.value.at[t0:t1].set(fb_t.value),
+                    self._fb.weight.at[t0:t1].set(fb_t.weight),
+                )
+                self.rays_traced += int(rays)
+                self.progress.tick()
             self._iteration += n
             done += n
-            self.rays_traced += int(rays)
-            self.progress.tick(n)
         return self._fb
 
     def render_frame(self) -> np.ndarray:
