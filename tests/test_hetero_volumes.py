@@ -1,0 +1,130 @@
+"""Heterogeneous volume tests: delta/ratio tracking vs analytic limits.
+
+A constant-density grid must reproduce the homogeneous closed forms the
+tracking estimators replace (ref tracking.zig trackingHetero vs tracking)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from zyg_tpu.io.take import Take, IntegratorSettings
+from zyg_tpu.render.camera import PerspectiveCamera
+from zyg_tpu.render.driver import Driver
+from zyg_tpu.scene.loader import load_scene_dict
+from zyg_tpu.render.integrator import volume as vol_mod
+
+
+def hetero_scene(att_color, ssc, distance, density_node, g=0.0, shape="Cube"):
+    return load_scene_dict(
+        {
+            "materials": [
+                {
+                    "name": "vol",
+                    "rendering": {
+                        "Volumetric": {
+                            "attenuation_color": att_color,
+                            "subsurface_color": ssc,
+                            "attenuation_distance": distance,
+                            "anisotropy": g,
+                            "density_map": density_node,
+                        }
+                    },
+                },
+                {"name": "env", "rendering": {"Light": {"emittance": {"value": 1.0}}}},
+            ],
+            "entities": [
+                {
+                    "type": "Prop",
+                    "shape": {"type": shape},
+                    "materials": ["vol"],
+                    "transformation": {"scale": [1, 1, 1]},
+                },
+                {"type": "Light", "shape": {"type": "Dome"}, "materials": ["env"]},
+            ],
+        }
+    )
+
+
+CONST_HALF = {"procedural": {"type": "constant", "value": 0.5, "resolution": 4}}
+CONST_ONE = {"procedural": {"type": "constant", "value": 1.0, "resolution": 4}}
+
+
+def render_centre(scene, spp=128, depth=32, res=16):
+    take = Take()
+    take.num_samples_per_pixel = spp
+    take.integrator = IntegratorSettings(kind="PTMIS", max_depth_surface=depth)
+    cam = PerspectiveCamera(resolution=(res, res), fov=np.deg2rad(14.0))
+    cam.position = np.array([0, 0, -4.0], np.float32)
+    take.cameras = [cam]
+    img = Driver(take=take, scene=scene).render_frame()
+    c = res // 2
+    return float(img[c - 3 : c + 3, c - 3 : c + 3].mean())
+
+
+class TestHeteroTracking:
+    def test_constant_grid_matches_absorption(self):
+        """Constant 0.5-density grid == homogeneous with halved mu_t."""
+        scene = hetero_scene([0.5, 0.5, 0.5], [0, 0, 0], 1.0, CONST_HALF)
+        assert scene.grids is not None and scene.volume_props
+        v = render_centre(scene, spp=96, depth=8)
+        # mu_t = ln2; density 0.5; path through cube centre = 1.0
+        expect = float(np.exp(-0.5 * np.log(2.0)))
+        assert abs(v - expect) < 0.05, f"hetero absorption: {v} vs {expect}"
+
+    def test_constant_grid_scattering_furnace(self):
+        """Unit-albedo constant-density grid in a radiance-1 dome vanishes."""
+        scene = hetero_scene([0.4, 0.4, 0.4], [1.0, 1.0, 1.0], 0.35, CONST_ONE)
+        v = render_centre(scene, spp=160)
+        assert abs(v - 1.0) < 0.07, f"hetero furnace: {v}"
+
+    def test_fbm_grid_renders_finite(self):
+        scene = hetero_scene(
+            [0.3, 0.35, 0.4],
+            [0.9, 0.9, 0.9],
+            0.2,
+            {"procedural": {"type": "fbm", "resolution": 32, "seed": 3}},
+        )
+        take = Take()
+        take.num_samples_per_pixel = 16
+        take.integrator = IntegratorSettings(kind="PTMIS", max_depth_surface=16)
+        cam = PerspectiveCamera(resolution=(24, 24), fov=np.deg2rad(30.0))
+        cam.position = np.array([0, 0, -3.0], np.float32)
+        take.cameras = [cam]
+        img = np.asarray(Driver(take=take, scene=scene).render_frame())
+        assert np.all(np.isfinite(img))
+        assert img.mean() > 0.1
+
+
+class TestShadowTransmittance:
+    def test_ratio_tracking_matches_beer(self):
+        """transmittance() through a constant grid == exp(-mu_t * L)."""
+        scene = hetero_scene([0.5, 0.5, 0.5], [0, 0, 0], 1.0, CONST_ONE)
+        n = 4096
+        o = jnp.tile(jnp.asarray([[0.0, 0.0, -3.0]], jnp.float32), (n, 1))
+        d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32), (n, 1))
+        key = jnp.arange(n, dtype=jnp.uint32)
+        tr = vol_mod.transmittance(scene, o, d, jnp.full((n,), 10.0, jnp.float32), key)
+        got = float(jnp.mean(tr))
+        expect = 0.5  # mu_t = ln2, L = 1 -> exp(-ln2) = 0.5
+        assert abs(got - expect) < 0.02, f"ratio tracking: {got} vs {expect}"
+
+    def test_homogeneous_prop_closed_form(self):
+        scene = hetero_scene([0.5, 0.5, 0.5], [0, 0, 0], 1.0, None)
+        assert scene.grids is None
+        n = 8
+        o = jnp.tile(jnp.asarray([[0.0, 0.0, -3.0]], jnp.float32), (n, 1))
+        d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32), (n, 1))
+        key = jnp.arange(n, dtype=jnp.uint32)
+        tr = vol_mod.transmittance(scene, o, d, jnp.full((n,), 10.0, jnp.float32), key)
+        np.testing.assert_allclose(np.asarray(tr), 0.5, atol=1e-3)
+
+    def test_sphere_interval_exact(self):
+        """Sphere-shaped volume prop uses the quadratic interval, not a cube."""
+        scene = hetero_scene([0.5, 0.5, 0.5], [0, 0, 0], 1.0, None, shape="Sphere")
+        n = 4
+        # off-centre ray at 0.4 of the 0.5 radius: chord = 2*sqrt(r^2-b^2) = 0.6
+        o = jnp.tile(jnp.asarray([[0.2, 0.0, -3.0]], jnp.float32), (n, 1))
+        d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32), (n, 1))
+        key = jnp.arange(n, dtype=jnp.uint32)
+        tr = vol_mod.transmittance(scene, o, d, jnp.full((n,), 10.0, jnp.float32), key)
+        chord = 2.0 * np.sqrt(0.25 - 0.04)
+        np.testing.assert_allclose(np.asarray(tr), np.exp(-np.log(2.0) * chord), atol=1e-3)

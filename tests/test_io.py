@@ -93,3 +93,17 @@ f 2//1 4//1 3//1
         assert mesh.indices.shape == (2, 3)
         assert mesh.positions.shape[0] == 4
         np.testing.assert_allclose(mesh.normals, [[0, 0, 1]] * 4)
+
+
+class TestSubVolume:
+    def test_roundtrip_sparse_and_dense(self, tmp_path):
+        import numpy as np
+        from zyg_tpu.io.sub import read_sub_volume, write_sub_volume
+
+        g = np.random.default_rng(0).random((9, 7, 5)).astype(np.float32)
+        g[g < 0.5] = 0.0
+        p = str(tmp_path / "t.sub")
+        write_sub_volume(p, g, sparse=True)
+        np.testing.assert_allclose(read_sub_volume(p), g)
+        write_sub_volume(p, g, sparse=False)
+        np.testing.assert_allclose(read_sub_volume(p), g)

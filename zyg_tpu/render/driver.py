@@ -62,6 +62,7 @@ def _render_samples(
             num_expected_samples,
             ptmis_mod.PtmisSettings(
                 max_depth=integrator.max_depth_surface,
+                max_depth_volume=integrator.max_depth_volume,
                 caustics=integrator.caustics,
                 nee_only=integrator.kind == "PTDL",
             ),
@@ -107,6 +108,7 @@ def _render_samples(
                 smp,
                 ptmis_mod.PtmisSettings(
                     max_depth=integrator.max_depth_surface,
+                    max_depth_volume=integrator.max_depth_volume,
                     caustics=integrator.caustics,
                     nee_only=integrator.kind == "PTDL",
                 ),
@@ -160,10 +162,12 @@ class Driver:
         # grow with spp — run all samples in one dispatch. The scan path
         # bounds lanes*samples to keep device steps short.
         spp = max(self.take.num_samples_per_pixel, 1)
+        # scenes with nested device loops (mesh BVH traversal, volume grid
+        # tracking) must keep dispatches short — long fused dispatches have
+        # crashed the remote TPU worker
+        self._heavy_loops = self.scene.meshes is not None or self.scene.grids is not None
         if self.take.integrator.kind in ("PTMIS", "PTDL") and self.take.sensor.filter_radius == 0:
-            # mesh traversal nests a while_loop per bounce — long dispatches
-            # with it have crashed the remote TPU worker; chunk smaller
-            self.chunk_size = min(spp, 8 if self.scene.meshes is not None else 64)
+            self.chunk_size = min(spp, 8 if self._heavy_loops else 64)
         else:
             lane_budget = 4_000_000
             by_lanes = max(1, lane_budget // max(w * h, 1))
@@ -250,8 +254,9 @@ class Driver:
         num = num if num is not None else self.take.num_samples_per_pixel
         n_pixels = self._pixel_ids.shape[0]
         # filtered splats write across tile borders — only tile box-filter runs
-        can_tile = self.scene.meshes is not None and self.take.sensor.filter_radius == 0
-        tile = min(n_pixels, 16384) if can_tile else n_pixels
+        can_tile = self._heavy_loops and self.take.sensor.filter_radius == 0
+        tile_n = 16384 if self.scene.meshes is not None else 65536
+        tile = min(n_pixels, tile_n) if can_tile else n_pixels
         self.progress.start(num * ((n_pixels + tile - 1) // tile))
         done = 0
         while done < num:

@@ -25,6 +25,7 @@ from ...core.sobol import SobolSampler
 from ...scene import shapes, light_sampling as ls_mod
 from ...scene.types import SceneData, ShapeType, RAY_MAX_T
 from .. import materials as mat
+from . import volume as vol_mod
 from ..camera import camera_sample_to
 
 
@@ -142,13 +143,14 @@ def trace(
             scene, s.o, s.d, jnp.float32(0.0), jnp.float32(RAY_MAX_T), "reflection"
         )
         frag = shapes.build_fragment(scene, hit, s.o, s.d)
+        med_mat = vol_mod.medium_material(scene, s.medium)
         medium_ior = jnp.where(
-            s.medium >= 0, small_gather(scene.materials.ior, jnp.maximum(s.medium, 0)), 1.0
+            s.medium >= 0, small_gather(scene.materials.ior, jnp.maximum(med_mat, 0)), 1.0
         )
         params = mat.gather(scene.materials, frag.material, medium_ior, scene.textures, frag.uv)
         wo = -s.d
 
-        throughput = s.throughput * mat.medium_absorption(scene.materials, s.medium, hit.t)
+        throughput = s.throughput * mat.medium_absorption(scene.materials, med_mat, hit.t)
         finite_hit = hit.valid() & (hit.t < RAY_MAX_T)
         cont = s.alive & finite_hit & (s.depth < settings.max_depth)
 
@@ -185,7 +187,7 @@ def trace(
         throughput = throughput * bs.weight
         entering = vm.dot(wo, frag.geo_n) > 0.0
         new_medium = jnp.where(
-            bs.transmission & cont, jnp.where(entering, frag.material, -1), s.medium
+            bs.transmission & cont, jnp.where(entering, frag.prop, -1), s.medium
         )
         new_o = shapes.offset_ray(
             frag.p,

@@ -19,6 +19,7 @@ from ...core.sobol import SobolSampler, SobolArrays
 from ...scene import shapes
 from ...scene.types import SceneData, RAY_MAX_T
 from .. import materials as mat
+from . import volume as vol_mod
 from ...core.gather import small_gather
 
 
@@ -32,7 +33,7 @@ class PathState(NamedTuple):
     throughput: jax.Array  # [N,3]
     radiance: jax.Array  # [N,3]
     alive: jax.Array  # bool[N]
-    medium: jax.Array  # int32[N] material id of enclosing medium (-1 = air)
+    medium: jax.Array  # int32[N] prop id of enclosing medium (-1 = air)
     depth: jax.Array  # int32 scalar
     rays: jax.Array  # int32 scalar: total scene-intersection rays traced
     sobol: SobolArrays
@@ -66,14 +67,15 @@ def integrate(scene: SceneData, o, d, sobol: SobolSampler, settings: PtSettings)
         )
         frag = shapes.build_fragment(scene, hit, s.o, s.d)
 
+        med_mat = vol_mod.medium_material(scene, s.medium)
         medium_ior = jnp.where(
-            s.medium >= 0, small_gather(scene.materials.ior, jnp.maximum(s.medium, 0)), 1.0
+            s.medium >= 0, small_gather(scene.materials.ior, jnp.maximum(med_mat, 0)), 1.0
         )
         params = mat.gather(scene.materials, frag.material, medium_ior, scene.textures, frag.uv)
         wo = -s.d
 
         # Beer-Lambert absorption through the current medium
-        throughput = s.throughput * mat.medium_absorption(scene.materials, s.medium, hit.t)
+        throughput = s.throughput * mat.medium_absorption(scene.materials, med_mat, hit.t)
 
         emission = mat.eval_radiance(params, wo, frag.geo_n)
         emission = jnp.where(hit.valid()[..., None], emission, 0.0)
@@ -99,7 +101,7 @@ def integrate(scene: SceneData, o, d, sobol: SobolSampler, settings: PtSettings)
         entering = vm.dot(wo, frag.geo_n) > 0.0
         new_medium = jnp.where(
             bs.transmission & cont,
-            jnp.where(entering, frag.material, -1),
+            jnp.where(entering, frag.prop, -1),
             s.medium,
         )
 

@@ -19,15 +19,18 @@ import jax
 import jax.numpy as jnp
 
 from ...core import vecmath as vm
+from ...core.rng import hash_u32
 from ...core.sobol import SobolSampler, SobolArrays
 from ...scene import shapes, light_sampling as ls_mod
 from ...scene.types import SceneData, RAY_MAX_T
 from .. import materials as mat
+from . import volume as vol_mod
 from ...core.gather import small_gather
 
 
 class PtmisSettings(NamedTuple):
     max_depth: int = 16
+    max_depth_volume: int = 256  # null-interface crossings + volume scatters
     caustics: bool = True
     nee_only: bool = False  # PTDL mode: no MIS weight on BSDF light hits
 
@@ -59,10 +62,19 @@ class PathState(NamedTuple):
     alive: jax.Array
     bxdf_pdf: jax.Array  # [N] pdf of the previous BSDF sample
     singular: jax.Array  # bool[N] previous bounce was a delta event
-    medium: jax.Array  # int32[N] enclosing medium material id (-1 = air)
-    depth: jax.Array  # int32[N] per-lane bounce depth
+    medium: jax.Array  # int32[N] enclosing medium PROP id (-1 = vacuum)
+    depth: jax.Array  # int32[N] per-lane SURFACE bounce depth
+    vol_depth: jax.Array  # int32[N] volume events: scatters + null-interface
+    # crossings (ref probe.zig Depth{surface,volume} — grazing rays can cross
+    # a volume boundary many times without consuming surface budget)
     rays: jax.Array  # int32 scalar
     sobol: SobolArrays
+    vol_key: jax.Array  # uint32[N] evolving key for volume-tracking RNG
+    # MIS state of the last REAL vertex (null interfaces continue the same
+    # line, so o/pdf must persist across them; ref vertex.zig State)
+    mis_o: jax.Array  # [N,3] origin of the last real scatter vertex
+    mis_n: jax.Array  # [N,3] shading normal at the last real vertex
+    from_volume: jax.Array  # bool[N] last real vertex was a volume scatter
 
 
 def power_heuristic(f_pdf, g_pdf):
@@ -88,8 +100,13 @@ def integrate(scene: SceneData, o, d, sobol: SobolSampler, settings: PtmisSettin
         singular=jnp.ones((n,), bool),  # camera rays count as singular
         medium=jnp.full((n,), -1, jnp.int32),
         depth=jnp.zeros((n,), jnp.int32),
+        vol_depth=jnp.zeros((n,), jnp.int32),
         rays=jnp.int32(0),
         sobol=sobol.arrays,
+        vol_key=hash_u32(jnp.arange(n, dtype=jnp.uint32) ^ jnp.uint32(0x2545F491)),
+        mis_o=o,
+        mis_n=d,
+        from_volume=jnp.zeros((n,), bool),
     )
 
     def cond(s: PathState):
@@ -114,29 +131,26 @@ def _make_body(scene: SceneData, settings: PtmisSettings):
             "reflection", primary=primary,
         )
         frag = shapes.build_fragment(scene, hit, s.o, s.d)
+        med_mat = vol_mod.medium_material(scene, s.medium)
         medium_ior = jnp.where(
-            s.medium >= 0, small_gather(scene.materials.ior, jnp.maximum(s.medium, 0)), 1.0
+            s.medium >= 0, small_gather(scene.materials.ior, jnp.maximum(med_mat, 0)), 1.0
         )
         params = mat.gather(scene.materials, frag.material, medium_ior, scene.textures, frag.uv)
         wo = -s.d
 
-        # ---- medium transport: free-flight sampling in the enclosing medium
-        # (ref integrator/volume/volume_integrator.zig homogeneous tracking:
-        # analog decomposition with mean-mu_t distance sampling)
-        mu_t, mu_s, g_med = mat.medium_coefficients(scene.materials, s.medium)
-        mu_t_bar = jnp.mean(mu_t, axis=-1)
-        scattering_medium = jnp.max(mu_s, axis=-1) > 0.0
+        # ---- medium transport: distance sampling in the enclosing medium
+        # (homogeneous closed form / heterogeneous delta tracking; see
+        # integrator/volume.py)
+        _, _, g_med = mat.medium_coefficients(scene.materials, med_mat)
         u_dist = smp.sample_1d()
-        t_free = -jnp.log(jnp.maximum(1.0 - u_dist, 1e-7)) / jnp.maximum(mu_t_bar, 1e-12)
-        seg_t = jnp.minimum(hit.t, jnp.float32(3.0e37))
-        scatter = s.alive & scattering_medium & hit.valid() & (t_free < seg_t)
-        pdf_sc = jnp.maximum(mu_t_bar * jnp.exp(-mu_t_bar * t_free), 1e-20)
-        tr_scatter = jnp.exp(-mu_t * t_free[..., None]) * mu_s / pdf_sc[..., None]
-        pdf_pass = jnp.where(scattering_medium, jnp.exp(-mu_t_bar * seg_t), 1.0)
-        tr_pass = jnp.exp(-mu_t * seg_t[..., None]) / jnp.maximum(pdf_pass, 1e-20)[..., None]
-        w_med = jnp.where(scatter[..., None], tr_scatter, tr_pass)
-        throughput0 = s.throughput * w_med
-        p_scatter = s.o + t_free[..., None] * s.d
+        ev = vol_mod.sample_interaction(
+            scene, s.medium, s.o, s.d, jnp.minimum(hit.t, jnp.float32(3.0e37)),
+            u_dist, s.vol_key,
+        )
+        scatter = s.alive & ev.scatter & hit.valid()
+        absorbed = s.alive & ev.absorb
+        throughput0 = s.throughput * ev.weight
+        p_scatter = ev.p
 
         # ---- connectLight: BSDF-sampled emission with MIS (ref connectLight
         # + vertex.evaluateRadiance + scene.lightPdf)
@@ -145,9 +159,18 @@ def _make_body(scene: SceneData, settings: PtmisSettings):
         light_id = jnp.where(hit.valid(), small_gather(scene.prop_light, jnp.maximum(hit.prop, 0)), -1)
         is_light = light_id >= 0
         if has_lights and not settings.nee_only:
+            # MIS pdfs are measured from the last REAL vertex (null medium
+            # boundaries in between don't change the line, so the effective
+            # distance is |hit - mis_o|)
+            eff_t = jnp.where(
+                hit.t >= RAY_MAX_T, hit.t, vm.length(frag.p - s.mis_o)
+            )
             lp = ls_mod.light_hit_pdf(
-                scene, hit.prop, s.o, s.d, hit.t, frag.p, frag.geo_n, frag.geo_n
-            ) * ls_mod.light_select_pdf(scene, light_id)
+                scene, hit.prop, s.mis_o, s.d, eff_t, frag.p, frag.geo_n, frag.geo_n,
+                total_sphere=s.from_volume,
+            ) * ls_mod.light_select_pdf(
+                scene, light_id, p=s.mis_o, n=s.mis_n, total_sphere=s.from_volume
+            )
             mis_w = jnp.where(
                 s.singular | ~is_light, 1.0, power_heuristic(s.bxdf_pdf, lp)
             )
@@ -166,7 +189,11 @@ def _make_body(scene: SceneData, settings: PtmisSettings):
         )
 
         finite_hit = hit.valid() & (hit.t < RAY_MAX_T)
-        cont = s.alive & (finite_hit | scatter) & (s.depth < settings.max_depth)
+        cont = (
+            s.alive & (finite_hit | scatter) & ~absorbed
+            & (s.depth < settings.max_depth)
+            & (s.vol_depth < settings.max_depth_volume)
+        )
 
         # ---- russian roulette
         r = smp.sample_1d()
@@ -177,8 +204,10 @@ def _make_body(scene: SceneData, settings: PtmisSettings):
         if has_lights:
             u_sel = smp.sample_1d()
             xi_l = smp.sample_2d()
-            light_idx, sel_pdf = ls_mod.select_light(scene, u_sel)
             nee_p = jnp.where(scatter[..., None], p_scatter, frag.p)
+            light_idx, sel_pdf = ls_mod.select_light(
+                scene, u_sel, p=nee_p, n=frag.n, total_sphere=scatter
+            )
             lsmp = ls_mod.sample_light(
                 scene, light_idx, nee_p, frag.geo_n, xi_l, total_sphere=scatter
             )
@@ -210,13 +239,17 @@ def _make_body(scene: SceneData, settings: PtmisSettings):
                 shadow_axis / jnp.maximum(slen, 1e-20)[..., None],
             )
             nee_active = cont & (scatter | mat.can_evaluate(params)) & (lsmp.pdf > 0.0) & (jnp.max(f, axis=-1) > 0.0)
-            blocked = shapes.occluded(
-                scene, shadow_o, sdir, jnp.float32(0.0), jnp.where(lsmp.infinite, jnp.float32(RAY_MAX_T) * 0.9, slen)
+            shadow_tmax = jnp.where(lsmp.infinite, jnp.float32(RAY_MAX_T) * 0.9, slen)
+            blocked = shapes.occluded(scene, shadow_o, sdir, jnp.float32(0.0), shadow_tmax)
+            # participating media attenuate (not block) the shadow ray
+            # (ref scene.zig visibility -> propTransmittance)
+            shadow_tr = vol_mod.transmittance(
+                scene, shadow_o, sdir, shadow_tmax, hash_u32(s.vol_key ^ jnp.uint32(0x1B873593))
             )
             rays = rays + jnp.sum(nee_active, dtype=jnp.int32)
             nee = jnp.where(
                 (nee_active & ~blocked)[..., None],
-                throughput * radiance * f * w[..., None],
+                throughput * radiance * f * w[..., None] * shadow_tr,
                 0.0,
             )
             result = result.add(nee, s.depth, 1, jnp.zeros_like(cont), jnp.zeros_like(cont))
@@ -231,17 +264,28 @@ def _make_body(scene: SceneData, settings: PtmisSettings):
         ph_s = mat.hg_phase(vm.dot(s.d, wi_hg), g_med)
         wi = jnp.where(scatter[..., None], wi_hg, bs.wi)
         bsdf_weight = jnp.where(scatter[..., None], 1.0, bs.weight)
-        new_bxdf_pdf = jnp.where(scatter, ph_s, bs.pdf)
-        new_singular = jnp.where(scatter, False, bs.singular)
+        # null interfaces (volume boundaries) keep the previous real vertex's
+        # MIS state — the ray continues on the same line
+        passthrough = bs.passthrough & ~scatter
+        new_bxdf_pdf = jnp.where(
+            scatter, ph_s, jnp.where(passthrough, s.bxdf_pdf, bs.pdf)
+        )
+        new_singular = jnp.where(
+            scatter, False, jnp.where(passthrough, s.singular, bs.singular)
+        )
+        new_from_volume = jnp.where(
+            scatter, True, jnp.where(passthrough, s.from_volume, False)
+        )
         cont = cont & (bs.valid | scatter)
         throughput = throughput * bsdf_weight
 
         # medium interface change (ref vertex.zig interfaceChange); volume
-        # scatter events stay inside their medium
+        # scatter events stay inside their medium. Media are tracked by PROP
+        # id so grid lookups know their transform.
         entering = vm.dot(wo, frag.geo_n) > 0.0
         new_medium = jnp.where(
             bs.transmission & cont & ~scatter,
-            jnp.where(entering, frag.material, -1),
+            jnp.where(entering, frag.prop, -1),
             s.medium,
         )
 
@@ -254,6 +298,16 @@ def _make_body(scene: SceneData, settings: PtmisSettings):
             ),
         )
         smp.increment_padding()
+        new_mis_o = jnp.where(
+            scatter[..., None],
+            p_scatter,
+            jnp.where(passthrough[..., None], s.mis_o, new_o),
+        )
+        new_mis_n = jnp.where(
+            scatter[..., None],
+            s.d,  # unused under total_sphere; keep something unit-length
+            jnp.where(passthrough[..., None], s.mis_n, frag.n),
+        )
 
         return PathState(
             o=jnp.where(cont[..., None], new_o, s.o),
@@ -264,9 +318,14 @@ def _make_body(scene: SceneData, settings: PtmisSettings):
             bxdf_pdf=new_bxdf_pdf,
             singular=new_singular,
             medium=new_medium,
-            depth=jnp.where(cont, s.depth + 1, s.depth),
+            depth=jnp.where(cont & ~scatter & ~passthrough, s.depth + 1, s.depth),
+            vol_depth=jnp.where(cont & (scatter | passthrough), s.vol_depth + 1, s.vol_depth),
             rays=rays,
             sobol=smp.arrays,
+            vol_key=hash_u32(s.vol_key ^ jnp.uint32(0x27D4EB2F)),
+            mis_o=jnp.where(cont[..., None], new_mis_o, s.mis_o),
+            mis_n=jnp.where(cont[..., None], new_mis_n, s.mis_n),
+            from_volume=new_from_volume,
         )
 
     return body
@@ -317,8 +376,15 @@ def integrate_persistent(
         singular=jnp.ones((n,), bool),
         medium=jnp.full((n,), -1, jnp.int32),
         depth=jnp.zeros((n,), jnp.int32),
+        vol_depth=jnp.zeros((n,), jnp.int32),
         rays=jnp.int32(0),
         sobol=SobolSampler.start_pixel(pixel_ids, jnp.zeros_like(pixel_ids)).arrays,
+        vol_key=hash_u32(pixel_ids.astype(jnp.uint32) ^ jnp.uint32(0x2545F491)),
+        mis_o=zero3,
+        mis_n=jnp.concatenate(
+            [jnp.zeros((n, 2), jnp.float32), jnp.ones((n, 1), jnp.float32)], -1
+        ),
+        from_volume=jnp.zeros((n,), bool),
     )
     state = PersistentState(path=path0, acc=zero3, done=jnp.zeros((n,), jnp.int32))
 
@@ -364,8 +430,15 @@ def integrate_persistent(
             singular=jnp.where(regen, True, s.singular),
             medium=jnp.where(regen, -1, s.medium),
             depth=jnp.where(regen, 0, s.depth),
+            vol_depth=jnp.where(regen, 0, s.vol_depth),
             rays=s.rays,
             sobol=smp.arrays,
+            vol_key=jnp.where(
+                regen, hash_u32(sample_index ^ jnp.uint32(0x2545F491)), s.vol_key
+            ),
+            mis_o=jnp.where(rm, o_cam, s.mis_o),
+            mis_n=jnp.where(rm, d_cam, s.mis_n),
+            from_volume=jnp.where(regen, False, s.from_volume),
         )
         done = ps.done + regen.astype(jnp.int32)
 

@@ -1,0 +1,279 @@
+"""Volume transport: distance sampling + transmittance, homo & heterogeneous.
+
+ref: src/core/rendering/integrator/volume/{volume_integrator,tracking}.zig.
+The reference's recursive tracking functions become wavefront primitives:
+
+- ``sample_interaction``: analog free-flight in homogeneous media (closed
+  form) and **spectral decomposition (delta) tracking** against grid
+  majorants in heterogeneous media — a bounded ``lax.while_loop`` whose lanes
+  carry {t, weight, event}. Null collisions reweight by
+  (mu_maj - mu_t(x)) / (mu_maj * p_null), scatter events by
+  mu_s(x) / (mu_maj * p_scatter) — the same estimator family as
+  tracking.zig's trackingHetero, with max-blended RGB probabilities.
+- ``transmittance``: shadow-ray transmittance through every volume prop —
+  Beer-Lambert for homogeneous lanes, **ratio tracking**
+  (Tr *= 1 - mu_t(x)/mu_maj) for grid lanes (ref tracking.zig
+  propTransmittance residual-ratio path).
+
+Media are identified by **prop id** (so one material can fill many props and
+grid lookups know their transform); the density grid lives in unit-cube
+object space of the prop (uvw = local + 0.5), matching the reference's cube
+volume parameterization.
+
+RNG: tracking loops need an unbounded stream, which would break Sobol dim
+padding — they draw from the counter-hash RNG (core/rng.py) with a per-lane
+key that is *evolved* (re-hashed) each loop step, so a single trace serves
+all iterations.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ...core import vecmath as vm
+from ...core.gather import small_gather
+from ...core.rng import hash_u32, hash2_u32, u32_to_float
+from ...scene import grids as grids_mod
+from ...scene.types import SceneData, MaterialKind
+from .. import materials as mat
+
+
+def medium_material(scene: SceneData, medium_prop):
+    """Material id of the enclosing medium prop (-1 = vacuum)."""
+    inside = medium_prop >= 0
+    m = small_gather(scene.prop_material, jnp.maximum(medium_prop, 0))
+    return jnp.where(inside, m, -1)
+
+
+def _medium_grid(scene: SceneData, medium_prop):
+    """Density grid id for the enclosing medium (-1 = homogeneous)."""
+    if scene.grids is None or scene.materials.density_grid is None:
+        return jnp.full(medium_prop.shape, -1, jnp.int32)
+    m = jnp.maximum(medium_material(scene, medium_prop), 0)
+    g = small_gather(scene.materials.density_grid, m)
+    return jnp.where(medium_prop >= 0, g, -1)
+
+
+def _object_uvw(scene: SceneData, prop, p):
+    """Unit-cube object coords of world p inside `prop` (cube volume space)."""
+    pr = jnp.maximum(prop, 0)
+    rot = small_gather(scene.prop_rot, pr)
+    pos = small_gather(scene.prop_pos, pr)
+    scale = small_gather(scene.prop_scale, pr)
+    local = vm.world_to_object_point(rot, scale, pos, p)
+    return jnp.clip(local + 0.5, 0.0, 1.0)
+
+
+class VolumeEvent(NamedTuple):
+    scatter: jax.Array  # bool[N] real scatter event before the surface
+    absorb: jax.Array  # bool[N] analog absorption (kill lane, hetero only)
+    p: jax.Array  # [N,3] scatter position
+    weight: jax.Array  # [N,3] throughput multiplier (scatter OR pass)
+
+
+def sample_interaction(scene: SceneData, medium_prop, o, d, seg_t, u_dist, vol_key):
+    """Distance sampling through the enclosing medium over [0, seg_t].
+
+    u_dist: Sobol uniform for the homogeneous (QMC-friendly) path; vol_key:
+    per-lane uint32 evolving key for the hetero tracking stream.
+    Returns a VolumeEvent; lanes in vacuum get weight 1 / no event.
+    """
+    med_mat = medium_material(scene, medium_prop)
+    mu_t, mu_s, _g = mat.medium_coefficients(scene.materials, med_mat)
+    seg = jnp.minimum(seg_t, jnp.float32(3.0e37))
+
+    # ---- homogeneous analog decomposition (closed form, QMC-driven)
+    mu_t_bar = jnp.mean(mu_t, axis=-1)
+    scattering = jnp.max(mu_s, axis=-1) > 0.0
+    t_free = -jnp.log(jnp.maximum(1.0 - u_dist, 1e-7)) / jnp.maximum(mu_t_bar, 1e-12)
+    h_scatter = scattering & (t_free < seg)
+    pdf_sc = jnp.maximum(mu_t_bar * jnp.exp(-mu_t_bar * t_free), 1e-20)
+    w_scatter = jnp.exp(-mu_t * t_free[..., None]) * mu_s / pdf_sc[..., None]
+    pdf_pass = jnp.where(scattering, jnp.exp(-mu_t_bar * seg), 1.0)
+    w_pass = jnp.exp(-mu_t * seg[..., None]) / jnp.maximum(pdf_pass, 1e-20)[..., None]
+    h_w = jnp.where(h_scatter[..., None], w_scatter, w_pass)
+    h_t = t_free
+
+    grid = _medium_grid(scene, medium_prop)
+    if scene.grids is None:
+        p = o + h_t[..., None] * d
+        return VolumeEvent(h_scatter, jnp.zeros_like(h_scatter), p, h_w)
+
+    # ---- heterogeneous: spectral decomposition tracking
+    arena: grids_mod.GridArena = scene.grids
+    hetero = grid >= 0
+    maj_d = small_gather(arena.majorant, jnp.maximum(grid, 0))
+    mu_maj = jnp.maximum(maj_d * jnp.max(mu_t, axis=-1), 1e-12)
+    # clamp the tracked segment to the medium prop's exit — the surface hit
+    # normally bounds it, but visibility flags can hide the boundary
+    pr = jnp.maximum(medium_prop, 0)
+    rot = small_gather(scene.prop_rot, pr)
+    pos = small_gather(scene.prop_pos, pr)
+    scl = small_gather(scene.prop_scale, pr)
+    lo = vm.world_to_object_point(rot, scl, pos, o)
+    ld = vm.world_to_object_vector(rot, scl, d)
+    inv = 1.0 / jnp.where(jnp.abs(ld) < 1e-20, jnp.where(ld < 0, -1e-20, 1e-20), ld)
+    t_exit = jnp.min(jnp.maximum((-0.5 - lo) * inv, (0.5 - lo) * inv), axis=-1)
+    seg = jnp.where(hetero, jnp.minimum(seg, jnp.maximum(t_exit, 0.0) + 1e-4), seg)
+
+    def cond(c):
+        key, t, w, done, scat, absb = c
+        return jnp.any(~done)
+
+    def step(c):
+        key, t, w, done, scat, absb = c
+        u1 = u32_to_float(hash2_u32(key, jnp.uint32(0)))
+        u2 = u32_to_float(hash2_u32(key, jnp.uint32(1)))
+        r3 = jnp.stack(
+            [u32_to_float(hash2_u32(key, jnp.uint32(k))) for k in (2, 3, 4)], -1
+        )
+        t_new = t - jnp.log(jnp.maximum(1.0 - u1, 1e-7)) / mu_maj
+        exited = t_new >= seg
+        p = o + t_new[..., None] * d
+        uvw = _object_uvw(scene, medium_prop, p)
+        dens = grids_mod.sample_density_stochastic(arena, grid, uvw, r3)
+        mu_t_x = dens[..., None] * mu_t
+        mu_s_x = dens[..., None] * mu_s
+        mu_a_x = mu_t_x - mu_s_x
+        ps = jnp.mean(mu_s_x, axis=-1) / mu_maj
+        pa = jnp.mean(mu_a_x, axis=-1) / mu_maj
+        pn = jnp.maximum(1.0 - ps - pa, 1e-7)
+        scat_now = ~exited & (u2 < ps)
+        abs_now = ~exited & ~scat_now & (u2 < ps + pa)
+        w_scat = mu_s_x / jnp.maximum(mu_maj * ps, 1e-20)[..., None]
+        w_null = (mu_maj[..., None] - mu_t_x) / (mu_maj * pn)[..., None]
+        act = ~done
+        w = jnp.where(
+            (act & scat_now)[..., None],
+            w * w_scat,
+            jnp.where(
+                (act & abs_now)[..., None],
+                0.0,
+                jnp.where((act & ~exited)[..., None], w * w_null, w),
+            ),
+        )
+        scat = scat | (act & scat_now)
+        absb = absb | (act & abs_now)
+        t = jnp.where(act, jnp.minimum(t_new, seg), t)
+        done = done | exited | scat_now | abs_now
+        return (hash_u32(key ^ jnp.uint32(0x9E3779B9)), t, w, done, scat, absb)
+
+    n = seg.shape
+    init = (
+        jnp.asarray(vol_key, jnp.uint32),
+        jnp.zeros(n, jnp.float32),
+        jnp.ones(n + (3,), jnp.float32),
+        ~hetero,  # homogeneous/vacuum lanes never enter the loop
+        jnp.zeros(n, bool),
+        jnp.zeros(n, bool),
+    )
+    _, ht_t, ht_w, _, ht_scat, ht_abs = jax.lax.while_loop(cond, step, init)
+
+    scatter = jnp.where(hetero, ht_scat, h_scatter)
+    absorb = hetero & ht_abs
+    t_ev = jnp.where(hetero, ht_t, h_t)
+    w = jnp.where(hetero[..., None], ht_w, h_w)
+    p = o + t_ev[..., None] * d
+    return VolumeEvent(scatter, absorb, p, w)
+
+
+# ---------------------------------------------------------------------------
+# Shadow-ray transmittance (ref scene.zig visibility -> propTransmittance)
+# ---------------------------------------------------------------------------
+
+
+def _prop_interval(scene: SceneData, prop_idx: int, shape: int, o, d, tmax):
+    """[t0, t1] of the ray inside volume prop `prop_idx`.
+
+    Exact for spheres (quadratic) and everything else via the object unit
+    cube (cubes exactly; other shapes conservatively by their bound)."""
+    rot = scene.prop_rot[prop_idx]
+    pos = scene.prop_pos[prop_idx]
+    scale = scene.prop_scale[prop_idx]
+    from ...scene.types import ShapeType
+
+    if shape == int(ShapeType.SPHERE):
+        v = pos - o
+        b = vm.dot(d, v)
+        r = 0.5 * scale[0]
+        remedy = v - b[..., None] * d
+        disc = r * r - vm.dot(remedy, remedy)
+        dist = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t0 = jnp.where(disc > 0.0, b - dist, 0.0)
+        t1 = jnp.where(disc > 0.0, b + dist, 0.0)
+    else:
+        lo = vm.world_to_object_point(rot, scale, pos, o)
+        ld = vm.world_to_object_vector(rot, scale, d)
+        inv = 1.0 / jnp.where(jnp.abs(ld) < 1e-20, jnp.where(ld < 0, -1e-20, 1e-20), ld)
+        ta = (-0.5 - lo) * inv
+        tb = (0.5 - lo) * inv
+        t0 = jnp.max(jnp.minimum(ta, tb), axis=-1)
+        t1 = jnp.min(jnp.maximum(ta, tb), axis=-1)
+        t1 = jnp.where(t1 >= t0, t1, t0)
+    t0 = jnp.maximum(t0, 0.0)
+    t1 = jnp.minimum(t1, tmax)
+    return t0, jnp.maximum(t1, t0)
+
+
+def transmittance(scene: SceneData, o, d, tmax, vol_key):
+    """RGB transmittance through all volume props along a shadow ray.
+
+    ``scene.volume_props`` is a STATIC dict {(prop, material, grid): True}
+    (dict keys ride the pytree treedef), so homogeneous props compile to the
+    closed form and only grid props get a ratio-tracking loop.
+    """
+    tr = jnp.ones(o.shape[:-1] + (3,), jnp.float32)
+    if not scene.volume_props:
+        return tr
+    for i, (prop_idx, mat_idx, grid_idx, shape) in enumerate(scene.volume_props.keys()):
+        t0, t1 = _prop_interval(scene, prop_idx, shape, o, d, tmax)
+        seg = t1 - t0
+        med_mat = jnp.full(seg.shape, mat_idx, jnp.int32)
+        mu_t, _mu_s, _ = mat.medium_coefficients(scene.materials, med_mat)
+        inside = seg > 1e-7
+
+        if grid_idx < 0 or scene.grids is None:
+            tr = tr * jnp.where(inside[..., None], jnp.exp(-mu_t * seg[..., None]), 1.0)
+            continue
+
+        # ratio tracking against the grid's global majorant
+        maj_d = scene.grids.majorant[grid_idx]
+        mu_maj = jnp.maximum(maj_d * jnp.max(mu_t, axis=-1), 1e-12)
+        prop_b = jnp.full(seg.shape, prop_idx, jnp.int32)
+        grid_b = jnp.full(seg.shape, grid_idx, jnp.int32)
+
+        def cond(c):
+            key, t, trv, done = c
+            return jnp.any(~done)
+
+        def step(c):
+            key, t, trv, done = c
+            u1 = u32_to_float(hash2_u32(key, jnp.uint32(0)))
+            r3 = jnp.stack(
+                [u32_to_float(hash2_u32(key, jnp.uint32(k))) for k in (1, 2, 3)], -1
+            )
+            t_new = t - jnp.log(jnp.maximum(1.0 - u1, 1e-7)) / mu_maj
+            exited = t_new >= t1
+            p = o + t_new[..., None] * d
+            uvw = _object_uvw(scene, prop_b, p)
+            dens = grids_mod.sample_density_stochastic(scene.grids, grid_b, uvw, r3)
+            mu_t_x = dens[..., None] * mu_t
+            ratio = jnp.clip(1.0 - mu_t_x / mu_maj[..., None], 0.0, 1.0)
+            act = ~done & ~exited
+            trv = jnp.where(act[..., None], trv * ratio, trv)
+            t = jnp.where(~done, t_new, t)
+            done = done | exited | (jnp.max(trv, axis=-1) < 1e-5)
+            return (hash_u32(key ^ jnp.uint32(0x85EBCA6B)), t, trv, done)
+
+        init = (
+            jnp.asarray(vol_key, jnp.uint32) ^ jnp.uint32(i * 0x6C078965 + 1),
+            t0,
+            jnp.ones(seg.shape + (3,), jnp.float32),
+            ~inside,
+        )
+        _, _, trv, _ = jax.lax.while_loop(cond, step, init)
+        tr = tr * jnp.where(inside[..., None], trv, 1.0)
+    return tr

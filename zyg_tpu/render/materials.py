@@ -101,6 +101,8 @@ class BsdfSample(NamedTuple):
     valid: jax.Array  # bool[N]
     singular: jax.Array  # bool[N] delta event (no MIS)
     transmission: jax.Array  # bool[N] crossed the surface
+    passthrough: jax.Array  # bool[N] null interface (volume boundary): the
+    # ray continues straight and the PREVIOUS vertex's MIS state must be kept
 
 
 def ior_to_f0(ior, ior_outside):
@@ -446,6 +448,7 @@ def sample_bsdf(params, wo, n, geo_n, s3) -> BsdfSample:
         valid=valid,
         singular=singular,
         transmission=transmission,
+        passthrough=is_vol,
     )
 
 

@@ -1,0 +1,176 @@
+"""3D density grids for heterogeneous volumes.
+
+The reference builds a sparse octree ("Gridtree", ref:
+src/core/scene/material/volumetric/gridtree.zig) of density min/max over
+64-cubed cells to drive decomposition tracking. On TPU a pointer-chasing
+octree is the wrong shape; the equivalent here is a **flat voxel arena** plus
+per-grid majorants and a coarse max-pooled *supergrid* (dense, small) that
+plays the role of the octree's per-cell majorants: tracking loops read the
+local majorant with one arena gather instead of a tree walk.
+
+Density lookup inside the tracking loop uses **stochastic trilinear
+filtering** (one jittered nearest-neighbor gather instead of 8 corner
+gathers) — the same estimator the reference uses for all texture sampling
+(ref: src/core/texture/texture_sampler.zig LinearStochastic), and exactly
+what a gather-bound TPU loop wants.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.gather import small_gather
+
+SUPER_CELL = 8  # voxels per supergrid cell edge (ref gridtree uses 64; our
+# grids are small enough that 8 gives tight majorants without blowing up the
+# supergrid arena)
+
+
+class GridArena(NamedTuple):
+    """All density grids of a scene, flattened into one arena."""
+
+    data: jax.Array  # float32[T] voxels, x-fastest
+    offset: jax.Array  # int32[G] start of each grid in data
+    dims: jax.Array  # int32[G,3] (nx, ny, nz)
+    majorant: jax.Array  # float32[G] global max density per grid
+    minorant: jax.Array  # float32[G] global min density (control variate)
+    # coarse max-pooled supergrid (local majorants)
+    sdata: jax.Array  # float32[Ts]
+    soffset: jax.Array  # int32[G]
+    sdims: jax.Array  # int32[G,3]
+
+    @property
+    def count(self) -> int:
+        return self.offset.shape[0]
+
+
+def build_grid_arena(grids: list[np.ndarray]) -> GridArena:
+    """Flatten host grids (each float32[nz, ny, nx]) into one arena."""
+    datas, offsets, dims = [], [], []
+    sdatas, soffsets, sdims = [], [], []
+    majorants, minorants = [], []
+    off = 0
+    soff = 0
+    for g in grids:
+        g = np.asarray(g, np.float32)
+        assert g.ndim == 3
+        nz, ny, nx = g.shape
+        datas.append(g.reshape(-1))
+        offsets.append(off)
+        dims.append((nx, ny, nz))
+        majorants.append(float(g.max()))
+        minorants.append(float(g.min()))
+        off += g.size
+        # max-pool supergrid, padded to a full cell
+        sz, sy, sx = (-(-n // SUPER_CELL) for n in (nz, ny, nx))
+        sp = np.zeros((sz * SUPER_CELL, sy * SUPER_CELL, sx * SUPER_CELL), np.float32)
+        sp[:nz, :ny, :nx] = g
+        s = sp.reshape(sz, SUPER_CELL, sy, SUPER_CELL, sx, SUPER_CELL).max(axis=(1, 3, 5))
+        sdatas.append(s.reshape(-1))
+        soffsets.append(soff)
+        sdims.append((sx, sy, sz))
+        soff += s.size
+    return GridArena(
+        data=jnp.asarray(np.concatenate(datas)),
+        offset=jnp.asarray(offsets, jnp.int32),
+        dims=jnp.asarray(dims, jnp.int32),
+        majorant=jnp.asarray(majorants, jnp.float32),
+        minorant=jnp.asarray(minorants, jnp.float32),
+        sdata=jnp.asarray(np.concatenate(sdatas)),
+        soffset=jnp.asarray(soffsets, jnp.int32),
+        sdims=jnp.asarray(sdims, jnp.int32),
+    )
+
+
+def sample_density_stochastic(arena: GridArena, grid_id, uvw, r):
+    """Unbiased trilinear density via ONE jittered nearest gather.
+
+    uvw in [0,1]^3 (unit-cube object space), r: float[N,3] uniforms."""
+    g = jnp.maximum(grid_id, 0)
+    dims = small_gather(arena.dims, g).astype(jnp.float32)  # [N,3]
+    off = small_gather(arena.offset, g)
+    # cell-centered: continuous voxel coord c = uvw*n - 0.5; stochastic
+    # rounding of c + (r - 0.5) == trilinear weights in expectation
+    c = uvw * dims - 0.5 + (r - 0.5)
+    idx = jnp.clip(jnp.round(c), 0.0, dims - 1.0).astype(jnp.int32)
+    nx = small_gather(arena.dims, g)[..., 0]
+    ny = small_gather(arena.dims, g)[..., 1]
+    flat = off + (idx[..., 2] * ny + idx[..., 1]) * nx + idx[..., 0]
+    return arena.data[flat]
+
+
+def sample_density_trilinear(arena: GridArena, grid_id, uvw):
+    """Deterministic trilinear density (8 gathers; for non-loop contexts)."""
+    g = jnp.maximum(grid_id, 0)
+    dimsi = small_gather(arena.dims, g)
+    dims = dimsi.astype(jnp.float32)
+    off = small_gather(arena.offset, g)
+    nx, ny = dimsi[..., 0], dimsi[..., 1]
+    c = uvw * dims - 0.5
+    c0 = jnp.floor(c)
+    f = c - c0
+    out = jnp.zeros(uvw.shape[:-1], jnp.float32)
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                corner = c0 + jnp.asarray([dx, dy, dz], jnp.float32)
+                idx = jnp.clip(corner, 0.0, dims - 1.0).astype(jnp.int32)
+                flat = off + (idx[..., 2] * ny + idx[..., 1]) * nx + idx[..., 0]
+                wx = f[..., 0] if dx else 1.0 - f[..., 0]
+                wy = f[..., 1] if dy else 1.0 - f[..., 1]
+                wz = f[..., 2] if dz else 1.0 - f[..., 2]
+                out = out + wx * wy * wz * arena.data[flat]
+    return out
+
+
+def local_majorant(arena: GridArena, grid_id, uvw):
+    """Supergrid (max-pooled) majorant at uvw — the octree-cell equivalent."""
+    g = jnp.maximum(grid_id, 0)
+    dims = small_gather(arena.dims, g).astype(jnp.float32)
+    sdimsi = small_gather(arena.sdims, g)
+    soff = small_gather(arena.soffset, g)
+    vox = jnp.clip(uvw * dims, 0.0, dims - 1.0).astype(jnp.int32) // SUPER_CELL
+    snx, sny = sdimsi[..., 0], sdimsi[..., 1]
+    flat = soff + (vox[..., 2] * sny + vox[..., 1]) * snx + vox[..., 0]
+    return arena.sdata[flat]
+
+
+# ---------------------------------------------------------------------------
+# Host-side procedural grid generators (for examples/tests; the reference
+# loads SUB voxel files — ref image/encoding/sub/sub_reader.zig — which we
+# also accept via io.mesh's numpy loaders)
+# ---------------------------------------------------------------------------
+
+
+def make_fbm_grid(n: int = 64, octaves: int = 4, seed: int = 7, sharpness: float = 2.0) -> np.ndarray:
+    """Smoke-like fBm density in [0,1], spherically masked."""
+    rng = np.random.default_rng(seed)
+    acc = np.zeros((n, n, n), np.float32)
+    amp, total = 1.0, 0.0
+    for o in range(octaves):
+        cn = max(2, n >> (octaves - 1 - o))
+        coarse = rng.standard_normal((cn, cn, cn)).astype(np.float32)
+        z = np.linspace(0, cn - 1, n)
+        zi = np.clip(z.astype(int), 0, cn - 2)
+        zf = (z - zi).astype(np.float32)
+
+        def lerp_axis(a, axis, zi=zi, zf=zf):
+            a0 = np.take(a, zi, axis=axis)
+            a1 = np.take(a, zi + 1, axis=axis)
+            sh = [1, 1, 1]
+            sh[axis] = -1
+            return a0 + (a1 - a0) * zf.reshape(sh)
+
+        up = lerp_axis(lerp_axis(lerp_axis(coarse, 0), 1), 2)
+        acc += amp * up
+        total += amp
+        amp *= 0.5
+    acc = (acc / total - acc.min() / total) / max(1e-6, (acc.max() - acc.min()) / total)
+    zz, yy, xx = np.meshgrid(*([np.linspace(-1, 1, n)] * 3), indexing="ij")
+    mask = np.clip(1.0 - np.sqrt(xx**2 + yy**2 + zz**2), 0.0, 1.0)
+    out = np.clip(acc**sharpness * mask * 2.0, 0.0, 1.0).astype(np.float32)
+    return out

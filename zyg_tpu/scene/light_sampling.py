@@ -40,16 +40,30 @@ class LightSample(NamedTuple):
 # ---------------------------------------------------------------------------
 
 
-def select_light(scene: SceneData, u):
-    """u in [0,1) -> (light index[N], selection pdf[N])."""
+def select_light(scene: SceneData, u, p=None, n=None, total_sphere=False):
+    """u in [0,1) -> (light index[N], selection pdf[N]).
+
+    With a light tree present and a shading point given, selection is
+    position/orientation-adaptive (ref scene.zig randomLightSpatial ->
+    light_tree.randomLight); otherwise the global power CDF."""
+    if scene.light_tree is not None and p is not None:
+        from . import light_tree as lt_mod
+
+        return lt_mod.select(scene.light_tree, p, n, total_sphere, u)
     cdf = scene.lights.cdf
-    n = scene.lights.count
-    idx = jnp.clip(jnp.searchsorted(cdf, u, side="right") - 1, 0, n - 1)
+    nl = scene.lights.count
+    idx = jnp.clip(jnp.searchsorted(cdf, u, side="right") - 1, 0, nl - 1)
     pdf = cdf[idx + 1] - cdf[idx]
     return idx.astype(jnp.int32), pdf
 
 
-def light_select_pdf(scene: SceneData, light_idx):
+def light_select_pdf(scene: SceneData, light_idx, p=None, n=None, total_sphere=False):
+    """Selection pdf of `light_idx` — must MATCH select_light's strategy
+    (ref scene.zig lightPdfSpatial)."""
+    if scene.light_tree is not None and p is not None:
+        from . import light_tree as lt_mod
+
+        return lt_mod.pdf(scene.light_tree, p, n, total_sphere, light_idx)
     cdf = scene.lights.cdf
     i = jnp.clip(light_idx, 0, scene.lights.count - 1)
     return cdf[i + 1] - cdf[i]
@@ -387,10 +401,14 @@ def light_radiance(scene: SceneData, light_idx, wi, light_n):
     return jnp.where((facing | two_sided)[..., None], emission, 0.0)
 
 
-def light_hit_pdf(scene: SceneData, prop, ray_o, ray_d, hit_t, hit_p, hit_n, n_at_origin):
+def light_hit_pdf(scene: SceneData, prop, ray_o, ray_d, hit_t, hit_p, hit_n, n_at_origin, total_sphere=False):
     """Solid-angle pdf that NEE from ray_o would have sampled this hit —
     the light side of the MIS weight for BSDF hits (ref shape pdf fns).
-    Only light shape types present in the scene are evaluated."""
+    Only light shape types present in the scene are evaluated.
+
+    total_sphere: bool[N] — the previous real vertex was a volume scatter
+    event, whose NEE samples env lights over the full sphere (ref
+    light.zig pdf's total_sphere flag)."""
     present = set(int(k) for k in (scene.light_shapes or {int(t): True for t in ShapeType}).keys())
     has = lambda t: int(t) in present
 
@@ -434,7 +452,8 @@ def light_hit_pdf(scene: SceneData, prop, ray_o, ray_d, hit_t, hit_p, hit_n, n_a
     if has(ShapeType.CANOPY):
         vals[int(ShapeType.CANOPY)] = jnp.full(nshape, 1.0 / (2.0 * jnp.pi), jnp.float32)
     if has(ShapeType.DOME):
-        vals[int(ShapeType.DOME)] = jnp.full(nshape, 1.0 / (2.0 * jnp.pi), jnp.float32)
+        ts = jnp.broadcast_to(jnp.asarray(total_sphere), nshape)
+        vals[int(ShapeType.DOME)] = jnp.where(ts, 1.0 / (4.0 * jnp.pi), 1.0 / (2.0 * jnp.pi))
 
     if has(ShapeType.TRIANGLE_MESH) and scene.lights.area is not None:
         li = small_gather(scene.prop_light, pm)

@@ -134,6 +134,7 @@ class MaterialDesc:
     roughness_tex: int = -1
     normal_tex: int = -1
     emission_tex: int = -1
+    density_grid: int = -1  # index into the builder's 3D grid list
 
 
 def _read_color(v) -> np.ndarray:
@@ -224,8 +225,49 @@ def parse_material(value: dict, builder: "SceneBuilder | None" = None, base_dir:
                 desc.emission = np.float32(v.get("value", 1.0)) * spectrum
                 if "emission_map" in v:
                     desc.emission_tex = tex(v["emission_map"], srgb=False)
+            elif key in ("density", "density_map") and builder is not None:
+                # heterogeneous volume density (ref volumetric_material.zig
+                # density_map): a voxel file or a procedural recipe
+                grid = _load_density_grid(v, base_dir)
+                if grid is not None:
+                    desc.density_grid = builder.add_density_grid(grid)
         break
     return desc
+
+
+def _load_density_grid(v, base_dir: str):
+    """Density node -> host float32[nz,ny,nx] grid, or None.
+
+    Accepts {"file": "*.npy"|"*.sub"} or
+    {"procedural": {"type": "fbm", "resolution": N, "octaves": K, "seed": S}}.
+    """
+    from .grids import make_fbm_grid
+
+    if not isinstance(v, dict):
+        return None
+    if "procedural" in v:
+        p = v["procedural"]
+        if p.get("type") == "constant":
+            n = int(p.get("resolution", 4))
+            return np.full((n, n, n), float(p.get("value", 1.0)), np.float32)
+        return make_fbm_grid(
+            n=int(p.get("resolution", 64)),
+            octaves=int(p.get("octaves", 4)),
+            seed=int(p.get("seed", 7)),
+            sharpness=float(p.get("sharpness", 2.0)),
+        ) * float(p.get("scale", 1.0))
+    if "file" in v:
+        path = os.path.join(base_dir, v["file"])
+        try:
+            if path.endswith(".npy"):
+                return np.asarray(np.load(path), np.float32)
+            if path.endswith(".sub"):
+                from ..io.sub import read_sub_volume
+
+                return read_sub_volume(path)
+        except (OSError, ValueError):
+            return None
+    return None
 
 
 def materials_to_table(descs: list[MaterialDesc]) -> Materials:
@@ -248,6 +290,7 @@ def materials_to_table(descs: list[MaterialDesc]) -> Materials:
         roughness_tex=jnp.asarray([d.roughness_tex for d in descs], jnp.int32),
         normal_tex=jnp.asarray([d.normal_tex for d in descs], jnp.int32),
         emission_tex=jnp.asarray([d.emission_tex for d in descs], jnp.int32),
+        density_grid=jnp.asarray([d.density_grid for d in descs], jnp.int32),
     )
 
 
@@ -301,6 +344,7 @@ class SceneBuilder:
         self.materials: list[MaterialDesc] = []
         self.textures = TextureBuilder()
         self.meshes: list[HostMesh] = []
+        self.density_grids: list[np.ndarray] = []
         self._mesh_by_name: dict[str, int] = {}
         self._mat_by_name: dict[str, int] = {}
         # fallback material id 0
@@ -321,6 +365,10 @@ class SceneBuilder:
 
     def add_texture_image(self, image: np.ndarray, srgb: bool = False) -> int:
         return self.textures.add(image, srgb=srgb)
+
+    def add_density_grid(self, grid: np.ndarray) -> int:
+        self.density_grids.append(np.asarray(grid, np.float32))
+        return len(self.density_grids) - 1
 
     def add_material(self, desc: MaterialDesc, name: str | None = None) -> int:
         idx = len(self.materials)
@@ -453,6 +501,49 @@ class SceneBuilder:
                 base += len(idx)
         mesh_props = [i for i, p in enumerate(props) if p.mesh_id >= 0]
         texture_arena = self.textures.build()
+
+        # participating media: volumetric-material props never binary-block
+        # shadow rays — NEE multiplies by their transmittance instead
+        # (ref scene.zig visibility -> propTransmittance)
+        volume_props = {}
+        visible_shadow = []
+        for i, p in enumerate(props):
+            m = self.materials[p.material]
+            if m.kind == int(MaterialKind.VOLUMETRIC):
+                volume_props[(i, p.material, m.density_grid, p.shape)] = True
+                visible_shadow.append(False)
+            else:
+                visible_shadow.append(p.visible_shadow)
+        grid_arena = None
+        if self.density_grids:
+            from .grids import build_grid_arena
+
+            grid_arena = build_grid_arena(self.density_grids)
+
+        # many-light tree over finite lights (ref light_tree_builder.zig);
+        # CDF-only selection is kept as the fallback and for light tracing
+        light_tree = None
+        if len(light_props) >= 2 and float(weights.sum()) > 0.0:
+            from .light_tree import build_light_tree
+
+            lcen, lrad, lcone, lfin = [], [], [], []
+            for pi in light_props:
+                p = props[pi]
+                c, r, cone, finite = self._light_bounds(p)
+                lcen.append(c)
+                lrad.append(r)
+                lcone.append(cone)
+                lfin.append(finite)
+            light_tree = build_light_tree(
+                np.stack(lcen),
+                np.asarray(lrad, np.float32),
+                np.stack(lcone),
+                weights,
+                np.asarray(
+                    [self.materials[props[i].material].two_sided for i in light_props], bool
+                ),
+                np.asarray(lfin, bool),
+            )
         groups: dict[int, list[int]] = {}
         for i, p in enumerate(props):
             if p.mesh_id < 0:
@@ -498,7 +589,7 @@ class SceneBuilder:
             prop_material=jnp.asarray([p.material for p in props], jnp.int32),
             prop_visible_camera=jnp.asarray([p.visible_camera for p in props], bool),
             prop_visible_reflection=jnp.asarray([p.visible_reflection for p in props], bool),
-            prop_visible_shadow=jnp.asarray([p.visible_shadow for p in props], bool),
+            prop_visible_shadow=jnp.asarray(visible_shadow, bool),
             materials=materials_to_table(self.materials),
             lights=Lights(
                 prop=jnp.asarray(light_props, jnp.int32),
@@ -517,7 +608,37 @@ class SceneBuilder:
             textures=texture_arena,
             prop_groups=prop_groups,
             light_shapes=light_shapes,
+            volume_props=volume_props,
+            grids=grid_arena,
+            light_tree=light_tree,
         )
+
+    def _light_bounds(self, p: PropDesc):
+        """(center[3], radius, cone[4], finite) of one light prop — the
+        bounding sphere + normal cone the tree's importance uses
+        (ref light_tree_builder.zig light properties)."""
+        t = p.trafo
+        pos = np.asarray(t.position, np.float32)
+        rot = np.asarray(t.rotation, np.float32)
+        s = np.asarray(t.scale, np.float32)
+        full = np.array([0.0, 0.0, 1.0, -1.0], np.float32)
+        if p.shape == int(ShapeType.RECTANGLE):
+            r = 0.5 * float(np.hypot(s[0], s[1]))
+            return pos, r, np.concatenate([rot[2], [1.0]]).astype(np.float32), True
+        if p.shape == int(ShapeType.DISK):
+            return pos, 0.5 * float(s[0]), np.concatenate([rot[2], [1.0]]).astype(np.float32), True
+        if p.shape == int(ShapeType.SPHERE):
+            return pos, 0.5 * float(s[0]), full, True
+        if p.shape == int(ShapeType.CUBE):
+            return pos, 0.5 * float(np.linalg.norm(s)), full, True
+        if p.shape == int(ShapeType.TRIANGLE_MESH) and p.mesh_id >= 0:
+            v = np.asarray(self.meshes[p.mesh_id].positions, np.float32)
+            vw = (v * s) @ rot + pos  # rows of rot are object axes in world
+            lo, hi = vw.min(axis=0), vw.max(axis=0)
+            c = 0.5 * (lo + hi)
+            return c.astype(np.float32), 0.5 * float(np.linalg.norm(hi - lo)), full, True
+        # infinite shapes (distant/canopy/dome)
+        return pos, 0.0, full, False
 
 
 def load_scene_dict(root: dict, builder: SceneBuilder | None = None, base_dir: str = "") -> SceneData:

@@ -66,6 +66,9 @@ class Materials(NamedTuple):
     roughness_tex: jax.Array  # int32[M]
     normal_tex: jax.Array  # int32[M]
     emission_tex: jax.Array  # int32[M]
+    # heterogeneous volume: density grid index into SceneData.grids (-1 =
+    # homogeneous; ref volumetric_material.zig density_map)
+    density_grid: jax.Array = None  # int32[M]
 
     @property
     def count(self) -> int:
@@ -118,6 +121,15 @@ class SceneData(NamedTuple):
     # shape types present among LIGHTS: static dict {shape_type: True} —
     # dict keys ride the pytree treedef, so jit specializes on them
     light_shapes: dict = None
+    # participating media: STATIC dict {(prop, material, grid): True} over
+    # props whose material is VOLUMETRIC — shadow rays compute transmittance
+    # through these instead of binary occlusion (ref scene.zig visibility);
+    # keys ride the treedef so homo/hetero compile statically per prop
+    volume_props: dict = None
+    grids: "object" = None  # grids.GridArena | None (hetero density arena)
+    # many-light sampling tree (None = power-CDF selection only;
+    # ref light/light_tree.zig)
+    light_tree: "object" = None  # light_tree.LightTree | None
 
     @property
     def num_props(self) -> int:
@@ -151,6 +163,7 @@ def default_materials(n: int = 1) -> Materials:
         roughness_tex=jnp.full((n,), -1, jnp.int32),
         normal_tex=jnp.full((n,), -1, jnp.int32),
         emission_tex=jnp.full((n,), -1, jnp.int32),
+        density_grid=jnp.full((n,), -1, jnp.int32),
     )
 
 
