@@ -35,6 +35,19 @@ class IntegratorSettings:
 
 
 @dataclass
+class PhotonSettings:
+    """ref take.zig PhotonSettings + loadPhotonSettings (take.zig:245)."""
+
+    num_photons: int = 0  # photon paths per frame; 0 = photon map off
+    max_bounces: int = 2
+    search_radius: float = 0.01
+    full_light_path: bool = False
+    # gather at every primary diffuse vertex, not just after specular chains
+    # (ref View.photons_not_only_through_specular = !lighttracer)
+    not_only_through_specular: bool = False
+
+
+@dataclass
 class Exporter:
     kind: str = "Image"  # Image | FFMPEG
     format: str = "PNG"  # PNG | EXR | RGBE
@@ -53,6 +66,7 @@ class Take:
         default_factory=lambda: SensorSettings(clamp=Clamp())
     )
     exporters: list[Exporter] = field(default_factory=list)
+    photon: PhotonSettings = field(default_factory=PhotonSettings)
     start_frame: int = 0
     num_frames: int = 1
 
@@ -158,6 +172,16 @@ def load_take_dict(root: dict, base_dir: str = "") -> Take:
 
     if "sensor" in root:
         take.sensor = _load_sensor(root["sensor"])
+
+    ph = root.get("photon")
+    if isinstance(ph, dict):
+        take.photon = PhotonSettings(
+            num_photons=int(ph.get("num_photons", 0)),
+            max_bounces=int(ph.get("max_bounces", 2)),
+            search_radius=float(ph.get("search_radius", 0.01)),
+            full_light_path=bool(ph.get("full_light_path", False)),
+            not_only_through_specular=take.num_particles_per_pixel == 0,
+        )
 
     for pp in root.get("post", []):
         if "tonemapper" in pp:

@@ -46,6 +46,8 @@ def _render_samples(
     filter_name: str = "Blackman",
     filter_radius: int = 0,
     resolution: tuple = (0, 0),
+    photon_map=None,
+    photons_not_only: bool = False,
 ):
     """Accumulate `num_samples` consecutive samples into fb (one jit)."""
 
@@ -65,8 +67,10 @@ def _render_samples(
                 max_depth_volume=integrator.max_depth_volume,
                 caustics=integrator.caustics,
                 nee_only=integrator.kind == "PTDL",
+                photons_not_only_through_specular=photons_not_only,
             ),
             clamp_max,
+            photon_map=photon_map,
         )
         return Framebuffer(fb.value + acc, fb.weight + num_samples), rays
 
@@ -111,7 +115,9 @@ def _render_samples(
                     max_depth_volume=integrator.max_depth_volume,
                     caustics=integrator.caustics,
                     nee_only=integrator.kind == "PTDL",
+                    photons_not_only_through_specular=photons_not_only,
                 ),
+                photon_map=photon_map,
             )
             radiance = (
                 sensor_mod.clamp_radiance(iv.emission, clamp_max[0])
@@ -153,6 +159,7 @@ class Driver:
         self._particles_traced = 0
         self._iteration = 0
         self.rays_traced = 0
+        self._photon_map = None
         clamp = self.take.sensor.clamp
         self._clamp_max = (clamp.emission, clamp.direct, clamp.indirect)
         self._render_cache: dict[int, callable] = {}
@@ -190,6 +197,7 @@ class Driver:
                     filter_name=self.take.sensor.filter_name,
                     filter_radius=int(round(self.take.sensor.filter_radius)),
                     resolution=self.camera.resolution,
+                    photons_not_only=self.take.photon.not_only_through_specular,
                 )
             )
             self._render_cache[num_samples] = fn
@@ -272,6 +280,7 @@ class Driver:
                     self._pixel_xy[t0:t1],
                     self._pixel_ids[t0:t1],
                     jnp.int32(self._iteration),
+                    photon_map=self._photon_map,
                 )
                 self._fb = Framebuffer(
                     self._fb.value.at[t0:t1].set(fb_t.value),
@@ -283,9 +292,37 @@ class Driver:
             done += n
         return self._fb
 
+    def bake_photons(self):
+        """Trace photon paths and build the hashed photon grid (ref
+        driver.zig bakePhotons -> photon_map.compileIteration)."""
+        from .integrator import photon as photon_mod
+
+        ps = self.take.photon
+        if ps.num_photons <= 0:
+            self._photon_map = None
+            return
+        settings = photon_mod.PhotonSettings(
+            num_photons=ps.num_photons,
+            max_bounces=ps.max_bounces,
+            search_radius=ps.search_radius,
+            full_light_path=ps.full_light_path,
+        )
+        n = ps.num_photons
+        keys = jnp.arange(n, dtype=jnp.uint32) * jnp.uint32(2654435761) + jnp.uint32(977)
+        p, wi, alpha, valid = jax.jit(
+            functools.partial(photon_mod.bake, settings=settings)
+        )(self.scene, keys)
+        self._photon_map = jax.jit(
+            functools.partial(
+                photon_mod.build_map, search_radius=ps.search_radius, num_paths=n
+            )
+        )(p, wi, alpha, valid)
+
     def render_frame(self) -> np.ndarray:
         """Full frame at take spp (+ particle pass). Returns linear [H,W,3]."""
         self.start_frame()
+        if self.take.photon.num_photons > 0:
+            self.bake_photons()
         if self.take.num_particles_per_pixel > 0:
             self.render_particles()
         if self.take.num_samples_per_pixel > 0:

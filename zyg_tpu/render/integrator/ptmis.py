@@ -33,6 +33,9 @@ class PtmisSettings(NamedTuple):
     max_depth_volume: int = 256  # null-interface crossings + volume scatters
     caustics: bool = True
     nee_only: bool = False  # PTDL mode: no MIS weight on BSDF light hits
+    # photon gathering at every primary diffuse vertex instead of only after
+    # specular chains (ref View.photons_not_only_through_specular)
+    photons_not_only_through_specular: bool = False
 
 
 class IValue(NamedTuple):
@@ -75,6 +78,8 @@ class PathState(NamedTuple):
     mis_o: jax.Array  # [N,3] origin of the last real scatter vertex
     mis_n: jax.Array  # [N,3] shading normal at the last real vertex
     from_volume: jax.Array  # bool[N] last real vertex was a volume scatter
+    primary_chain: jax.Array  # bool[N] every bounce so far was singular
+    # (ref vertex.state primary_ray — photon gathers happen on this chain)
 
 
 def power_heuristic(f_pdf, g_pdf):
@@ -87,7 +92,7 @@ def predivided_power_heuristic(f_pdf, g_pdf):
     return f_pdf / jnp.maximum(g_pdf * g_pdf + f2, 1e-20)
 
 
-def integrate(scene: SceneData, o, d, sobol: SobolSampler, settings: PtmisSettings):
+def integrate(scene: SceneData, o, d, sobol: SobolSampler, settings: PtmisSettings, photon_map=None):
     """Returns (IValue, sobol, num_rays)."""
     n = o.shape[0]
     state = PathState(
@@ -107,17 +112,18 @@ def integrate(scene: SceneData, o, d, sobol: SobolSampler, settings: PtmisSettin
         mis_o=o,
         mis_n=d,
         from_volume=jnp.zeros((n,), bool),
+        primary_chain=jnp.ones((n,), bool),
     )
 
     def cond(s: PathState):
         return jnp.any(s.alive)
 
-    body = _make_body(scene, settings)
+    body = _make_body(scene, settings, photon_map)
     final = jax.lax.while_loop(cond, body, state)
     return final.result, SobolSampler(final.sobol, dim=5), final.rays
 
 
-def _make_body(scene: SceneData, settings: PtmisSettings):
+def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None):
     """One masked wavefront bounce over per-lane path state."""
     has_lights = scene.lights.count > 0
 
@@ -187,6 +193,28 @@ def _make_body(scene: SceneData, settings: PtmisSettings):
         result = s.result.add(
             contrib, s.depth, 2, primary & jnp.ones_like(s.alive), s.singular
         )
+
+        # ---- photon-map gather at primary-chain diffuse vertices
+        # (ref pathtracer_mis.zig:101-104 worker.photonLi -> result.direct)
+        if photon_map is not None:
+            from . import photon as photon_mod
+
+            gather_ok = (
+                s.alive & hit.valid() & ~scatter & mat.can_evaluate(params)
+                & s.primary_chain
+                & (
+                    jnp.asarray(settings.photons_not_only_through_specular)
+                    | ((s.depth > 0) & s.singular)
+                )
+            )
+            ph_li = photon_mod.gather(
+                photon_map, params, frag.p, wo, frag.n, frag.geo_n, gather_ok
+            )
+            result = IValue(
+                result.emission,
+                result.direct + jnp.where(gather_ok[..., None], throughput0 * ph_li, 0.0),
+                result.indirect,
+            )
 
         finite_hit = hit.valid() & (hit.t < RAY_MAX_T)
         cont = (
@@ -326,6 +354,7 @@ def _make_body(scene: SceneData, settings: PtmisSettings):
             mis_o=jnp.where(cont[..., None], new_mis_o, s.mis_o),
             mis_n=jnp.where(cont[..., None], new_mis_n, s.mis_n),
             from_volume=new_from_volume,
+            primary_chain=s.primary_chain & (new_singular | passthrough) & ~scatter,
         )
 
     return body
@@ -355,6 +384,7 @@ def integrate_persistent(
     num_expected_samples: int,
     settings: PtmisSettings,
     clamp_max=(float("inf"), float("inf"), float("inf")),
+    photon_map=None,
 ):
     """Render `num_samples` samples/pixel with lane regeneration.
 
@@ -364,7 +394,7 @@ def integrate_persistent(
 
     n = pixel_ids.shape[0]
     zero3 = jnp.zeros((n, 3), jnp.float32)
-    body = _make_body(scene, settings)
+    body = _make_body(scene, settings, photon_map)
 
     path0 = PathState(
         o=zero3,
@@ -385,6 +415,7 @@ def integrate_persistent(
             [jnp.zeros((n, 2), jnp.float32), jnp.ones((n, 1), jnp.float32)], -1
         ),
         from_volume=jnp.zeros((n,), bool),
+        primary_chain=jnp.ones((n,), bool),
     )
     state = PersistentState(path=path0, acc=zero3, done=jnp.zeros((n,), jnp.int32))
 
@@ -439,6 +470,7 @@ def integrate_persistent(
             mis_o=jnp.where(rm, o_cam, s.mis_o),
             mis_n=jnp.where(rm, d_cam, s.mis_n),
             from_volume=jnp.where(regen, False, s.from_volume),
+            primary_chain=jnp.where(regen, True, s.primary_chain),
         )
         done = ps.done + regen.astype(jnp.int32)
 
