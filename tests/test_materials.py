@@ -180,3 +180,94 @@ class TestRoughGlass:
         spread = wi[trans][:, :2].std()
         assert spread > 0.05, f"rough transmission not spread: {spread}"
         assert not np.asarray(bs.singular).any()
+
+
+class TestSubstituteExtras:
+    """Translucency + clearcoat (ref substitute_material.zig extras)."""
+
+    def _params(self, n, **over):
+        import jax.numpy as jnp
+        from zyg_tpu.scene.types import default_materials
+        from zyg_tpu.render import materials as mat
+
+        m = default_materials(1)._replace(
+            color=jnp.asarray([[1.0, 1.0, 1.0]]),
+            roughness=jnp.full((1,), 0.6),
+            metallic=jnp.zeros((1,)),
+        )
+        m = m._replace(**{k: jnp.asarray([v]) for k, v in over.items()})
+        return mat.gather(m, jnp.zeros((n,), jnp.int32))
+
+    def test_translucent_furnace(self, rng_np):
+        """White thin-translucent surface conserves energy (reflect+transmit)."""
+        import numpy as np
+        import jax.numpy as jnp
+        from zyg_tpu.render import materials as mat
+
+        n = 60000
+        params = self._params(n, translucency=0.5)
+        wo = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (n, 1))
+        nrm = wo
+        s3 = jnp.asarray(rng_np.uniform(0, 1, (n, 3)), jnp.float32)
+        bs = mat.sample_bsdf(params, wo, nrm, nrm, s3)
+        w = np.asarray(bs.weight)[np.asarray(bs.valid)]
+        total = w.mean(0)
+        assert np.all(total > 0.85) and np.all(total < 1.02), total
+
+    def test_translucency_crosses_surface(self, rng_np):
+        import numpy as np
+        import jax.numpy as jnp
+        from zyg_tpu.render import materials as mat
+
+        n = 20000
+        params = self._params(n, translucency=0.7)
+        wo = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (n, 1))
+        s3 = jnp.asarray(rng_np.uniform(0, 1, (n, 3)), jnp.float32)
+        bs = mat.sample_bsdf(params, wo, wo, wo, s3)
+        below = np.asarray(bs.wi[:, 2] < 0.0) & np.asarray(bs.valid)
+        frac = below.mean()
+        assert 0.6 < frac < 0.8, frac
+
+    def test_coating_adds_specular_and_conserves(self, rng_np):
+        import numpy as np
+        import jax.numpy as jnp
+        from zyg_tpu.render import materials as mat
+
+        n = 60000
+        params = self._params(
+            n, coating_thickness=0.01, coating_ior=1.5, coating_roughness=0.05
+        )
+        wo = jnp.tile(jnp.asarray([[0.0, 0.6, 0.8]]), (n, 1))
+        nrm = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (n, 1))
+        s3 = jnp.asarray(rng_np.uniform(0, 1, (n, 3)), jnp.float32)
+        bs = mat.sample_bsdf(params, wo, nrm, nrm, s3)
+        w = np.asarray(bs.weight)[np.asarray(bs.valid)]
+        total = w.mean(0)
+        # single-scatter clearcoat loses a little energy but must stay sane
+        assert np.all(total > 0.7) and np.all(total < 1.05), total
+        # mirror-ish directions present (coat lobe)
+        wi = np.asarray(bs.wi)[np.asarray(bs.valid)]
+        mirror = np.asarray([0.0, -0.6, 0.8])
+        close = (wi @ mirror > 0.995).mean()
+        assert close > 0.02, close
+
+    def test_eval_sample_pdf_consistency(self, rng_np):
+        """eval() at sampled directions reproduces the sample's pdf."""
+        import numpy as np
+        import jax.numpy as jnp
+        from zyg_tpu.render import materials as mat
+
+        n = 4096
+        params = self._params(
+            n, translucency=0.3, coating_thickness=0.01, coating_roughness=0.3
+        )
+        wo = jnp.tile(jnp.asarray([[0.3, 0.2, 0.93]]), (n, 1))
+        wo = wo / jnp.linalg.norm(wo, axis=-1, keepdims=True)
+        nrm = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (n, 1))
+        s3 = jnp.asarray(rng_np.uniform(0, 1, (n, 3)), jnp.float32)
+        bs = mat.sample_bsdf(params, wo, nrm, nrm, s3)
+        f, pdf = mat.eval_bsdf(params, wo, bs.wi, nrm, nrm)
+        v = np.asarray(bs.valid)
+        np.testing.assert_allclose(
+            np.asarray(pdf)[v], np.asarray(bs.pdf)[v], rtol=1e-4, atol=1e-7
+        )

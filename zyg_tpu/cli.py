@@ -33,10 +33,13 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    from .io import fs
     from .io.take import load_take_file
     from .scene.loader import load_scene_file
     from .render.driver import Driver
 
+    for m in args.mount:
+        fs.push_mount(m)
     t0 = time.time()
     take = load_take_file(args.input)
     scene_path = take.scene_filename

@@ -201,6 +201,9 @@ def load_take_dict(root: dict, base_dir: str = "") -> Take:
 
 
 def load_take_file(path: str) -> Take:
-    with open(path) as f:
-        root = json.load(f)
-    return load_take_dict(root, base_dir=os.path.dirname(path))
+    from . import fs
+
+    with fs.open_stream(path) as f:
+        root = json.loads(f.read().decode())
+    resolved = fs.resolve(path) or path
+    return load_take_dict(root, base_dir=os.path.dirname(resolved))

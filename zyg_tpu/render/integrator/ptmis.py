@@ -136,7 +136,17 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None):
             scene, s.o, s.d, jnp.float32(0.0), jnp.float32(RAY_MAX_T),
             "reflection", primary=primary,
         )
-        frag = shapes.build_fragment(scene, hit, s.o, s.d)
+        has_tex = scene.textures is not None
+        frag = shapes.build_fragment(
+            scene, hit, s.o, s.d, need_tangents=has_tex
+        )
+        if has_tex:
+            frag = frag._replace(
+                n=mat.apply_normal_map(
+                    scene.materials, scene.textures, frag.material, frag.uv,
+                    frag.n, frag.t, frag.b,
+                )
+            )
         med_mat = vol_mod.medium_material(scene, s.medium)
         medium_ior = jnp.where(
             s.medium >= 0, small_gather(scene.materials.ior, jnp.maximum(med_mat, 0)), 1.0

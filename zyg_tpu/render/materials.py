@@ -147,6 +147,8 @@ def gather(materials: Materials, mat_id, medium_ior=None, textures=None, uv=None
     emission = small_gather(materials.emission, m)
     if emission_scale is not None:
         emission = emission * emission_scale
+    coat_thick = small_gather(materials.coating_thickness, m)
+    coat_rough = jnp.maximum(small_gather(materials.coating_roughness, m), MIN_ROUGHNESS)
     return {
         "kind": kind,
         "color": color,
@@ -160,7 +162,29 @@ def gather(materials: Materials, mat_id, medium_ior=None, textures=None, uv=None
         "emission": emission,
         "two_sided": small_gather(materials.two_sided, m),
         "attenuation_distance": small_gather(materials.attenuation_distance, m),
+        # substitute extras (ref substitute_material.zig translucency/coating)
+        "translucency": small_gather(materials.translucency, m),
+        "coat_on": coat_thick > 0.0,
+        "coat_f0": ior_to_f0(small_gather(materials.coating_ior, m), ior_out),
+        "coat_alpha": coat_rough * coat_rough,
     }
+
+
+def apply_normal_map(materials: Materials, textures, mat_id, uv, n, t, b):
+    """Perturb the shading normal by the material's tangent-space normal map
+    (ref substitute material sample(): normal_map -> TBN rotate). No-op for
+    lanes whose material has no map."""
+    if textures is None:
+        return n
+    from ..scene.textures import sample_bilinear
+
+    m = jnp.maximum(mat_id, 0)
+    nt = small_gather(materials.normal_tex, m)
+    nm = sample_bilinear(textures, jnp.maximum(nt, 0), uv)[..., :3] * 2.0 - 1.0
+    n_pert = vm.safe_normalize(
+        nm[..., 0:1] * t + nm[..., 1:2] * b + jnp.maximum(nm[..., 2:3], 0.1) * n
+    )
+    return jnp.where((nt >= 0)[..., None], n_pert, n)
 
 
 def eval_radiance(params, wo, geo_n):
@@ -264,12 +288,55 @@ def _substitute_lobes(params, wo, wi, ns):
     return f_total, pdf, dw
 
 
+def _coating_lobe(params, wo, wi, ns):
+    """Clearcoat GGX lobe + base attenuation factors (ref
+    substitute_coating.zig): returns (f_coat*cos [N,3], pdf [N], fc_wo [N],
+    atten [N] = (1-Fc(wo))(1-Fc(wi)))."""
+    a_c = params["coat_alpha"]
+    a2 = a_c * a_c
+    f0 = params["coat_f0"]
+    n_dot_wi = _clamp(vm.dot(ns, wi))
+    n_dot_wo = _clamp(jnp.abs(vm.dot(ns, wo)))
+    h = vm.safe_normalize(wo + wi)
+    wo_dot_h = _clamp(vm.dot(wo, h))
+    n_dot_h = jnp.clip(vm.dot(ns, h), 0.0, 1.0)
+    d_ggx = _ggx_distribution(n_dot_h, a2)
+    vis, g1_denom = _visibility_and_g1wo(n_dot_wi, n_dot_wo, a2)
+    fr_wo = f0 + (1.0 - f0) * jnp.power(jnp.maximum(1.0 - n_dot_wo, 0.0), 5.0)
+    fr_wi = f0 + (1.0 - f0) * jnp.power(jnp.maximum(1.0 - n_dot_wi, 0.0), 5.0)
+    fr_h = f0 + (1.0 - f0) * jnp.power(jnp.maximum(1.0 - wo_dot_h, 0.0), 5.0)
+    on = params["coat_on"]
+    f = jnp.where(on, n_dot_wi * d_ggx * vis * fr_h, 0.0)[..., None] * jnp.ones(
+        wo.shape[:-1] + (3,), jnp.float32
+    )
+    pdf = jnp.where(on, (0.5 * d_ggx) / jnp.maximum(g1_denom, 1e-20), 0.0)
+    atten = jnp.where(on, (1.0 - fr_wo) * (1.0 - fr_wi), 1.0)
+    fc_wo = jnp.where(on, fr_wo, 0.0)
+    return f, pdf, fc_wo, atten
+
+
 def _substitute_eval(params, wo, wi, n, geo_n):
     same_side = vm.dot(wo, geo_n) > 0.0
     ns = jnp.where(same_side[..., None], n, -n)
-    ok = vm.dot(wi, ns) > 0.0
+    refl_side = vm.dot(wi, ns) > 0.0
+    tl = params["translucency"]
+
     f, pdf, _ = _substitute_lobes(params, wo, wi, ns)
-    return jnp.where(ok[..., None], f, 0.0), jnp.where(ok, pdf, 0.0)
+    fc, cpdf, fc_wo, atten = _coating_lobe(params, wo, wi, ns)
+    f = atten[..., None] * f + fc
+    pdf = fc_wo * cpdf + (1.0 - fc_wo) * pdf
+    f_r = (1.0 - tl)[..., None] * f
+    pdf_r = (1.0 - tl) * pdf
+
+    # diffuse transmission to the far side (thin translucency, ref
+    # substitute translucent sample)
+    n_dot_wi_t = _clamp(-vm.dot(ns, wi))
+    f_t = (tl / jnp.pi)[..., None] * params["albedo"] * n_dot_wi_t[..., None]
+    pdf_t = tl * n_dot_wi_t * (1.0 / jnp.pi)
+
+    f_out = jnp.where(refl_side[..., None], f_r, jnp.where((tl > 0.0)[..., None], f_t, 0.0))
+    pdf_out = jnp.where(refl_side, pdf_r, jnp.where(tl > 0.0, pdf_t, 0.0))
+    return f_out, pdf_out
 
 
 def _substitute_sample(params, wo, n, geo_n, p, xi):
@@ -277,9 +344,10 @@ def _substitute_sample(params, wo, n, geo_n, p, xi):
     ns = jnp.where(same_side[..., None], n, -n)
     t, b = vm.orthonormal_basis(ns)
 
-    # both candidate directions
+    # candidate directions for every lobe
     d_local, _ = vm.sample_hemisphere_cosine(xi)
     wi_diffuse = vm.frame_to_world(t, b, ns, d_local)
+    wi_trans = -wi_diffuse  # thin diffuse transmission (far hemisphere)
 
     wo_l = vm.world_to_frame(t, b, ns, wo)
     m_l = _vndf_sample(wo_l, params["alpha"], xi)
@@ -287,18 +355,44 @@ def _substitute_sample(params, wo, n, geo_n, p, xi):
     wo_dot_h = _clamp(vm.dot(wo, h))
     wi_gloss = vm.safe_normalize(2.0 * wo_dot_h[..., None] * h - wo)
 
-    # need dw to select the lobe; evaluate at a placeholder first is wasteful,
-    # so compute dw from wo only (it does not depend on wi)
+    mc_l = _vndf_sample(wo_l, params["coat_alpha"], xi)
+    hc = vm.frame_to_world(t, b, ns, mc_l)
+    wi_coat = vm.safe_normalize(2.0 * _clamp(vm.dot(wo, hc))[..., None] * hc - wo)
+
+    # selection chain: translucency -> coat (Fc(wo)) -> diffuse/gloss (dw);
+    # the probabilities MATCH the mixture pdf _substitute_eval reports
     f0m = jnp.max(params["f0"], axis=-1)
     am = jnp.max(params["albedo"], axis=-1)
     e_avg = eval_e_s_avg(f0m, params["alpha"])
     bsel = am / jnp.maximum(jnp.pi * (1.0 - e_avg), 1e-6)
     dw = bsel / jnp.maximum(e_avg + bsel, 1e-12)
     dw = jnp.where(params["metallic"] >= 1.0, 0.0, dw)
+    n_dot_wo = _clamp(jnp.abs(vm.dot(ns, wo)))
+    fc_wo = jnp.where(
+        params["coat_on"],
+        params["coat_f0"]
+        + (1.0 - params["coat_f0"]) * jnp.power(jnp.maximum(1.0 - n_dot_wo, 0.0), 5.0),
+        0.0,
+    )
+    tl = params["translucency"]
 
-    wi = jnp.where((p < dw)[..., None], wi_diffuse, wi_gloss)
-    f, pdf, _ = _substitute_lobes(params, wo, wi, ns)
-    ok = (vm.dot(wi, ns) > 0.0) & (pdf > 1e-10)
+    take_trans = p < tl
+    p1 = jnp.clip((p - tl) / jnp.maximum(1.0 - tl, 1e-6), 0.0, 1.0)
+    take_coat = ~take_trans & (p1 < fc_wo)
+    p2 = jnp.clip((p1 - fc_wo) / jnp.maximum(1.0 - fc_wo, 1e-6), 0.0, 1.0)
+    take_diffuse = ~take_trans & ~take_coat & (p2 < dw)
+
+    wi = jnp.where(
+        take_trans[..., None],
+        wi_trans,
+        jnp.where(
+            take_coat[..., None],
+            wi_coat,
+            jnp.where(take_diffuse[..., None], wi_diffuse, wi_gloss),
+        ),
+    )
+    f, pdf = _substitute_eval(params, wo, wi, n, geo_n)
+    ok = pdf > 1e-10
     weight = jnp.where(ok[..., None], f / jnp.maximum(pdf, 1e-10)[..., None], 0.0)
     return wi, weight, pdf, ok
 

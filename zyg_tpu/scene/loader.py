@@ -135,6 +135,10 @@ class MaterialDesc:
     normal_tex: int = -1
     emission_tex: int = -1
     density_grid: int = -1  # index into the builder's 3D grid list
+    translucency: float = 0.0
+    coating_thickness: float = 0.0
+    coating_ior: float = 1.5
+    coating_roughness: float = 0.2
 
 
 def _read_color(v) -> np.ndarray:
@@ -220,6 +224,14 @@ def parse_material(value: dict, builder: "SceneBuilder | None" = None, base_dir:
                 desc.attenuation_distance = float(v)
             elif key == "two_sided":
                 desc.two_sided = bool(v)
+            elif key == "translucency":
+                desc.translucency = float(v)
+            elif key == "coating" and isinstance(v, dict):
+                # ref substitute_coating.zig: thickness-attenuated clearcoat
+                desc.coating_thickness = float(v.get("thickness", 0.001))
+                desc.coating_ior = float(v.get("ior", 1.5))
+                cr = v.get("roughness", 0.2)
+                desc.coating_roughness = float(cr) if isinstance(cr, (int, float)) else 0.2
             elif key == "emittance":
                 spectrum = _read_color(v.get("spectrum", [1.0, 1.0, 1.0]))
                 desc.emission = np.float32(v.get("value", 1.0)) * spectrum
@@ -291,6 +303,10 @@ def materials_to_table(descs: list[MaterialDesc]) -> Materials:
         normal_tex=jnp.asarray([d.normal_tex for d in descs], jnp.int32),
         emission_tex=jnp.asarray([d.emission_tex for d in descs], jnp.int32),
         density_grid=jnp.asarray([d.density_grid for d in descs], jnp.int32),
+        translucency=jnp.asarray([d.translucency for d in descs], jnp.float32),
+        coating_thickness=jnp.asarray([d.coating_thickness for d in descs], jnp.float32),
+        coating_ior=jnp.asarray([d.coating_ior for d in descs], jnp.float32),
+        coating_roughness=jnp.asarray([d.coating_roughness for d in descs], jnp.float32),
     )
 
 
@@ -831,6 +847,9 @@ def _load_sky(e: dict, builder: SceneBuilder) -> None:
 
 
 def load_scene_file(path: str) -> SceneData:
-    with open(path) as f:
-        root = json.load(f)
-    return load_scene_dict(root, base_dir=os.path.dirname(path))
+    from ..io import fs
+
+    with fs.open_stream(path) as f:
+        root = json.loads(f.read().decode())
+    resolved = fs.resolve(path) or path
+    return load_scene_dict(root, base_dir=os.path.dirname(resolved))

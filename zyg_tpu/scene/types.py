@@ -69,6 +69,11 @@ class Materials(NamedTuple):
     # heterogeneous volume: density grid index into SceneData.grids (-1 =
     # homogeneous; ref volumetric_material.zig density_map)
     density_grid: jax.Array = None  # int32[M]
+    # substitute extras (ref substitute_material.zig)
+    translucency: jax.Array = None  # float32[M] diffuse transmission fraction
+    coating_thickness: jax.Array = None  # float32[M] clearcoat layer (0 = off)
+    coating_ior: jax.Array = None  # float32[M]
+    coating_roughness: jax.Array = None  # float32[M]
 
     @property
     def count(self) -> int:
@@ -164,6 +169,10 @@ def default_materials(n: int = 1) -> Materials:
         normal_tex=jnp.full((n,), -1, jnp.int32),
         emission_tex=jnp.full((n,), -1, jnp.int32),
         density_grid=jnp.full((n,), -1, jnp.int32),
+        translucency=jnp.zeros((n,), jnp.float32),
+        coating_thickness=jnp.zeros((n,), jnp.float32),
+        coating_ior=jnp.full((n,), 1.5, jnp.float32),
+        coating_roughness=jnp.full((n,), 0.2, jnp.float32),
     )
 
 
