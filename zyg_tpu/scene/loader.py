@@ -695,6 +695,15 @@ def _load_entities(entities, parent: Transformation, local_materials, builder: S
                 from ..io.mesh import load_mesh_file
 
                 fname = shape_node["file"]
+                if fname.endswith((".gltf", ".glb")):
+                    # glTF expands into its own props (meshes + materials,
+                    # ref util/gltf_loader.zig) under this entity's transform
+                    from ..io.gltf import load_gltf_into
+
+                    load_gltf_into(builder, os.path.join(base_dir, fname), trafo)
+                    if "entities" in e:
+                        _load_entities(e["entities"], trafo, local_materials, builder, base_dir)
+                    continue
                 if fname in builder._mesh_by_name:
                     mesh_id = builder._mesh_by_name[fname]
                 else:
