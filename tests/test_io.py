@@ -107,3 +107,66 @@ class TestSubVolume:
         np.testing.assert_allclose(read_sub_volume(p), g)
         write_sub_volume(p, g, sparse=False)
         np.testing.assert_allclose(read_sub_volume(p), g)
+
+
+class TestStereoAndFs:
+    def test_stereo_layers_differ(self):
+        import numpy as np
+        from zyg_tpu.io.take import load_take_dict
+        from zyg_tpu.scene.loader import load_scene_dict
+        from zyg_tpu.render.driver import Driver
+
+        take = load_take_dict(
+            {
+                "camera": {
+                    "Perspective": {
+                        "parameters": {"fov": 50, "stereo": {"ipd": 0.07}},
+                        "transformation": {"position": [0, 1, -3]},
+                        "resolution": [48, 32],
+                    }
+                },
+                "sampler": {"Sobol": {"samples_per_pixel": 4}},
+            }
+        )
+        assert take.cameras[0].num_layers == 2
+        scene = load_scene_dict(
+            {
+                "materials": [{"name": "l", "rendering": {"Light": {"emittance": {"value": 1.0}}}}],
+                "entities": [
+                    {"type": "Prop", "shape": {"type": "Sphere"}, "transformation": {"position": [0, 1, 0]}},
+                    {"type": "Light", "shape": {"type": "Dome"}, "materials": ["l"]},
+                ],
+            }
+        )
+        imgs = Driver(take=take, scene=scene).render_layers()
+        assert len(imgs) == 2
+        assert float(np.abs(imgs[0] - imgs[1]).max()) > 1e-3
+
+    def test_gzip_mounted_take(self, tmp_path):
+        import gzip
+
+        from zyg_tpu.io import fs
+        from zyg_tpu.io.take import load_take_file
+
+        (tmp_path / "takes").mkdir()
+        src = open("examples/takes/cornell_ptmis.take").read()
+        with gzip.open(tmp_path / "takes" / "c.take.gz", "wt") as f:
+            f.write(src)
+        fs.push_mount(str(tmp_path))
+        try:
+            t = load_take_file("takes/c.take.gz")
+            assert t.num_samples_per_pixel > 0
+        finally:
+            fs.clear_mounts()
+
+    def test_frame_dependant_name(self):
+        from zyg_tpu.io import fs
+
+        assert fs.frame_dependant_name("img_####.exr", 37) == "img_0037.exr"
+        assert fs.frame_dependant_name("b_{f:03}.png", 5) == "b_005.png"
+
+    def test_ffmpeg_command(self):
+        from zyg_tpu.io.ffmpeg import FfmpegSink
+
+        cmd = FfmpegSink("/tmp/x.mp4", (64, 32), 24).command()
+        assert cmd[0] == "ffmpeg" and "64x32" in cmd and "/tmp/x.mp4" in cmd

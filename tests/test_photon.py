@@ -46,15 +46,8 @@ class TestPhotonGather:
             ph.gather(pmap, params, qj, wo, ns, ns, jnp.ones((Q,), bool))
         )
 
-        # brute force with the same estimator
-        f_all, _ = mat.eval_bsdf(
-            diffuse_params(1),
-            jnp.asarray([[0.0, 0.0, 1.0]]),
-            jnp.asarray([[0.0, 0.0, 1.0]]),
-            jnp.asarray([[0.0, 0.0, 1.0]]),
-            jnp.asarray([[0.0, 0.0, 1.0]]),
-        )
-        f = np.asarray(f_all)[0]  # f*cos with cos=1
+        # brute force with the same estimator (diffuse albedo/pi form)
+        f = np.asarray(diffuse_params(1)["albedo"])[0] / np.pi
         expect = np.zeros((Q, 3), np.float32)
         for i in range(Q):
             d2 = ((p - q[i]) ** 2).sum(-1)

@@ -67,6 +67,12 @@ def main(argv=None) -> int:
     out = args.output or (os.path.splitext(os.path.basename(args.input))[0] + ".png")
     t0 = time.time()
     driver.export_frame(out)
+    # stereo: further layers as _l1, _l2 ... (ref exporting/sink.zig layers)
+    for layer in range(1, driver.camera.num_layers):
+        d2 = Driver(take=take, scene=scene, camera=driver.camera, layer=layer)
+        d2.render_frame()
+        base, ext = os.path.splitext(out)
+        d2.export_frame(f"{base}_l{layer}{ext}")
     print(f"Export time {time.time() - t0:.3f} s")
 
     if args.stats:

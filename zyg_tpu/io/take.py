@@ -88,6 +88,8 @@ def _load_camera(node: dict) -> PerspectiveCamera:
             cam.aperture_radius = float(params["aperture"].get("radius", cam.aperture_radius))
         if "focus" in params:
             cam.focus_distance = float(params["focus"].get("distance", 0.0))
+        if "stereo" in params:
+            cam.ipd = float(params["stereo"].get("ipd", 0.062))
         trafo = read_transformation(body.get("transformation"))
         cam.rotation = trafo.rotation
         cam.position = trafo.position

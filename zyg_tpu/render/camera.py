@@ -62,8 +62,15 @@ class PerspectiveCamera:
     crop: tuple[int, int, int, int] | None = None
     projection: str = "perspective"  # "perspective" | "orthographic"
     ortho_width: float = 2.0  # world-space sensor width (orthographic)
+    # stereo (ref camera_perspective.zig setStereo): interpupillary distance;
+    # > 0 renders two layers with eyes offset +-ipd/2 along the camera x axis
+    ipd: float = 0.0
 
-    def arrays(self) -> CameraArrays:
+    @property
+    def num_layers(self) -> int:
+        return 2 if self.ipd > 0.0 else 1
+
+    def arrays(self, layer: int = 0) -> CameraArrays:
         w, h = self.resolution
         ratio = h / w
         zero = np.zeros(3, np.float32)
@@ -83,9 +90,14 @@ class PerspectiveCamera:
             d_dx = (right_top - d_base) / w
             d_dy = (left_bottom - d_base) / h
             o_base = o_dx = o_dy = zero
+        pos = np.asarray(self.position, np.float32)
+        if self.ipd > 0.0:
+            # eye offset along the camera's x axis (rotation row 0)
+            sign = -1.0 if layer == 0 else 1.0
+            pos = pos + sign * 0.5 * self.ipd * np.asarray(self.rotation[0], np.float32)
         return CameraArrays(
             rot=jnp.asarray(self.rotation, jnp.float32),
-            pos=jnp.asarray(self.position, jnp.float32),
+            pos=jnp.asarray(pos, jnp.float32),
             o_base=jnp.asarray(o_base),
             o_dx=jnp.asarray(o_dx),
             o_dy=jnp.asarray(o_dy),

@@ -48,6 +48,7 @@ def _render_samples(
     resolution: tuple = (0, 0),
     photon_map=None,
     photons_not_only: bool = False,
+    photon_max_per_cell: int = 64,
 ):
     """Accumulate `num_samples` consecutive samples into fb (one jit)."""
 
@@ -71,6 +72,7 @@ def _render_samples(
             ),
             clamp_max,
             photon_map=photon_map,
+            photon_max_per_cell=photon_max_per_cell,
         )
         return Framebuffer(fb.value + acc, fb.weight + num_samples), rays
 
@@ -118,6 +120,7 @@ def _render_samples(
                     photons_not_only_through_specular=photons_not_only,
                 ),
                 photon_map=photon_map,
+                photon_max_per_cell=photon_max_per_cell,
             )
             radiance = (
                 sensor_mod.clamp_radiance(iv.emission, clamp_max[0])
@@ -147,6 +150,7 @@ class Driver:
     take: Take
     scene: SceneData
     camera: PerspectiveCamera = None  # type: ignore
+    layer: int = 0  # stereo layer (camera.num_layers > 1)
 
     def __post_init__(self):
         self.camera = self.camera or self.take.cameras[0]
@@ -170,9 +174,13 @@ class Driver:
         # bounds lanes*samples to keep device steps short.
         spp = max(self.take.num_samples_per_pixel, 1)
         # scenes with nested device loops (mesh BVH traversal, volume grid
-        # tracking) must keep dispatches short — long fused dispatches have
-        # crashed the remote TPU worker
-        self._heavy_loops = self.scene.meshes is not None or self.scene.grids is not None
+        # tracking, photon-map gathers) must keep dispatches short — long
+        # fused dispatches have crashed the remote TPU worker
+        self._heavy_loops = (
+            self.scene.meshes is not None
+            or self.scene.grids is not None
+            or self.take.photon.num_photons > 0
+        )
         if self.take.integrator.kind in ("PTMIS", "PTDL") and self.take.sensor.filter_radius == 0:
             self.chunk_size = min(spp, 8 if self._heavy_loops else 64)
         else:
@@ -198,6 +206,7 @@ class Driver:
                     filter_radius=int(round(self.take.sensor.filter_radius)),
                     resolution=self.camera.resolution,
                     photons_not_only=self.take.photon.not_only_through_specular,
+                    photon_max_per_cell=getattr(self, "_photon_max_per_cell", 64),
                 )
             )
             self._render_cache[num_samples] = fn
@@ -224,7 +233,7 @@ class Driver:
         self.progress.start(ppp)
         for it in range(ppp):
             keys = self._pixel_ids * jnp.uint32(max(ppp, 2)) + jnp.uint32(self._particles_traced)
-            splat, rays = fn(self.scene, self.camera.arrays(), keys)
+            splat, rays = fn(self.scene, self.camera.arrays(self.layer), keys)
             self._splat = self._splat + splat
             self._particles_traced += 1
             self.rays_traced += int(rays)
@@ -263,7 +272,11 @@ class Driver:
         n_pixels = self._pixel_ids.shape[0]
         # filtered splats write across tile borders — only tile box-filter runs
         can_tile = self._heavy_loops and self.take.sensor.filter_radius == 0
-        tile_n = 16384 if self.scene.meshes is not None else 65536
+        tile_n = (
+            16384
+            if (self.scene.meshes is not None or self._photon_map is not None)
+            else 65536
+        )
         tile = min(n_pixels, tile_n) if can_tile else n_pixels
         self.progress.start(num * ((n_pixels + tile - 1) // tile))
         done = 0
@@ -275,7 +288,7 @@ class Driver:
                 fb_t = Framebuffer(self._fb.value[t0:t1], self._fb.weight[t0:t1])
                 fb_t, rays = fn(
                     self.scene,
-                    self.camera.arrays(),
+                    self.camera.arrays(self.layer),
                     fb_t,
                     self._pixel_xy[t0:t1],
                     self._pixel_ids[t0:t1],
@@ -317,6 +330,13 @@ class Driver:
                 photon_mod.build_map, search_radius=ps.search_radius, num_paths=n
             )
         )(p, wi, alpha, valid)
+        # bound the gather's per-bucket scan by the ACTUAL max occupancy —
+        # sparse caustic maps need a handful of iterations, not 64
+        occ = int(jnp.max(jnp.diff(self._photon_map.cell_start)))
+        self._photon_max_per_cell = max(occ, 1)
+        self._render_cache = {
+            k: v for k, v in self._render_cache.items() if k == "particles"
+        }
 
     def render_frame(self) -> np.ndarray:
         """Full frame at take spp (+ particle pass). Returns linear [H,W,3]."""
@@ -361,6 +381,15 @@ class Driver:
             "textures": tree_bytes(sc.textures),
             "framebuffer": tree_bytes(self._fb) + tree_bytes(self._splat),
         }
+
+    def render_layers(self) -> list[np.ndarray]:
+        """Render every stereo layer (ref sensor.zig multi-layer buffers);
+        layer 0 reuses this driver, further layers get their own."""
+        out = [self.render_frame()]
+        for layer in range(1, self.camera.num_layers):
+            d = Driver(take=self.take, scene=self.scene, camera=self.camera, layer=layer)
+            out.append(d.render_frame())
+        return out
 
     def export_frame(self, path: str):
         """Write by extension: .png (tonemapped sRGB8), .exr (linear HDR),

@@ -147,7 +147,10 @@ def trace(
         medium_ior = jnp.where(
             s.medium >= 0, small_gather(scene.materials.ior, jnp.maximum(med_mat, 0)), 1.0
         )
-        params = mat.gather(scene.materials, frag.material, medium_ior, scene.textures, frag.uv)
+        params = mat.gather(
+            scene.materials, frag.material, medium_ior, scene.textures, frag.uv,
+            features=scene.mat_features,
+        )
         wo = -s.d
 
         throughput = s.throughput * mat.medium_absorption(scene.materials, med_mat, hit.t)

@@ -131,7 +131,10 @@ def bake(scene: SceneData, ray_keys, settings: PhotonSettings, max_depth: int = 
         medium_ior = jnp.where(
             s.medium >= 0, small_gather(scene.materials.ior, jnp.maximum(med_mat, 0)), 1.0
         )
-        params = mat.gather(scene.materials, frag.material, medium_ior, scene.textures, frag.uv)
+        params = mat.gather(
+            scene.materials, frag.material, medium_ior, scene.textures, frag.uv,
+            features=scene.mat_features,
+        )
         wo = -s.d
         throughput = s.throughput * mat.medium_absorption(scene.materials, med_mat, hit.t)
         finite_hit = hit.valid() & (hit.t < RAY_MAX_T)
@@ -213,7 +216,7 @@ def build_map(p, wi, alpha, valid, search_radius: float, num_paths: int) -> Phot
     )
 
 
-def gather(pmap: PhotonMap, params, pos, wo, ns, geo_n, active):
+def gather(pmap: PhotonMap, params, pos, wo, ns, geo_n, active, max_per_cell: int = MAX_PER_CELL):
     """Cone-filtered photon density estimate at shading points (ref
     photon_grid.zig li, one-sided branch). Returns [N,3] radiance."""
     r2 = pmap.radius * pmap.radius
@@ -227,6 +230,14 @@ def gather(pmap: PhotonMap, params, pos, wo, ns, geo_n, active):
         start = pmap.cell_start[cell_id]
         end = pmap.cell_start[cell_id + 1]
 
+        # Inside the bounded scan the BSDF is evaluated in its DIFFUSE form
+        # (f/cos = albedo/pi): photon gathers happen at canEvaluate vertices
+        # and a full microfacet eval per photon (8 cells x 64 photons) blows
+        # the dispatch budget on the remote TPU worker. The reference's
+        # li() evaluates the full BSDF per photon (photon_grid.zig:575);
+        # glossy response of the gather is a planned refinement.
+        diffuse = params["albedo"] * (1.0 / jnp.pi)
+
         def one(k, acc):
             idx = jnp.minimum(start + k, pmap.p.shape[0] - 1)
             ok = (start + k < end) & active
@@ -236,12 +247,10 @@ def gather(pmap: PhotonMap, params, pos, wo, ns, geo_n, active):
             front = vm.dot(ns, phwi) > 0.0
             ok = ok & (d2 < r2) & front
             kcone = jnp.square(1.0 - d2 * inv_r2)
-            f, _ = mat.eval_bsdf(params, wo, phwi, ns, geo_n)
-            n_dot_wi = jnp.maximum(vm.dot(ns, phwi), 1e-4)
-            contrib = (kcone / n_dot_wi)[..., None] * pmap.alpha[idx] * f
+            contrib = kcone[..., None] * pmap.alpha[idx] * diffuse
             return acc + jnp.where(ok[..., None], contrib, 0.0)
 
-        return jax.lax.fori_loop(0, MAX_PER_CELL, one, result)
+        return jax.lax.fori_loop(0, min(max_per_cell, MAX_PER_CELL), one, result)
 
     # the 8 cells a radius-r sphere can touch when cell edge = 2r
     for dx in (0, 1):

@@ -71,7 +71,10 @@ def integrate(scene: SceneData, o, d, sobol: SobolSampler, settings: PtSettings)
         medium_ior = jnp.where(
             s.medium >= 0, small_gather(scene.materials.ior, jnp.maximum(med_mat, 0)), 1.0
         )
-        params = mat.gather(scene.materials, frag.material, medium_ior, scene.textures, frag.uv)
+        params = mat.gather(
+            scene.materials, frag.material, medium_ior, scene.textures, frag.uv,
+            features=scene.mat_features,
+        )
         wo = -s.d
 
         # Beer-Lambert absorption through the current medium

@@ -92,7 +92,7 @@ def predivided_power_heuristic(f_pdf, g_pdf):
     return f_pdf / jnp.maximum(g_pdf * g_pdf + f2, 1e-20)
 
 
-def integrate(scene: SceneData, o, d, sobol: SobolSampler, settings: PtmisSettings, photon_map=None):
+def integrate(scene: SceneData, o, d, sobol: SobolSampler, settings: PtmisSettings, photon_map=None, photon_max_per_cell=64):
     """Returns (IValue, sobol, num_rays)."""
     n = o.shape[0]
     state = PathState(
@@ -118,12 +118,12 @@ def integrate(scene: SceneData, o, d, sobol: SobolSampler, settings: PtmisSettin
     def cond(s: PathState):
         return jnp.any(s.alive)
 
-    body = _make_body(scene, settings, photon_map)
+    body = _make_body(scene, settings, photon_map, photon_max_per_cell)
     final = jax.lax.while_loop(cond, body, state)
     return final.result, SobolSampler(final.sobol, dim=5), final.rays
 
 
-def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None):
+def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photon_max_per_cell=64):
     """One masked wavefront bounce over per-lane path state."""
     has_lights = scene.lights.count > 0
 
@@ -151,7 +151,10 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None):
         medium_ior = jnp.where(
             s.medium >= 0, small_gather(scene.materials.ior, jnp.maximum(med_mat, 0)), 1.0
         )
-        params = mat.gather(scene.materials, frag.material, medium_ior, scene.textures, frag.uv)
+        params = mat.gather(
+            scene.materials, frag.material, medium_ior, scene.textures, frag.uv,
+            features=scene.mat_features,
+        )
         wo = -s.d
 
         # ---- medium transport: distance sampling in the enclosing medium
@@ -218,7 +221,8 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None):
                 )
             )
             ph_li = photon_mod.gather(
-                photon_map, params, frag.p, wo, frag.n, frag.geo_n, gather_ok
+                photon_map, params, frag.p, wo, frag.n, frag.geo_n, gather_ok,
+                max_per_cell=photon_max_per_cell,
             )
             result = IValue(
                 result.emission,
@@ -395,6 +399,7 @@ def integrate_persistent(
     settings: PtmisSettings,
     clamp_max=(float("inf"), float("inf"), float("inf")),
     photon_map=None,
+    photon_max_per_cell=64,
 ):
     """Render `num_samples` samples/pixel with lane regeneration.
 
@@ -404,7 +409,7 @@ def integrate_persistent(
 
     n = pixel_ids.shape[0]
     zero3 = jnp.zeros((n, 3), jnp.float32)
-    body = _make_body(scene, settings, photon_map)
+    body = _make_body(scene, settings, photon_map, photon_max_per_cell)
 
     path0 = PathState(
         o=zero3,

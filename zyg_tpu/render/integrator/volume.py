@@ -81,6 +81,15 @@ def sample_interaction(scene: SceneData, medium_prop, o, d, seg_t, u_dist, vol_k
     per-lane uint32 evolving key for the hetero tracking stream.
     Returns a VolumeEvent; lanes in vacuum get weight 1 / no event.
     """
+    nsh = medium_prop.shape
+    if scene.mat_features is not None and "media" not in scene.mat_features:
+        # no glass/volumetric materials anywhere: vacuum transport
+        return VolumeEvent(
+            jnp.zeros(nsh, bool),
+            jnp.zeros(nsh, bool),
+            o,
+            jnp.ones(nsh + (3,), jnp.float32),
+        )
     med_mat = medium_material(scene, medium_prop)
     mu_t, mu_s, _g = mat.medium_coefficients(scene.materials, med_mat)
     seg = jnp.minimum(seg_t, jnp.float32(3.0e37))

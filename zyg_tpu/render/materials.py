@@ -110,12 +110,15 @@ def ior_to_f0(ior, ior_outside):
     return t * t
 
 
-def gather(materials: Materials, mat_id, medium_ior=None, textures=None, uv=None):
+def gather(materials: Materials, mat_id, medium_ior=None, textures=None, uv=None, features=None):
     """Gather per-lane material parameters + derived BSDF constants.
 
     medium_ior: IoR of the medium the ray travels in (1.0 = air).
     textures/uv: optional texture arena + per-lane uv; texture-mapped
-    parameters multiply their uniform values (ref texture.zig Texture scale)."""
+    parameters multiply their uniform values (ref texture.zig Texture scale).
+    features: STATIC dict of material features present in the scene
+    ({"coating", "translucency"}; loader-computed) — absent features compile
+    to nothing. None = enable all (standalone/test use)."""
     m = jnp.maximum(mat_id, 0)
     kind = small_gather(materials.kind, m)
     color = small_gather(materials.color, m)
@@ -149,7 +152,9 @@ def gather(materials: Materials, mat_id, medium_ior=None, textures=None, uv=None
         emission = emission * emission_scale
     coat_thick = small_gather(materials.coating_thickness, m)
     coat_rough = jnp.maximum(small_gather(materials.coating_roughness, m), MIN_ROUGHNESS)
+    feats = {"coating": True, "translucency": True} if features is None else features
     return {
+        "_features": feats,
         "kind": kind,
         "color": color,
         "albedo": albedo,
@@ -288,6 +293,11 @@ def _substitute_lobes(params, wo, wi, ns):
     return f_total, pdf, dw
 
 
+def _no_coating(params, wo):
+    zero = jnp.zeros(wo.shape[:-1], jnp.float32)
+    return jnp.zeros_like(wo), zero, zero, jnp.ones_like(zero)
+
+
 def _coating_lobe(params, wo, wi, ns):
     """Clearcoat GGX lobe + base attenuation factors (ref
     substitute_coating.zig): returns (f_coat*cos [N,3], pdf [N], fc_wo [N],
@@ -321,10 +331,15 @@ def _substitute_eval(params, wo, wi, n, geo_n):
     refl_side = vm.dot(wi, ns) > 0.0
     tl = params["translucency"]
 
+    feats = params["_features"]
     f, pdf, _ = _substitute_lobes(params, wo, wi, ns)
-    fc, cpdf, fc_wo, atten = _coating_lobe(params, wo, wi, ns)
-    f = atten[..., None] * f + fc
-    pdf = fc_wo * cpdf + (1.0 - fc_wo) * pdf
+    if "coating" in feats:
+        fc, cpdf, fc_wo, atten = _coating_lobe(params, wo, wi, ns)
+        f = atten[..., None] * f + fc
+        pdf = fc_wo * cpdf + (1.0 - fc_wo) * pdf
+    if "translucency" not in feats:
+        ok = refl_side
+        return jnp.where(ok[..., None], f, 0.0), jnp.where(ok, pdf, 0.0)
     f_r = (1.0 - tl)[..., None] * f
     pdf_r = (1.0 - tl) * pdf
 
@@ -355,9 +370,13 @@ def _substitute_sample(params, wo, n, geo_n, p, xi):
     wo_dot_h = _clamp(vm.dot(wo, h))
     wi_gloss = vm.safe_normalize(2.0 * wo_dot_h[..., None] * h - wo)
 
-    mc_l = _vndf_sample(wo_l, params["coat_alpha"], xi)
-    hc = vm.frame_to_world(t, b, ns, mc_l)
-    wi_coat = vm.safe_normalize(2.0 * _clamp(vm.dot(wo, hc))[..., None] * hc - wo)
+    feats = params["_features"]
+    if "coating" in feats:
+        mc_l = _vndf_sample(wo_l, params["coat_alpha"], xi)
+        hc = vm.frame_to_world(t, b, ns, mc_l)
+        wi_coat = vm.safe_normalize(2.0 * _clamp(vm.dot(wo, hc))[..., None] * hc - wo)
+    else:
+        wi_coat = wi_gloss
 
     # selection chain: translucency -> coat (Fc(wo)) -> diffuse/gloss (dw);
     # the probabilities MATCH the mixture pdf _substitute_eval reports
@@ -368,13 +387,16 @@ def _substitute_sample(params, wo, n, geo_n, p, xi):
     dw = bsel / jnp.maximum(e_avg + bsel, 1e-12)
     dw = jnp.where(params["metallic"] >= 1.0, 0.0, dw)
     n_dot_wo = _clamp(jnp.abs(vm.dot(ns, wo)))
-    fc_wo = jnp.where(
-        params["coat_on"],
-        params["coat_f0"]
-        + (1.0 - params["coat_f0"]) * jnp.power(jnp.maximum(1.0 - n_dot_wo, 0.0), 5.0),
-        0.0,
-    )
-    tl = params["translucency"]
+    if "coating" in feats:
+        fc_wo = jnp.where(
+            params["coat_on"],
+            params["coat_f0"]
+            + (1.0 - params["coat_f0"]) * jnp.power(jnp.maximum(1.0 - n_dot_wo, 0.0), 5.0),
+            0.0,
+        )
+    else:
+        fc_wo = jnp.zeros_like(n_dot_wo)
+    tl = params["translucency"] if "translucency" in feats else jnp.zeros_like(n_dot_wo)
 
     take_trans = p < tl
     p1 = jnp.clip((p - tl) / jnp.maximum(1.0 - tl, 1e-6), 0.0, 1.0)
@@ -391,6 +413,12 @@ def _substitute_sample(params, wo, n, geo_n, p, xi):
             jnp.where(take_diffuse[..., None], wi_diffuse, wi_gloss),
         ),
     )
+    if not feats:
+        # fast path: plain substitute — evaluate base lobes only
+        f, pdf, _ = _substitute_lobes(params, wo, wi, ns)
+        ok = (vm.dot(wi, ns) > 0.0) & (pdf > 1e-10)
+        weight = jnp.where(ok[..., None], f / jnp.maximum(pdf, 1e-10)[..., None], 0.0)
+        return wi, weight, pdf, ok
     f, pdf = _substitute_eval(params, wo, wi, n, geo_n)
     ok = pdf > 1e-10
     weight = jnp.where(ok[..., None], f / jnp.maximum(pdf, 1e-10)[..., None], 0.0)

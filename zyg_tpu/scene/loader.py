@@ -530,6 +530,20 @@ class SceneBuilder:
                 visible_shadow.append(False)
             else:
                 visible_shadow.append(p.visible_shadow)
+        mat_features = {}
+        if any(d.coating_thickness > 0.0 for d in self.materials):
+            mat_features["coating"] = True
+        if any(d.translucency > 0.0 for d in self.materials):
+            mat_features["translucency"] = True
+        # media present: any material that can fill a prop interior — glass
+        # (Beer absorption / rough refraction) or volumetric; without any,
+        # the integrators compile the medium machinery away entirely
+        if any(
+            d.kind in (int(MaterialKind.GLASS), int(MaterialKind.VOLUMETRIC))
+            for d in self.materials
+        ):
+            mat_features["media"] = True
+
         grid_arena = None
         if self.density_grids:
             from .grids import build_grid_arena
@@ -627,6 +641,7 @@ class SceneBuilder:
             volume_props=volume_props,
             grids=grid_arena,
             light_tree=light_tree,
+            mat_features=mat_features,
         )
 
     def _light_bounds(self, p: PropDesc):

@@ -135,6 +135,9 @@ class SceneData(NamedTuple):
     # many-light sampling tree (None = power-CDF selection only;
     # ref light/light_tree.zig)
     light_tree: "object" = None  # light_tree.LightTree | None
+    # STATIC dict of material features present ({"coating", "translucency"});
+    # absent features compile to nothing in the BSDF (None = enable all)
+    mat_features: dict = None
 
     @property
     def num_props(self) -> int:
