@@ -49,7 +49,21 @@ class FlatBVH:
 
 
 def build_bvh(prim_min: np.ndarray, prim_max: np.ndarray, leaf_size: int = LEAF_SIZE) -> FlatBVH:
-    """Binned-SAH top-down build over primitive AABBs."""
+    """Binned-SAH top-down build over primitive AABBs.
+
+    Dispatches to the native C++ builder (zyg_tpu/native/bvh_builder.cpp,
+    same algorithm and array contract) when the toolchain is available;
+    this numpy implementation is the fallback and the reference-of-record
+    for tests."""
+    from ..native import build_bvh_native
+
+    native = build_bvh_native(prim_min, prim_max, leaf_size)
+    if native is not None:
+        return native
+    return _build_bvh_numpy(prim_min, prim_max, leaf_size)
+
+
+def _build_bvh_numpy(prim_min: np.ndarray, prim_max: np.ndarray, leaf_size: int = LEAF_SIZE) -> FlatBVH:
     n = prim_min.shape[0]
     assert n > 0
     centroids = 0.5 * (prim_min + prim_max)
