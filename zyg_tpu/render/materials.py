@@ -152,9 +152,17 @@ def gather(materials: Materials, mat_id, medium_ior=None, textures=None, uv=None
         emission = emission * emission_scale
     coat_thick = small_gather(materials.coating_thickness, m)
     coat_rough = jnp.maximum(small_gather(materials.coating_roughness, m), MIN_ROUGHNESS)
-    feats = {"coating": True, "translucency": True} if features is None else features
+    feats = (
+        {"coating": True, "translucency": True, "ies": True}
+        if features is None
+        else features
+    )
+    out_extra = {}
+    if "ies" in feats and materials.ies is not None:
+        out_extra["ies"] = small_gather(materials.ies, m)
     return {
         "_features": feats,
+        **out_extra,
         "kind": kind,
         "color": color,
         "albedo": albedo,
@@ -192,11 +200,32 @@ def apply_normal_map(materials: Materials, textures, mat_id, uv, n, t, b):
     return jnp.where((nt >= 0)[..., None], n_pert, n)
 
 
+def eval_ies(profile, cos_theta):
+    """Lerp the [N,32] angular profile at theta = arccos(cos). Select-chain
+    indexing (32 rows) instead of a per-lane gather (TPU perf rule)."""
+    nb = profile.shape[-1]
+    theta = jnp.arccos(jnp.clip(cos_theta, -1.0, 1.0))
+    x = theta * ((nb - 1) / jnp.pi)
+    i0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, nb - 2)
+    frac = x - i0
+    v0 = jnp.zeros_like(cos_theta)
+    v1 = jnp.zeros_like(cos_theta)
+    for k in range(nb - 1):
+        sel = i0 == k
+        v0 = jnp.where(sel, profile[..., k], v0)
+        v1 = jnp.where(sel, profile[..., k + 1], v1)
+    return v0 + frac * (v1 - v0)
+
+
 def eval_radiance(params, wo, geo_n):
-    """Emitted radiance toward wo (ref light_material.zig evaluateRadiance)."""
+    """Emitted radiance toward wo (ref light_material.zig evaluateRadiance +
+    emittance.zig IES profile factor)."""
     facing = vm.dot(wo, geo_n) > 0.0
     visible = facing | params["two_sided"]
-    return jnp.where(visible[..., None], params["emission"], 0.0)
+    emission = params["emission"]
+    if "ies" in params:
+        emission = emission * eval_ies(params["ies"], vm.dot(wo, geo_n))[..., None]
+    return jnp.where(visible[..., None], emission, 0.0)
 
 
 # ---------------------------------------------------------------------------

@@ -364,12 +364,20 @@ def sample_light(scene: SceneData, light_idx, p, n, xi, total_sphere=False) -> L
 def light_radiance(scene: SceneData, light_idx, wi, light_n):
     """Radiance emitted toward the shading point (ref light.evaluateTo):
     emission gated on facing unless two-sided; env lights (dome/canopy)
-    modulate by their baked emission texture at the sampled direction."""
+    modulate by their baked emission texture at the sampled direction;
+    IES-profiled lights modulate by angle (ref emittance.zig profile) —
+    the exact factor eval_radiance applies on the BSDF-hit side, keeping
+    MIS consistent."""
     li = jnp.clip(light_idx, 0, scene.lights.count - 1)
     prop = small_gather(scene.lights.prop, li)
     m = small_gather(scene.prop_material, prop)
     emission = small_gather(scene.materials.emission, m)
     two_sided = small_gather(scene.materials.two_sided, m)
+    if scene.mat_features and "ies" in scene.mat_features:
+        from ..render.materials import eval_ies
+
+        profile = small_gather(scene.materials.ies, m)
+        emission = emission * eval_ies(profile, vm.dot(-wi, light_n))[..., None]
 
     if scene.textures is not None:
         from .textures import sample_bilinear

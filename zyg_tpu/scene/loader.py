@@ -136,6 +136,7 @@ class MaterialDesc:
     emission_tex: int = -1
     density_grid: int = -1  # index into the builder's 3D grid list
     translucency: float = 0.0
+    ies: "np.ndarray | None" = None  # [32] profile bins
     coating_thickness: float = 0.0
     coating_ior: float = 1.5
     coating_roughness: float = 0.2
@@ -237,6 +238,17 @@ def parse_material(value: dict, builder: "SceneBuilder | None" = None, base_dir:
                 desc.emission = np.float32(v.get("value", 1.0)) * spectrum
                 if "emission_map" in v:
                     desc.emission_tex = tex(v["emission_map"], srgb=False)
+                if "profile" in v and isinstance(v["profile"], dict) and "file" in v["profile"]:
+                    # IES angular profile (ref emittance.zig profile)
+                    from ..io import fs
+                    from ..io.ies import ies_profile_bins
+
+                    try:
+                        desc.ies = ies_profile_bins(
+                            fs.read_text(v["profile"]["file"], base_dir)
+                        )
+                    except (OSError, FileNotFoundError):
+                        desc.ies = None
             elif key in ("density", "density_map") and builder is not None:
                 # heterogeneous volume density (ref volumetric_material.zig
                 # density_map): a voxel file or a procedural recipe
@@ -304,6 +316,12 @@ def materials_to_table(descs: list[MaterialDesc]) -> Materials:
         emission_tex=jnp.asarray([d.emission_tex for d in descs], jnp.int32),
         density_grid=jnp.asarray([d.density_grid for d in descs], jnp.int32),
         translucency=jnp.asarray([d.translucency for d in descs], jnp.float32),
+        ies=jnp.asarray(
+            np.stack(
+                [d.ies if d.ies is not None else np.ones(32, np.float32) for d in descs]
+            ),
+            jnp.float32,
+        ),
         coating_thickness=jnp.asarray([d.coating_thickness for d in descs], jnp.float32),
         coating_ior=jnp.asarray([d.coating_ior for d in descs], jnp.float32),
         coating_roughness=jnp.asarray([d.coating_roughness for d in descs], jnp.float32),
@@ -535,6 +553,8 @@ class SceneBuilder:
             mat_features["coating"] = True
         if any(d.translucency > 0.0 for d in self.materials):
             mat_features["translucency"] = True
+        if any(d.ies is not None for d in self.materials):
+            mat_features["ies"] = True
         # media present: any material that can fill a prop interior — glass
         # (Beer absorption / rough refraction) or volumetric; without any,
         # the integrators compile the medium machinery away entirely

@@ -71,6 +71,9 @@ class Materials(NamedTuple):
     density_grid: jax.Array = None  # int32[M]
     # substitute extras (ref substitute_material.zig)
     translucency: jax.Array = None  # float32[M] diffuse transmission fraction
+    # IES angular intensity profile over theta in [0,pi] (ones = no profile;
+    # ref emittance.zig profile texture)
+    ies: jax.Array = None  # float32[M,32]
     coating_thickness: jax.Array = None  # float32[M] clearcoat layer (0 = off)
     coating_ior: jax.Array = None  # float32[M]
     coating_roughness: jax.Array = None  # float32[M]
@@ -173,6 +176,7 @@ def default_materials(n: int = 1) -> Materials:
         emission_tex=jnp.full((n,), -1, jnp.int32),
         density_grid=jnp.full((n,), -1, jnp.int32),
         translucency=jnp.zeros((n,), jnp.float32),
+        ies=jnp.ones((n, 32), jnp.float32),
         coating_thickness=jnp.zeros((n,), jnp.float32),
         coating_ior=jnp.full((n,), 1.5, jnp.float32),
         coating_roughness=jnp.full((n,), 0.2, jnp.float32),
