@@ -22,7 +22,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:  # jax >= 0.8
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 
 
 def render_mesh(devices=None, axis: str = "pixels") -> Mesh:
@@ -47,9 +51,9 @@ def shard_render(render_one_shard, mesh: Mesh, *, sample_sharded: bool = False):
         fn = shard_map(
             render_one_shard,
             mesh=mesh,
-            in_specs=(None, None, P(axis), P(axis), P(axis), None),
+            in_specs=(P(), P(), P(axis), P(axis), P(axis), P()),
             out_specs=P(axis),
-            check_rep=False,
+            check_vma=False,
         )
         return fn
 
@@ -61,7 +65,7 @@ def shard_render(render_one_shard, mesh: Mesh, *, sample_sharded: bool = False):
     return shard_map(
         per_device,
         mesh=mesh,
-        in_specs=(None, None, None, None, None, None),
-        out_specs=None,
-        check_rep=False,
+        in_specs=(P(), P(), P(), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
     )
