@@ -100,3 +100,43 @@ class TestIes:
         )
         em = np.asarray(mat.eval_radiance(params, -wi, light_n))
         np.testing.assert_allclose(em, rad, rtol=1e-5)
+
+
+# TILT=INCLUDE with a token-counted tilt block wrapped across lines, plus a
+# header identical to IES_TEXT — the parser must skip exactly 2+2n tokens
+IES_TILT_TEXT = """IESNA:LM-63-2002
+[TEST] tilted
+TILT=INCLUDE
+1 3
+0 45
+90
+1.0 1.0
+0.9
+1 1000.0 1 5 1 1 1 0.1 0.1 0.1
+1.0 1.0 0.0
+0 22.5 45 90 180
+0
+1000 800 50 0 0
+"""
+
+IES_TYPE_B_TEXT = """IESNA:LM-63-2002
+TILT=NONE
+1 1000.0 1 5 1 2 1 0.1 0.1 0.1
+1.0 1.0 0.0
+-90 -45 0 45 90
+0
+0 50 1000 50 0
+"""
+
+
+class TestIesRobustness:
+    def test_tilt_include_token_counted(self):
+        v, inten = parse_ies(IES_TILT_TEXT)
+        np.testing.assert_allclose(v, [0, 22.5, 45, 90, 180])
+        np.testing.assert_allclose(inten, [1000, 800, 50, 0, 0])
+
+    def test_type_b_rejected(self):
+        """Type-B (photometric type 2, negative verticals) must not be
+        silently misread as Type-C polar data."""
+        assert parse_ies(IES_TYPE_B_TEXT) is None
+        assert ies_profile_bins(IES_TYPE_B_TEXT) is None

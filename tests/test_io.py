@@ -51,6 +51,33 @@ class TestExr:
         for i, c in enumerate("RGB"):
             np.testing.assert_allclose(back[c], img[..., i], rtol=rtol, atol=1e-3)
 
+    def test_zip_prefilter_matches_openexr_spec(self, rng_np):
+        """Byte-exact check of the ZIP pre-filter against a scalar
+        transliteration of OpenEXR's documented ImfZip::compress order:
+        reorder (deinterleave into two halves) FIRST, then delta-predictor
+        with the +128+256 bias (ref exr_writer.zig reorder())."""
+        from zyg_tpu.io.exr import _predictor_encode, _predictor_decode
+
+        for n in (1, 2, 7, 64, 129):
+            raw = bytes(rng_np.integers(0, 256, n, dtype=np.uint8))
+            # spec reference: reorder
+            t1, t2 = [], []
+            it = iter(raw)
+            for i, b in enumerate(raw):
+                (t1 if i % 2 == 0 else t2).append(b)
+            reordered = t1 + t2
+            # spec reference: predictor (in place, scalar)
+            enc = list(reordered)
+            p = enc[0] if enc else 0
+            for i in range(1, len(enc)):
+                d = enc[i] - p + (128 + 256)
+                p = enc[i]
+                enc[i] = d & 0xFF
+            expect = bytes(enc)
+            got = _predictor_encode(bytearray(raw))
+            assert got == expect, f"encode mismatch at n={n}"
+            assert _predictor_decode(got) == raw, f"decode mismatch at n={n}"
+
     def test_aov_channels(self, tmp_path, rng_np):
         h, w = 8, 8
         depth = rng_np.random((h, w)).astype(np.float32)

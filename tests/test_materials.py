@@ -181,6 +181,32 @@ class TestRoughGlass:
         assert spread > 0.05, f"rough transmission not spread: {spread}"
         assert not np.asarray(bs.singular).any()
 
+    def test_rough_glass_eval_matches_sample(self, rng_np):
+        """NEE path: eval_bsdf on rough glass must be consistent with the
+        VNDF sampler — f*cos/pdf == sample weight at sampled directions
+        (ref glass_sample.zig canEvaluate=true for rough dielectrics)."""
+        from zyg_tpu.scene.loader import MaterialDesc, materials_to_table
+        from zyg_tpu.scene.types import MaterialKind
+
+        n = 8192
+        d = MaterialDesc(kind=int(MaterialKind.GLASS), ior=1.5, roughness=0.4)
+        table = materials_to_table([d])
+        params = mat.gather(table, jnp.zeros(n, jnp.int32))
+        assert bool(np.asarray(mat.can_evaluate(params))[0])
+        normal = jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (n, 1))
+        wo = jnp.tile(jnp.asarray([0.3, 0.1, 0.95]) / np.linalg.norm([0.3, 0.1, 0.95]), (n, 1))
+        s3 = jnp.asarray(rng_np.random((n, 3)).astype(np.float32))
+        bs = mat.sample_bsdf(params, wo, normal, normal, s3)
+        f, pdf = mat.eval_bsdf(params, wo, bs.wi, normal, normal)
+        f, pdf, w = np.asarray(f), np.asarray(pdf), np.asarray(bs.weight)
+        spdf = np.asarray(bs.pdf)
+        ok = pdf > 1e-4  # skip near-grazing numerical edge lanes
+        assert ok.mean() > 0.95
+        ratio = f[ok] / pdf[ok, None]
+        np.testing.assert_allclose(ratio, w[ok], rtol=3e-2, atol=1e-3)
+        # the claimed sample pdf must equal the eval pdf (MIS consistency)
+        np.testing.assert_allclose(pdf[ok], spdf[ok], rtol=3e-2, atol=1e-4)
+
 
 class TestSubstituteExtras:
     """Translucency + clearcoat (ref substitute_material.zig extras)."""

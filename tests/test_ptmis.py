@@ -100,3 +100,76 @@ class TestLightSelection:
         np.testing.assert_allclose(
             np.asarray(lsm.light_select_pdf(scene, jnp.asarray([0, 1]))), [0.25, 0.75], atol=1e-5
         )
+
+
+class TestEmissionMapMIS:
+    def test_sampled_uv_matches_hit_uv(self, rng_np):
+        """NEE's sampled-point uv must equal the uv a BSDF ray hitting that
+        point would shade with — the precondition for MIS-consistent
+        emission maps on finite lights (ref light.zig evaluateTo uses the
+        same uv as evaluateRadiance)."""
+        from zyg_tpu.scene.loader import (
+            SceneBuilder, MaterialDesc, PropDesc, Transformation,
+        )
+        from zyg_tpu.scene.types import ShapeType, MaterialKind
+        from zyg_tpu.scene import shapes
+        from zyg_tpu.core import vecmath as vm
+
+        grad = np.zeros((4, 4, 3), np.float32)
+        grad[..., 0] = np.linspace(0.5, 4.0, 4)[None, :]
+        grad[..., 1] = np.linspace(0.5, 4.0, 4)[:, None]
+        grad[..., 2] = 1.0
+
+        b = SceneBuilder()
+        tid = b.add_texture_image(grad)
+        m = b.add_material(
+            MaterialDesc(
+                kind=int(MaterialKind.LIGHT),
+                emission=np.ones(3, np.float32),
+                emission_tex=tid,
+            )
+        )
+        from zyg_tpu.scene.loader import rotation_matrix_from_euler_degrees
+
+        t = Transformation(
+            position=np.array([0.2, 1.5, -0.3], np.float32),
+            scale=np.array([1.4, 0.9, 1.0], np.float32),
+            rotation=rotation_matrix_from_euler_degrees(
+                np.array([160.0, 25.0, 10.0], np.float32)
+            ),
+        )
+        b.add_prop(PropDesc(shape=int(ShapeType.RECTANGLE), trafo=t, material=m, is_light=True))
+        scene = b.build()
+
+        n = 512
+        p = jnp.asarray(
+            np.tile([[0.0, -1.0, 0.0]], (n, 1)).astype(np.float32)
+        )
+        nrm = jnp.asarray(np.tile([[0.0, 1.0, 0.0]], (n, 1)).astype(np.float32))
+        xi = jnp.asarray(rng_np.random((n, 2)).astype(np.float32))
+        li = jnp.zeros((n,), jnp.int32)
+        smp = lsm.sample_light(scene, li, p, nrm, xi)
+        ok = np.asarray(smp.pdf) > 0
+        assert ok.mean() > 0.9
+
+        hit = shapes.intersect_scene(
+            scene, p, smp.wi, jnp.float32(1e-4), jnp.float32(1e8)
+        )
+        frag = shapes.build_fragment(scene, hit, p, smp.wi, need_uv=True)
+        hv = np.asarray(hit.valid()) & ok
+        assert hv.mean() > 0.9
+        np.testing.assert_allclose(
+            np.asarray(smp.uv)[hv], np.asarray(frag.uv)[hv], atol=2e-3
+        )
+        # and the NEE radiance equals the BSDF-hit radiance at that point
+        from zyg_tpu.render import materials as mat
+
+        rad_nee = np.asarray(
+            lsm.light_radiance(scene, li, smp.wi, smp.light_n, smp.uv)
+        )
+        params = mat.gather(
+            scene.materials, frag.material, None, scene.textures, frag.uv,
+            features=scene.mat_features,
+        )
+        rad_hit = np.asarray(mat.eval_radiance(params, -smp.wi, frag.geo_n))
+        np.testing.assert_allclose(rad_nee[hv], rad_hit[hv], rtol=2e-2, atol=1e-3)

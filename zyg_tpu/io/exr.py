@@ -29,29 +29,34 @@ def _attr(name: bytes, type_: bytes, data: bytes) -> bytes:
 
 
 def _predictor_encode(data: bytearray) -> bytes:
-    """EXR zip: delta-encode then interleave halves (reorder + predictor)."""
-    arr = np.frombuffer(bytes(data), np.uint8).astype(np.int16)
-    delta = np.empty_like(arr)
-    delta[0] = arr[0]
-    delta[1:] = arr[1:] - arr[:-1] + 128 + 256
-    enc = (delta & 0xFF).astype(np.uint8)
-    half = (len(enc) + 1) // 2
-    out = np.empty_like(enc)
-    out[:half] = enc[0::2]
-    out[half:] = enc[1::2]
-    return out.tobytes()
+    """EXR zip pre-filter, per the OpenEXR spec (ImfZip compress; ref
+    exr_writer.zig reorder()): deinterleave bytes into two halves FIRST,
+    then delta-encode (+128+256 bias) over the reordered buffer."""
+    arr = np.frombuffer(bytes(data), np.uint8)
+    half = (len(arr) + 1) // 2
+    reordered = np.empty_like(arr)
+    reordered[:half] = arr[0::2]
+    reordered[half:] = arr[1::2]
+    s = reordered.astype(np.int16)
+    delta = np.empty_like(s)
+    delta[0] = s[0]
+    delta[1:] = s[1:] - s[:-1] + 128 + 256
+    return (delta & 0xFF).astype(np.uint8).tobytes()
 
 
 def _predictor_decode(data: bytes) -> bytes:
-    arr = np.frombuffer(data, np.uint8)
-    half = (len(arr) + 1) // 2
-    inter = np.empty_like(arr)
-    inter[0::2] = arr[:half]
-    inter[1::2] = arr[half:]
-    out = inter.astype(np.int16)
+    """Inverse of _predictor_encode: undo the delta predictor first
+    (cumulative sum mod 256), then re-interleave the two halves."""
+    arr = np.frombuffer(data, np.uint8).astype(np.int16)
+    out = arr.copy()
     out[1:] = out[1:] - 128 - 256
     np.cumsum(out, out=out)
-    return (out & 0xFF).astype(np.uint8).tobytes()
+    dec = (out & 0xFF).astype(np.uint8)
+    half = (len(dec) + 1) // 2
+    inter = np.empty_like(dec)
+    inter[0::2] = dec[:half]
+    inter[1::2] = dec[half:]
+    return inter.tobytes()
 
 
 def write_exr(

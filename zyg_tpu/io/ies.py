@@ -21,11 +21,11 @@ def parse_ies(text: str) -> tuple[np.ndarray, np.ndarray] | None:
     lines = text.splitlines()
     # skip to the TILT line, numbers start after it
     start = None
+    tilt_include = False
     for i, ln in enumerate(lines):
         if ln.upper().startswith("TILT="):
             start = i + 1
-            if "INCLUDE" in ln.upper():
-                start += 4  # skip the tilt block (4 lines)
+            tilt_include = "INCLUDE" in ln.upper()
             break
     if start is None:
         return None
@@ -36,17 +36,35 @@ def parse_ies(text: str) -> tuple[np.ndarray, np.ndarray] | None:
                 tokens.append(float(tok))
             except ValueError:
                 return None
+    if tilt_include:
+        # LM-63 tilt block is TOKEN-counted (values may wrap across lines):
+        # lamp-to-luminaire geometry, #pairs n, n angles, n factors
+        if len(tokens) < 2:
+            return None
+        n_pairs = int(tokens[1])
+        if n_pairs < 0 or len(tokens) < 2 + 2 * n_pairs:
+            return None
+        tokens = tokens[2 + 2 * n_pairs :]
     if len(tokens) < 13:
         return None
     # header: lamps, lumens/lamp, multiplier, n_vert, n_horiz, photometric
     # type, units, w, l, h, ballast, future, watts
     n_vert = int(tokens[3])
     n_horiz = int(tokens[4])
+    photometric_type = int(tokens[5])
+    if photometric_type != 1:
+        # Type B/A files parametrize angles differently (negative verticals);
+        # interpreting them as Type-C polar data would be silently wrong
+        return None
     mult = tokens[2]
     base = 13
+    if n_vert <= 0 or n_horiz <= 0:
+        return None
     if len(tokens) < base + n_vert + n_horiz + n_vert * n_horiz:
         return None
     v_angles = np.asarray(tokens[base : base + n_vert], np.float64)
+    if (v_angles < 0.0).any() or (np.diff(v_angles) < 0.0).any():
+        return None
     base += n_vert + n_horiz
     candela = np.asarray(
         tokens[base : base + n_vert * n_horiz], np.float64

@@ -34,9 +34,14 @@ class LighttracerSettings(NamedTuple):
     full_light_path: bool = True
 
 
-def sample_light_from(scene: SceneData, light_idx, xi4):
+def sample_light_from(scene: SceneData, light_idx, xi4, u_side=None):
     """Emission sample: (p, n, dir, Le-weight 1/(pdf_area*pdf_dir)) for
-    finite lights (ref rectangle/sphere sampleFrom)."""
+    finite lights (ref rectangle/sphere sampleFrom).
+
+    Two-sided plane emitters sample BOTH hemispheres (side chosen by u_side,
+    weight doubled to match — the power CDF also doubles two-sided area) and
+    IES-profiled lights weight the emitted direction by the profile, matching
+    the forward path's eval_radiance/eval_ies exactly."""
     prop = small_gather(scene.lights.prop, jnp.clip(light_idx, 0, scene.lights.count - 1))
     shape = small_gather(scene.prop_shape, prop)
     rot = small_gather(scene.prop_rot, prop)
@@ -70,20 +75,35 @@ def sample_light_from(scene: SceneData, light_idx, xi4):
         (shape == int(ShapeType.RECTANGLE)) | is_sphere | is_disk
     )
     p = jnp.where(is_sphere[..., None], sph_p, jnp.where(is_disk[..., None], dk_p, rect_p))
-    n = jnp.where(is_sphere[..., None], sph_n, rect_n)
+    geo_n = jnp.where(is_sphere[..., None], sph_n, rect_n)
     area = jnp.where(is_sphere, sph_area, jnp.where(is_disk, dk_area, rect_area))
+
+    m = small_gather(scene.prop_material, prop)
+    radiance = small_gather(scene.materials.emission, m)
+    two_sided = small_gather(scene.materials.two_sided, m) & ~is_sphere
+
+    # two-sided plane emitters: pick a hemisphere; the 0.5 side probability
+    # doubles the weight (matching the doubled emitting area in light power)
+    if u_side is not None:
+        flip = two_sided & (u_side < 0.5)
+    else:
+        flip = jnp.zeros_like(two_sided)
+    n = jnp.where(flip[..., None], -geo_n, geo_n)
 
     # cosine-distributed emission direction around n (pdf cos/pi)
     t, b = vm.orthonormal_basis(n)
     local, dir_pdf = vm.sample_hemisphere_cosine(xi4[..., 2:4])
     d = vm.frame_to_world(t, b, n, local)
-    cos_theta = jnp.maximum(local[..., 2], 1e-6)
 
-    m = small_gather(scene.prop_material, prop)
-    radiance = small_gather(scene.materials.emission, m)
     # weight = Le * cos / (pdf_area * pdf_dir) = Le * area * pi ... with
     # pdf_dir = cos/pi the cosine cancels: weight = Le * area * pi
     weight = radiance * (area * jnp.pi)[..., None]
+    weight = jnp.where(two_sided[..., None], 2.0 * weight, weight)
+    if scene.mat_features and "ies" in scene.mat_features:
+        # forward path applies eval_ies(profile, dot(wo, geo_n)) with the
+        # UNflipped geometric normal — mirror it here (signed cos)
+        profile = small_gather(scene.materials.ies, m)
+        weight = weight * mat.eval_ies(profile, vm.dot(d, geo_n))[..., None]
     weight = jnp.where(finite[..., None], weight, 0.0)
     return p, n, d, weight, finite
 
@@ -105,7 +125,7 @@ def trace(
     light_idx, sel_pdf = ls_mod.select_light(scene, s2[..., 0])
     xi4 = smp.sample_4d()
     smp.increment_padding()
-    p0, n0, d0, weight, finite = sample_light_from(scene, light_idx, xi4)
+    p0, n0, d0, weight, finite = sample_light_from(scene, light_idx, xi4, u_side=s2[..., 1])
     throughput = weight / jnp.maximum(sel_pdf, 1e-12)[..., None]
 
     class LtState(NamedTuple):

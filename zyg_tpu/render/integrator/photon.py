@@ -85,7 +85,7 @@ def bake(scene: SceneData, ray_keys, settings: PhotonSettings, max_depth: int = 
     light_idx, sel_pdf = ls_mod.select_light(scene, s2[..., 0])
     xi4 = smp.sample_4d()
     smp.increment_padding()
-    p0, n0, d0, weight, finite = sample_light_from(scene, light_idx, xi4)
+    p0, n0, d0, weight, finite = sample_light_from(scene, light_idx, xi4, u_side=s2[..., 1])
     throughput = weight / jnp.maximum(sel_pdf, 1e-12)[..., None]
 
     class PhState(NamedTuple):

@@ -253,7 +253,7 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
             lsmp = ls_mod.sample_light(
                 scene, light_idx, nee_p, frag.geo_n, xi_l, total_sphere=scatter
             )
-            radiance = ls_mod.light_radiance(scene, light_idx, lsmp.wi, lsmp.light_n)
+            radiance = ls_mod.light_radiance(scene, light_idx, lsmp.wi, lsmp.light_n, lsmp.uv)
             f_srf, bpdf_srf = mat.eval_bsdf(params, wo, lsmp.wi, frag.n, frag.geo_n)
             ph = mat.hg_phase(vm.dot(s.d, lsmp.wi), g_med)
             f = jnp.where(scatter[..., None], ph[..., None], f_srf)

@@ -153,7 +153,7 @@ def gather(materials: Materials, mat_id, medium_ior=None, textures=None, uv=None
     coat_thick = small_gather(materials.coating_thickness, m)
     coat_rough = jnp.maximum(small_gather(materials.coating_roughness, m), MIN_ROUGHNESS)
     feats = (
-        {"coating": True, "translucency": True, "ies": True}
+        {"coating": True, "translucency": True, "ies": True, "rough_glass": True}
         if features is None
         else features
     )
@@ -509,7 +509,9 @@ def _glass_rough_sample(params, wo, n, geo_n, p, xi):
     d_ggx = _ggx_distribution(n_dot_h, a2)
     pdf_h = g1 * wo_dot_h * d_ggx / jnp.maximum(n_dot_wo, 1e-6)
     wi_dot_h = jnp.abs(vm.dot(wi, h))
-    denom = jnp.square(eta_i * wo_dot_h + eta_t * wi_dot_h)
+    # Walter 2007 eq. 17 jacobian: signed half-vector sum — with wo.h > 0 and
+    # wi.h < 0 for transmission this is (eta_i*(wo.h) - eta_t*|wi.h|)^2
+    denom = jnp.square(eta_i * wo_dot_h - eta_t * wi_dot_h)
     jac = jnp.where(
         reflect_it,
         1.0 / jnp.maximum(4.0 * wo_dot_h, 1e-6),
@@ -519,6 +521,76 @@ def _glass_rough_sample(params, wo, n, geo_n, p, xi):
     pdf = pdf_h * jac * sel_pdf
     transmission = ~reflect_it
     return wi, weight, pdf, transmission
+
+
+def _glass_rough_eval(params, wo, wi, n, geo_n):
+    """Evaluate the rough dielectric at arbitrary wi for NEE/MIS (Walter 2007
+    microfacet BTDF/BRDF; ref glass_sample.zig canEvaluate=true for the rough
+    path). Returns (f*|cos| [N,3], pdf [N]) consistent with the VNDF
+    estimator of _glass_rough_sample (f*cos/pdf == G2/G1 * ms_boost)."""
+    same_side = vm.dot(wo, geo_n) > 0.0
+    ns = jnp.where(same_side[..., None], n, -n)
+    eta_i = jnp.where(same_side, params["ior_outside"], params["ior"])
+    eta_t = jnp.where(same_side, params["ior"], 1.0)
+    alpha = params["alpha"]
+    a2 = alpha * alpha
+
+    n_dot_wo = _clamp(jnp.abs(vm.dot(ns, wo)))
+    n_dot_wi = _clamp(jnp.abs(vm.dot(ns, wi)))
+    reflecting = vm.dot(ns, wi) > 0.0
+
+    # half vector: reflection h ~ wo+wi; transmission h ~ -(eta_i wo+eta_t wi)
+    h_r = vm.safe_normalize(wo + wi)
+    ht_raw = -(eta_i[..., None] * wo + eta_t[..., None] * wi)
+    h_t = vm.safe_normalize(ht_raw)
+    h_t = jnp.where(vm.dot(h_t, ns)[..., None] < 0.0, -h_t, h_t)
+    h = jnp.where(reflecting[..., None], h_r, h_t)
+
+    wo_dot_h = vm.dot(wo, h)
+    wi_dot_h = vm.dot(wi, h)
+    n_dot_h = _clamp(vm.dot(ns, h))
+    geom_ok = wo_dot_h > 1e-6
+    wo_dot_h = _clamp(wo_dot_h)
+
+    # microfacet fresnel at wo.h (same math as the sampler)
+    eta = eta_i / jnp.maximum(eta_t, 1e-6)
+    sint2 = (eta * eta) * (1.0 - wo_dot_h * wo_dot_h)
+    tir = sint2 >= 1.0
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sint2, 0.0))
+    r_p = (eta_t * wo_dot_h - eta_i * cos_t) / jnp.maximum(eta_t * wo_dot_h + eta_i * cos_t, 1e-12)
+    r_o = (eta_i * wo_dot_h - eta_t * cos_t) / jnp.maximum(eta_i * wo_dot_h + eta_t * cos_t, 1e-12)
+    f = jnp.where(tir, 1.0, 0.5 * (r_p * r_p + r_o * r_o))
+
+    d_ggx = _ggx_distribution(n_dot_h, a2)
+    g1 = _smith_g1(n_dot_wo, a2)
+
+    def lam(mu):
+        t2 = (1.0 - mu * mu) / jnp.clip(mu * mu, 1e-10, None)
+        return 0.5 * (jnp.sqrt(1.0 + a2 * t2) - 1.0)
+
+    g2 = 1.0 / (1.0 + lam(n_dot_wo) + lam(n_dot_wi))
+    ms_boost = 1.0 / jnp.maximum(eval_e_m(alpha, n_dot_wo), 0.5)
+
+    pdf_h = g1 * wo_dot_h * d_ggx / jnp.maximum(n_dot_wo, 1e-6)
+    # reflection branch
+    f_refl = f * d_ggx * g2 / jnp.maximum(4.0 * n_dot_wo, 1e-6)
+    pdf_refl = pdf_h * f / jnp.maximum(4.0 * wo_dot_h, 1e-6)
+    # transmission branch (Walter eq. 21 * |cos_i|, and eq. 17 jacobian)
+    awih = jnp.abs(wi_dot_h)
+    denom = jnp.square(eta_i * wo_dot_h - eta_t * awih)
+    f_trans = (
+        (1.0 - f) * d_ggx * g2 * (wo_dot_h * awih * eta_t * eta_t)
+        / jnp.maximum(n_dot_wo * denom, 1e-10)
+    )
+    jac_t = (eta_t * eta_t * awih) / jnp.maximum(denom, 1e-12)
+    pdf_trans = pdf_h * (1.0 - f) * jac_t
+
+    trans_ok = ~reflecting & (wi_dot_h < 0.0) & ~tir
+    valid = geom_ok & (reflecting | trans_ok)
+    f_scalar = jnp.where(reflecting, f_refl, f_trans) * ms_boost
+    f_out = jnp.where(valid, f_scalar, 0.0)[..., None] * params["specular"][..., None] * jnp.ones_like(wo)
+    pdf = jnp.where(valid, jnp.where(reflecting, pdf_refl, pdf_trans), 0.0)
+    return f_out, pdf
 
 
 def _glass_sample(params, wo, n, geo_n, p):
@@ -607,16 +679,27 @@ def eval_bsdf(params, wo, wi, n, geo_n):
     """Evaluate f(wo,wi)*|cos| and pdf for NEE/MIS."""
     kind = params["kind"]
     f, pdf = _substitute_eval(params, wo, wi, n, geo_n)
-    evaluable = kind == int(MaterialKind.SUBSTITUTE)
-    return (
-        jnp.where(evaluable[..., None], f, 0.0),
-        jnp.where(evaluable, pdf, 0.0),
-    )
+    is_sub = kind == int(MaterialKind.SUBSTITUTE)
+    f = jnp.where(is_sub[..., None], f, 0.0)
+    pdf = jnp.where(is_sub, pdf, 0.0)
+    if "rough_glass" in params["_features"]:
+        gl = (kind == int(MaterialKind.GLASS)) & (params["alpha"] > MIN_ALPHA * 1.001)
+        f_gl, pdf_gl = _glass_rough_eval(params, wo, wi, n, geo_n)
+        f = jnp.where(gl[..., None], f_gl, f)
+        pdf = jnp.where(gl, pdf_gl, pdf)
+    return f, pdf
 
 
 def can_evaluate(params):
-    """Delta-only materials (smooth glass) and emitters can't do NEE."""
-    return params["kind"] == int(MaterialKind.SUBSTITUTE)
+    """Delta-only materials (smooth glass) and emitters can't do NEE; rough
+    dielectrics can (ref glass_sample.zig:51)."""
+    ok = params["kind"] == int(MaterialKind.SUBSTITUTE)
+    if "rough_glass" in params["_features"]:
+        ok = ok | (
+            (params["kind"] == int(MaterialKind.GLASS))
+            & (params["alpha"] > MIN_ALPHA * 1.001)
+        )
+    return ok
 
 
 def medium_coefficients(materials: Materials, medium_mat):

@@ -33,6 +33,8 @@ class LightSample(NamedTuple):
     light_n: jax.Array  # [N,3] light surface normal
     t_max: jax.Array  # [N] shadow ray length (RAY_MAX_T for infinite)
     infinite: jax.Array  # bool[N]
+    uv: jax.Array  # [N,2] texture uv at the sampled point — same mapping as
+    # shapes.build_fragment, so NEE and BSDF-hit emission agree (MIS)
 
 
 # ---------------------------------------------------------------------------
@@ -178,7 +180,7 @@ def sample_light(scene: SceneData, light_idx, p, n, xi, total_sphere=False) -> L
     ones_b = jnp.ones(nshape, bool)
     far_t = jnp.full(nshape, jnp.float32(RAY_MAX_T))
 
-    wi_v, pdf_v, lp_v, ln_v, valid_v, t_v = {}, {}, {}, {}, {}, {}
+    wi_v, pdf_v, lp_v, ln_v, valid_v, t_v, uv_v = {}, {}, {}, {}, {}, {}, {}
 
     if has(ShapeType.RECTANGLE):
         lp_local = jnp.stack(
@@ -200,6 +202,10 @@ def sample_light(scene: SceneData, light_idx, p, n, xi, total_sphere=False) -> L
         ln_v[k] = r2
         valid_v[k] = q.S > 1e-7
         t_v[k] = rect_t
+        # uv matching rectangle_intersect: u = dot(-r0, p-pos)/(sx/2)
+        ru = -(lp_local[..., 0] + xu) / (0.5 * scale[..., 0])
+        rv = -(lp_local[..., 1] + yv) / (0.5 * scale[..., 1])
+        uv_v[k] = jnp.stack([0.5 * (ru + 1.0), 0.5 * (rv + 1.0)], axis=-1)
 
     if has(ShapeType.SPHERE):
         v = pos - p
@@ -236,6 +242,11 @@ def sample_light(scene: SceneData, light_idx, p, n, xi, total_sphere=False) -> L
         ln_v[k] = sph_n
         valid_v[k] = l > sp_r + 1e-7
         t_v[k] = sph_t
+        # lat-long uv of the sampled normal (matches build_fragment sphere)
+        sxyz = vm.safe_normalize(vm.world_to_object_normal(rot, sph_n))
+        sphi = -jnp.arctan2(sxyz[..., 0], sxyz[..., 2]) + jnp.pi
+        stheta = jnp.arccos(jnp.clip(sxyz[..., 1], -1.0, 1.0))
+        uv_v[k] = jnp.stack([sphi * (0.5 / jnp.pi), stheta * (1.0 / jnp.pi)], axis=-1)
 
     if has(ShapeType.DISK):
         dk_r = 0.5 * scale[..., 0]
@@ -254,6 +265,10 @@ def sample_light(scene: SceneData, light_idx, p, n, xi, total_sphere=False) -> L
         ln_v[k] = r2
         valid_v[k] = dk_c_abs > DOT_MIN
         t_v[k] = dk_t
+        # disk_intersect: u = dot(-r0, k/r) with k = p - pos = r*(dxy.axes)
+        uv_v[k] = jnp.stack(
+            [0.5 * (-dxy[..., 0] + 1.0), 0.5 * (-dxy[..., 1] + 1.0)], axis=-1
+        )
 
     if has(ShapeType.DISTANT):
         ds_radius = scale[..., 0]
@@ -266,6 +281,11 @@ def sample_light(scene: SceneData, light_idx, p, n, xi, total_sphere=False) -> L
         pdf_v[k] = 1.0 / jnp.maximum(ds_solid_angle, 1e-20)
         ln_v[k] = r2
         valid_v[k] = ds_radius > 0.0
+        # distant_intersect: k = d - n, u = dot(r0, k/radius)
+        dsk = (ds_wi - r2) / jnp.maximum(ds_radius, 1e-20)[..., None]
+        uv_v[k] = jnp.stack(
+            [0.5 * (vm.dot(r0, dsk) + 1.0), 0.5 * (vm.dot(r1, dsk) + 1.0)], axis=-1
+        )
 
     if has(ShapeType.CANOPY):
         can_local, _ = vm.sample_hemisphere_uniform(xi)
@@ -325,6 +345,13 @@ def sample_light(scene: SceneData, light_idx, p, n, xi, total_sphere=False) -> L
         ln_v[k] = mn
         valid_v[k] = (t_off >= 0) & (cosl > DOT_MIN) & (area > 0.0)
         t_v[k] = mt
+        tuv = scene.meshes.tri_uv[tri]
+        w0m = (1.0 - bc[..., 0] - bc[..., 1])[..., None]
+        uv_v[k] = (
+            w0m * tuv[..., 0, :]
+            + bc[..., 0:1] * tuv[..., 1, :]
+            + bc[..., 1:2] * tuv[..., 2, :]
+        )
 
     def sel(vals, default):
         out = None
@@ -344,6 +371,7 @@ def sample_light(scene: SceneData, light_idx, p, n, xi, total_sphere=False) -> L
     light_n = sel(ln_v, -wi)
     valid = sel(valid_v, jnp.zeros(nshape, bool))
     t_max = sel(t_v, far_t)
+    uv = sel(uv_v, jnp.zeros(nshape + (2,), jnp.float32))
     # finite shapes present but a lane is an infinite light -> fix positions
     infinite = jnp.zeros(nshape, bool)
     for t in (ShapeType.DISTANT, ShapeType.CANOPY, ShapeType.DOME):
@@ -358,10 +386,10 @@ def sample_light(scene: SceneData, light_idx, p, n, xi, total_sphere=False) -> L
     # facing the shading hemisphere unless translucent
     front = vm.dot(wi, n) > 0.0
     valid = valid & (front | jnp.asarray(total_sphere)) & (pdf > 0.0)
-    return LightSample(wi, jnp.where(valid, pdf, 0.0), light_p, light_n, t_max, infinite)
+    return LightSample(wi, jnp.where(valid, pdf, 0.0), light_p, light_n, t_max, infinite, uv)
 
 
-def light_radiance(scene: SceneData, light_idx, wi, light_n):
+def light_radiance(scene: SceneData, light_idx, wi, light_n, uv=None):
     """Radiance emitted toward the shading point (ref light.evaluateTo):
     emission gated on facing unless two-sided; env lights (dome/canopy)
     modulate by their baked emission texture at the sampled direction;
@@ -400,10 +428,15 @@ def light_radiance(scene: SceneData, light_idx, wi, light_n):
             [0.5 * (r_eq * ldir[..., 0] / lxy) + 0.5, 0.5 * (r_eq * ldir[..., 1] / lxy) + 0.5],
             axis=-1,
         )
-        uv = jnp.where((shape == int(ShapeType.CANOPY))[..., None], can_uv, dome_uv)
-        tex = sample_bilinear(scene.textures, et, uv)[..., :3]
+        env_uv = jnp.where((shape == int(ShapeType.CANOPY))[..., None], can_uv, dome_uv)
         env = (shape == int(ShapeType.DOME)) | (shape == int(ShapeType.CANOPY))
-        emission = jnp.where((env & (et >= 0))[..., None], emission * tex, emission)
+        # finite emission-mapped lights: evaluate the emission texture at the
+        # SAMPLED point's uv — exactly what eval_radiance does on the
+        # BSDF-hit side, so both MIS estimators integrate the same radiance
+        tex_uv = env_uv if uv is None else jnp.where(env[..., None], env_uv, uv)
+        tex = sample_bilinear(scene.textures, et, tex_uv)[..., :3]
+        mapped = env if uv is None else jnp.ones_like(env)
+        emission = jnp.where((mapped & (et >= 0))[..., None], emission * tex, emission)
 
     facing = vm.dot(-wi, light_n) > 0.0
     return jnp.where((facing | two_sided)[..., None], emission, 0.0)

@@ -563,6 +563,16 @@ class SceneBuilder:
             for d in self.materials
         ):
             mat_features["media"] = True
+        # rough dielectrics do NEE too (ref glass_sample.zig:51 canEvaluate
+        # is true for the rough path) — only compile the microfacet-dielectric
+        # eval when such a material exists
+        from ..render.materials import MIN_ROUGHNESS
+
+        if any(
+            d.kind == int(MaterialKind.GLASS) and d.roughness > MIN_ROUGHNESS * 1.001
+            for d in self.materials
+        ):
+            mat_features["rough_glass"] = True
 
         grid_arena = None
         if self.density_grids:
