@@ -126,6 +126,9 @@ def integrate(scene: SceneData, o, d, sobol: SobolSampler, settings: PtmisSettin
 def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photon_max_per_cell=64):
     """One masked wavefront bounce over per-lane path state."""
     has_lights = scene.lights.count > 0
+    # static: scenes without glass/volumetric materials compile the whole
+    # medium-transport path away (measured ~8% of the Cornell bounce)
+    has_media = scene.mat_features is None or "media" in scene.mat_features
 
     def body(s: PathState):
         smp = SobolSampler(s.sobol, dim=5)
@@ -147,10 +150,14 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
                     frag.n, frag.t, frag.b,
                 )
             )
-        med_mat = vol_mod.medium_material(scene, s.medium)
-        medium_ior = jnp.where(
-            s.medium >= 0, small_gather(scene.materials.ior, jnp.maximum(med_mat, 0)), 1.0
-        )
+        if has_media:
+            med_mat = vol_mod.medium_material(scene, s.medium)
+            medium_ior = jnp.where(
+                s.medium >= 0, small_gather(scene.materials.ior, jnp.maximum(med_mat, 0)), 1.0
+            )
+        else:
+            med_mat = None
+            medium_ior = None
         params = mat.gather(
             scene.materials, frag.material, medium_ior, scene.textures, frag.uv,
             features=scene.mat_features,
@@ -160,16 +167,23 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
         # ---- medium transport: distance sampling in the enclosing medium
         # (homogeneous closed form / heterogeneous delta tracking; see
         # integrator/volume.py)
-        _, _, g_med = mat.medium_coefficients(scene.materials, med_mat)
         u_dist = smp.sample_1d()
-        ev = vol_mod.sample_interaction(
-            scene, s.medium, s.o, s.d, jnp.minimum(hit.t, jnp.float32(3.0e37)),
-            u_dist, s.vol_key,
-        )
-        scatter = s.alive & ev.scatter & hit.valid()
-        absorbed = s.alive & ev.absorb
-        throughput0 = s.throughput * ev.weight
-        p_scatter = ev.p
+        if has_media:
+            _, _, g_med = mat.medium_coefficients(scene.materials, med_mat)
+            ev = vol_mod.sample_interaction(
+                scene, s.medium, s.o, s.d, jnp.minimum(hit.t, jnp.float32(3.0e37)),
+                u_dist, s.vol_key,
+            )
+            scatter = s.alive & ev.scatter & hit.valid()
+            absorbed = s.alive & ev.absorb
+            throughput0 = s.throughput * ev.weight
+            p_scatter = ev.p
+        else:
+            g_med = None
+            scatter = jnp.zeros_like(s.alive)
+            absorbed = jnp.zeros_like(s.alive)
+            throughput0 = s.throughput
+            p_scatter = frag.p
 
         # ---- connectLight: BSDF-sampled emission with MIS (ref connectLight
         # + vertex.evaluateRadiance + scene.lightPdf)
@@ -246,7 +260,7 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
         if has_lights:
             u_sel = smp.sample_1d()
             xi_l = smp.sample_2d()
-            nee_p = jnp.where(scatter[..., None], p_scatter, frag.p)
+            nee_p = jnp.where(scatter[..., None], p_scatter, frag.p) if has_media else frag.p
             light_idx, sel_pdf = ls_mod.select_light(
                 scene, u_sel, p=nee_p, n=frag.n, total_sphere=scatter
             )
@@ -255,19 +269,24 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
             )
             radiance = ls_mod.light_radiance(scene, light_idx, lsmp.wi, lsmp.light_n, lsmp.uv)
             f_srf, bpdf_srf = mat.eval_bsdf(params, wo, lsmp.wi, frag.n, frag.geo_n)
-            ph = mat.hg_phase(vm.dot(s.d, lsmp.wi), g_med)
-            f = jnp.where(scatter[..., None], ph[..., None], f_srf)
-            bpdf = jnp.where(scatter, ph, bpdf_srf)
+            if has_media:
+                ph = mat.hg_phase(vm.dot(s.d, lsmp.wi), g_med)
+                f = jnp.where(scatter[..., None], ph[..., None], f_srf)
+                bpdf = jnp.where(scatter, ph, bpdf_srf)
+            else:
+                f = f_srf
+                bpdf = bpdf_srf
             light_pdf = lsmp.pdf * sel_pdf
             w = predivided_power_heuristic(light_pdf, bpdf)
 
-            shadow_o = jnp.where(
-                scatter[..., None],
-                p_scatter,
-                shapes.offset_ray(
-                    frag.p,
-                    jnp.where(vm.dot(lsmp.wi, frag.geo_n)[..., None] >= 0.0, frag.geo_n, -frag.geo_n),
-                ),
+            shadow_surf = shapes.offset_ray(
+                frag.p,
+                jnp.where(vm.dot(lsmp.wi, frag.geo_n)[..., None] >= 0.0, frag.geo_n, -frag.geo_n),
+            )
+            shadow_o = (
+                jnp.where(scatter[..., None], p_scatter, shadow_surf)
+                if has_media
+                else shadow_surf
             )
             # finite lights: aim at the (offset) sampled point
             lp_off = shapes.offset_ray(lsmp.light_p, lsmp.light_n)
@@ -285,9 +304,12 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
             blocked = shapes.occluded(scene, shadow_o, sdir, jnp.float32(0.0), shadow_tmax)
             # participating media attenuate (not block) the shadow ray
             # (ref scene.zig visibility -> propTransmittance)
-            shadow_tr = vol_mod.transmittance(
-                scene, shadow_o, sdir, shadow_tmax, hash_u32(s.vol_key ^ jnp.uint32(0x1B873593))
-            )
+            if has_media:
+                shadow_tr = vol_mod.transmittance(
+                    scene, shadow_o, sdir, shadow_tmax, hash_u32(s.vol_key ^ jnp.uint32(0x1B873593))
+                )
+            else:
+                shadow_tr = jnp.float32(1.0)
             rays = rays + jnp.sum(nee_active, dtype=jnp.int32)
             nee = jnp.where(
                 (nee_active & ~blocked)[..., None],
@@ -302,54 +324,70 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
         # ---- BSDF / phase sample
         s3 = smp.sample_3d()
         bs = mat.sample_bsdf(params, wo, frag.n, frag.geo_n, s3)
-        wi_hg = mat.hg_sample(wo, g_med, s3[..., 1:3])
-        ph_s = mat.hg_phase(vm.dot(s.d, wi_hg), g_med)
-        wi = jnp.where(scatter[..., None], wi_hg, bs.wi)
-        bsdf_weight = jnp.where(scatter[..., None], 1.0, bs.weight)
-        # null interfaces (volume boundaries) keep the previous real vertex's
-        # MIS state — the ray continues on the same line
-        passthrough = bs.passthrough & ~scatter
-        new_bxdf_pdf = jnp.where(
-            scatter, ph_s, jnp.where(passthrough, s.bxdf_pdf, bs.pdf)
-        )
-        new_singular = jnp.where(
-            scatter, False, jnp.where(passthrough, s.singular, bs.singular)
-        )
-        new_from_volume = jnp.where(
-            scatter, True, jnp.where(passthrough, s.from_volume, False)
-        )
+        if has_media:
+            wi_hg = mat.hg_sample(wo, g_med, s3[..., 1:3])
+            ph_s = mat.hg_phase(vm.dot(s.d, wi_hg), g_med)
+            wi = jnp.where(scatter[..., None], wi_hg, bs.wi)
+            bsdf_weight = jnp.where(scatter[..., None], 1.0, bs.weight)
+            # null interfaces (volume boundaries) keep the previous real
+            # vertex's MIS state — the ray continues on the same line
+            passthrough = bs.passthrough & ~scatter
+            new_bxdf_pdf = jnp.where(
+                scatter, ph_s, jnp.where(passthrough, s.bxdf_pdf, bs.pdf)
+            )
+            new_singular = jnp.where(
+                scatter, False, jnp.where(passthrough, s.singular, bs.singular)
+            )
+            new_from_volume = jnp.where(
+                scatter, True, jnp.where(passthrough, s.from_volume, False)
+            )
+        else:
+            wi = bs.wi
+            bsdf_weight = bs.weight
+            passthrough = jnp.zeros_like(s.alive)
+            new_bxdf_pdf = bs.pdf
+            new_singular = bs.singular
+            new_from_volume = jnp.zeros_like(s.alive)
         cont = cont & (bs.valid | scatter)
         throughput = throughput * bsdf_weight
 
-        # medium interface change (ref vertex.zig interfaceChange); volume
-        # scatter events stay inside their medium. Media are tracked by PROP
-        # id so grid lookups know their transform.
-        entering = vm.dot(wo, frag.geo_n) > 0.0
-        new_medium = jnp.where(
-            bs.transmission & cont & ~scatter,
-            jnp.where(entering, frag.prop, -1),
-            s.medium,
-        )
-
-        new_o = jnp.where(
-            scatter[..., None],
-            p_scatter,
-            shapes.offset_ray(
-                frag.p,
-                jnp.where(vm.dot(wi, frag.geo_n)[..., None] >= 0.0, frag.geo_n, -frag.geo_n),
-            ),
+        surf_o = shapes.offset_ray(
+            frag.p,
+            jnp.where(vm.dot(wi, frag.geo_n)[..., None] >= 0.0, frag.geo_n, -frag.geo_n),
         )
         smp.increment_padding()
-        new_mis_o = jnp.where(
-            scatter[..., None],
-            p_scatter,
-            jnp.where(passthrough[..., None], s.mis_o, new_o),
-        )
-        new_mis_n = jnp.where(
-            scatter[..., None],
-            s.d,  # unused under total_sphere; keep something unit-length
-            jnp.where(passthrough[..., None], s.mis_n, frag.n),
-        )
+        if has_media:
+            # medium interface change (ref vertex.zig interfaceChange);
+            # volume scatter events stay inside their medium. Media are
+            # tracked by PROP id so grid lookups know their transform.
+            entering = vm.dot(wo, frag.geo_n) > 0.0
+            new_medium = jnp.where(
+                bs.transmission & cont & ~scatter,
+                jnp.where(entering, frag.prop, -1),
+                s.medium,
+            )
+            new_o = jnp.where(scatter[..., None], p_scatter, surf_o)
+            new_mis_o = jnp.where(
+                scatter[..., None],
+                p_scatter,
+                jnp.where(passthrough[..., None], s.mis_o, new_o),
+            )
+            new_mis_n = jnp.where(
+                scatter[..., None],
+                s.d,  # unused under total_sphere; keep something unit-length
+                jnp.where(passthrough[..., None], s.mis_n, frag.n),
+            )
+            new_depth = jnp.where(cont & ~scatter & ~passthrough, s.depth + 1, s.depth)
+            new_vol_depth = jnp.where(
+                cont & (scatter | passthrough), s.vol_depth + 1, s.vol_depth
+            )
+        else:
+            new_medium = s.medium
+            new_o = surf_o
+            new_mis_o = new_o
+            new_mis_n = frag.n
+            new_depth = jnp.where(cont, s.depth + 1, s.depth)
+            new_vol_depth = s.vol_depth
 
         return PathState(
             o=jnp.where(cont[..., None], new_o, s.o),
@@ -360,8 +398,8 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
             bxdf_pdf=new_bxdf_pdf,
             singular=new_singular,
             medium=new_medium,
-            depth=jnp.where(cont & ~scatter & ~passthrough, s.depth + 1, s.depth),
-            vol_depth=jnp.where(cont & (scatter | passthrough), s.vol_depth + 1, s.vol_depth),
+            depth=new_depth,
+            vol_depth=new_vol_depth,
             rays=rays,
             sobol=smp.arrays,
             vol_key=hash_u32(s.vol_key ^ jnp.uint32(0x27D4EB2F)),

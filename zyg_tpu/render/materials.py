@@ -153,7 +153,15 @@ def gather(materials: Materials, mat_id, medium_ior=None, textures=None, uv=None
     coat_thick = small_gather(materials.coating_thickness, m)
     coat_rough = jnp.maximum(small_gather(materials.coating_roughness, m), MIN_ROUGHNESS)
     feats = (
-        {"coating": True, "translucency": True, "ies": True, "rough_glass": True}
+        {
+            "coating": True,
+            "translucency": True,
+            "ies": True,
+            "rough_glass": True,
+            "glass": True,
+            "volumetric": True,
+            "media": True,
+        }
         if features is None
         else features
     )
@@ -630,40 +638,53 @@ def _glass_sample(params, wo, n, geo_n, p):
 
 
 def sample_bsdf(params, wo, n, geo_n, s3) -> BsdfSample:
-    """Sample the BSDF. s3: float[N,3] uniforms (lobe select + 2D)."""
+    """Sample the BSDF. s3: float[N,3] uniforms (lobe select + 2D).
+
+    Scene-absent material kinds compile to nothing: glass sampling (two VNDF
+    chains) and the volumetric null-interface path are gated on the static
+    feature dict (loader mat_features) — measured ~10% of the Cornell bounce."""
+    feats = params["_features"]
     kind = params["kind"]
     p = s3[..., 0]
     xi = s3[..., 1:3]
 
-    sub_wi, sub_w, sub_pdf, sub_ok = _substitute_sample(params, wo, n, geo_n, p, xi)
-    gl_wi, gl_w, gl_trans = _glass_sample(params, wo, n, geo_n, p)
-    gr_wi, gr_w, gr_pdf, gr_trans = _glass_rough_sample(params, wo, n, geo_n, p, xi)
-
-    is_glass = kind == int(MaterialKind.GLASS)
+    wi, weight, pdf, sub_ok = _substitute_sample(params, wo, n, geo_n, p, xi)
     is_sub = kind == int(MaterialKind.SUBSTITUTE)
-    # volumetric materials are null interfaces: pass straight through, the
-    # medium interior does the work (ref volumetric_material.zig)
-    is_vol = kind == int(MaterialKind.VOLUMETRIC)
+    valid = sub_ok & is_sub
+    falses = jnp.zeros(valid.shape, bool)
+    singular = falses
+    transmission = falses
+    passthrough = falses
 
-    rough = params["alpha"] > MIN_ALPHA * 1.001
-    gl_wi = jnp.where(rough[..., None], gr_wi, gl_wi)
-    gl_w = jnp.where(rough[..., None], gr_w, gl_w)
-    gl_pdf = jnp.where(rough, gr_pdf, 1.0)
-    gl_trans = jnp.where(rough, gr_trans, gl_trans)
+    if "glass" in feats:
+        gl_wi, gl_w, gl_trans = _glass_sample(params, wo, n, geo_n, p)
+        gr_wi, gr_w, gr_pdf, gr_trans = _glass_rough_sample(params, wo, n, geo_n, p, xi)
+        is_glass = kind == int(MaterialKind.GLASS)
+        rough = params["alpha"] > MIN_ALPHA * 1.001
+        gl_wi = jnp.where(rough[..., None], gr_wi, gl_wi)
+        gl_w = jnp.where(rough[..., None], gr_w, gl_w)
+        gl_pdf = jnp.where(rough, gr_pdf, 1.0)
+        gl_trans = jnp.where(rough, gr_trans, gl_trans)
 
-    wi = jnp.where(is_glass[..., None], gl_wi, sub_wi)
-    weight = jnp.where(is_glass[..., None], gl_w, sub_w)
-    pdf = jnp.where(is_glass, gl_pdf, sub_pdf)
-    valid = jnp.where(is_glass, True, sub_ok) & (is_glass | is_sub)
-    singular = is_glass & ~rough  # rough glass participates in MIS
-    transmission = is_glass & gl_trans
+        wi = jnp.where(is_glass[..., None], gl_wi, wi)
+        weight = jnp.where(is_glass[..., None], gl_w, weight)
+        pdf = jnp.where(is_glass, gl_pdf, pdf)
+        valid = valid | is_glass
+        singular = is_glass & ~rough  # rough glass participates in MIS
+        transmission = is_glass & gl_trans
 
-    wi = jnp.where(is_vol[..., None], -wo, wi)
-    weight = jnp.where(is_vol[..., None], 1.0, weight)
-    pdf = jnp.where(is_vol, 1.0, pdf)
-    valid = valid | is_vol
-    singular = singular | is_vol
-    transmission = transmission | is_vol
+    if "volumetric" in feats:
+        # volumetric materials are null interfaces: pass straight through,
+        # the medium interior does the work (ref volumetric_material.zig)
+        is_vol = kind == int(MaterialKind.VOLUMETRIC)
+        wi = jnp.where(is_vol[..., None], -wo, wi)
+        weight = jnp.where(is_vol[..., None], 1.0, weight)
+        pdf = jnp.where(is_vol, 1.0, pdf)
+        valid = valid | is_vol
+        singular = singular | is_vol
+        transmission = transmission | is_vol
+        passthrough = is_vol
+
     return BsdfSample(
         wi=wi,
         weight=jnp.where(valid[..., None], weight, 0.0),
@@ -671,7 +692,7 @@ def sample_bsdf(params, wo, n, geo_n, s3) -> BsdfSample:
         valid=valid,
         singular=singular,
         transmission=transmission,
-        passthrough=is_vol,
+        passthrough=passthrough,
     )
 
 

@@ -563,6 +563,12 @@ class SceneBuilder:
             for d in self.materials
         ):
             mat_features["media"] = True
+        # finer-grained gates: glass BSDF sampling and volumetric
+        # null-interface machinery each compile to nothing when absent
+        if any(d.kind == int(MaterialKind.GLASS) for d in self.materials):
+            mat_features["glass"] = True
+        if any(d.kind == int(MaterialKind.VOLUMETRIC) for d in self.materials):
+            mat_features["volumetric"] = True
         # rough dielectrics do NEE too (ref glass_sample.zig:51 canEvaluate
         # is true for the rough path) — only compile the microfacet-dielectric
         # eval when such a material exists
