@@ -383,9 +383,29 @@ def sample_light(scene: SceneData, light_idx, p, n, xi, total_sphere=False) -> L
         light_n = jnp.where(env[..., None], -wi, light_n)
         t_max = jnp.where(infinite, far_t, t_max)
 
-    # facing the shading hemisphere unless translucent
+    # env-mapped dome/canopy lights: importance-sample the emission map
+    # instead of the uniform (hemi)sphere (ref shape_sampler.zig ImageImpl)
+    is_env = jnp.zeros(nshape, bool)
+    if scene.env is not None:
+        from . import env_sampling as env_mod
+
+        li = jnp.clip(light_idx, 0, scene.lights.count - 1)
+        entry = env_mod._entry_of_light(scene.env, li)
+        is_env = entry >= 0
+        wi_env, pdf_env, uv_env = env_mod.sample(scene.env, entry, rot, xi)
+        wi = jnp.where(is_env[..., None], wi_env, wi)
+        pdf = jnp.where(is_env, pdf_env, pdf)
+        uv = jnp.where(is_env[..., None], uv_env, uv)
+        light_p = jnp.where(is_env[..., None], jnp.float32(RAY_MAX_T) * wi + p, light_p)
+        light_n = jnp.where(is_env[..., None], -wi, light_n)
+        t_max = jnp.where(is_env, far_t, t_max)
+        infinite = infinite | is_env
+
+    # facing the shading hemisphere unless translucent; env-sampled lanes
+    # sample the full map and rely on f=0 below the horizon (keeps the NEE
+    # density equal to the pdf the BSDF-hit MIS weight uses)
     front = vm.dot(wi, n) > 0.0
-    valid = valid & (front | jnp.asarray(total_sphere)) & (pdf > 0.0)
+    valid = valid & (front | jnp.asarray(total_sphere) | is_env) & (pdf > 0.0)
     return LightSample(wi, jnp.where(valid, pdf, 0.0), light_p, light_n, t_max, infinite, uv)
 
 
@@ -509,7 +529,16 @@ def light_hit_pdf(scene: SceneData, prop, ray_o, ray_d, hit_t, hit_p, hit_n, n_a
     for st, val in vals.items():
         out = val if out is None else jnp.where(shape == st, val, out)
     if out is None:
-        return jnp.zeros(nshape, jnp.float32)
+        out = jnp.zeros(nshape, jnp.float32)
+    # env-mapped dome/canopy: the NEE strategy is the emission-map alias
+    # table, so the MIS pdf must be the map's density at this direction
+    if scene.env is not None:
+        from . import env_sampling as env_mod
+
+        li = small_gather(scene.prop_light, pm)
+        entry = env_mod._entry_of_light(scene.env, li)
+        p_env = env_mod.pdf(scene.env, li, rot, ray_d)
+        out = jnp.where(entry >= 0, p_env, out)
     # shapes NEE can't sample (cube emitters) contribute pdf 0 -> MIS weight 1
     unsupported = shape == int(ShapeType.CUBE)
     return jnp.where(unsupported, 0.0, out)

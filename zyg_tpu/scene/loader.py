@@ -448,6 +448,13 @@ class SceneBuilder:
     def _light_weight(self, p: PropDesc) -> float:
         m = self.materials[p.material]
         lum = float(np.dot(np.asarray(LUMINANCE_WEIGHTS, np.float64), m.emission))
+        if m.emission_tex >= 0:
+            # emission maps scale the radiance per texel — weight by the
+            # map's mean luminance (ref shape_sampler ImageImpl totals)
+            img = np.asarray(self.textures._images[m.emission_tex], np.float64)
+            lum *= float(
+                (img[..., :3] @ np.asarray(LUMINANCE_WEIGHTS, np.float64)).mean()
+            )
         if lum <= 0.0:
             return 0.0
         s = p.trafo.scale
@@ -610,6 +617,30 @@ class SceneBuilder:
                 ),
                 np.asarray(lfin, bool),
             )
+        # env-map importance sampling for dome/canopy lights with emission
+        # maps (ref shape_sampler.zig ImageImpl: Distribution2D over the
+        # emission texture; realized as an alias table — see env_sampling)
+        env_sampler = None
+        env_entries = []
+        for li, pi in enumerate(light_props):
+            p = props[pi]
+            m = self.materials[p.material]
+            if (
+                p.shape in (int(ShapeType.DOME), int(ShapeType.CANOPY))
+                and m.emission_tex >= 0
+            ):
+                env_entries.append(
+                    (
+                        self.textures._images[m.emission_tex],
+                        p.shape == int(ShapeType.CANOPY),
+                        li,
+                    )
+                )
+        if env_entries:
+            from .env_sampling import build_env_sampler
+
+            env_sampler = build_env_sampler(env_entries)
+
         groups: dict[int, list[int]] = {}
         for i, p in enumerate(props):
             if p.mesh_id < 0:
@@ -678,6 +709,7 @@ class SceneBuilder:
             grids=grid_arena,
             light_tree=light_tree,
             mat_features=mat_features,
+            env=env_sampler,
         )
 
     def _light_bounds(self, p: PropDesc):

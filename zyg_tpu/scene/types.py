@@ -141,6 +141,9 @@ class SceneData(NamedTuple):
     # STATIC dict of material features present ({"coating", "translucency"});
     # absent features compile to nothing in the BSDF (None = enable all)
     mat_features: dict = None
+    # env-map importance sampler for dome/canopy lights with emission maps
+    # (ref shape_sampler.zig ImageImpl); None = uniform direction sampling
+    env: "object" = None  # env_sampling.EnvSampler | None
 
     @property
     def num_props(self) -> int:
