@@ -89,5 +89,8 @@ class TestGltf:
             base_dir=str(tmp_path),
         )
         tn = np.asarray(scene.meshes.tri_n)
-        # second prop's triangles (last 2) have flipped (downward) normals
-        assert tn[-1, :, 1].max() < 0.0
+        # second prop's triangles (last 2 REAL rows — the padded arena may
+        # end with degenerate all-zero padding) have flipped normals
+        real = np.abs(tn).sum(axis=(1, 2)) > 0
+        last_real = np.flatnonzero(real)[-1]
+        assert tn[last_real, :, 1].max() < 0.0

@@ -1,0 +1,157 @@
+"""Motion blur / animation tests (ref scene/space.zig keyframed transforms,
+util/animation_loader.zig, camera_base.zig shutter)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from zyg_tpu.scene.loader import (
+    Transformation, eval_animation, parse_animation, load_scene_dict,
+    rotation_matrix_from_euler_degrees,
+)
+from zyg_tpu.io.take import Take, IntegratorSettings, load_take_dict
+from zyg_tpu.render.camera import PerspectiveCamera
+from zyg_tpu.render.integrator import ptmis
+from zyg_tpu.scene import shapes
+
+
+def anim_scene_dict(color=(0.9, 0.05, 0.05)):
+    return {
+        "materials": [
+            {"name": "m", "rendering": {"Substitute": {"color": list(color), "roughness": 0.9}}},
+            {"name": "env", "rendering": {"Light": {"emittance": {"value": 1.0}}}},
+        ],
+        "entities": [
+            {
+                "type": "Prop", "shape": {"type": "Sphere"}, "materials": ["m"],
+                "transformation": {"scale": [0.5, 0.5, 0.5]},
+                "animation": {
+                    "keyframes": [
+                        {"time": 0.0, "transformation": {"position": [-1.0, 0, 0]}},
+                        {"time": 1.0, "transformation": {"position": [1.0, 0, 0]}},
+                    ]
+                },
+            },
+            {"type": "Light", "shape": {"type": "Dome"}, "materials": ["env"]},
+        ],
+    }
+
+
+class TestKeyframes:
+    def test_two_keyframe_interpolation_exact(self):
+        a = Transformation(position=np.array([0, 0, 0], np.float32))
+        b = Transformation(
+            position=np.array([2, 4, 6], np.float32),
+            rotation=rotation_matrix_from_euler_degrees(np.array([0.0, 90.0, 0.0])),
+            scale=np.array([3, 3, 3], np.float32),
+        )
+        anim = [(0.0, a), (1.0, b)]
+        mid = eval_animation(anim, 0.5)
+        np.testing.assert_allclose(mid.position, [1, 2, 3], atol=1e-6)
+        np.testing.assert_allclose(mid.scale, [2, 2, 2], atol=1e-6)
+        # slerp of identity -> 90deg about y == 45deg about y
+        expect = rotation_matrix_from_euler_degrees(np.array([0.0, 45.0, 0.0]))
+        np.testing.assert_allclose(mid.rotation, expect, atol=1e-5)
+        # clamped outside the track
+        np.testing.assert_allclose(eval_animation(anim, -1.0).position, a.position)
+        np.testing.assert_allclose(eval_animation(anim, 9.0).position, b.position)
+
+    def test_parse_schema_variants(self):
+        parent = Transformation()
+        default = Transformation()
+        kf = parse_animation(
+            {"keyframes": [
+                {"time": 0.0, "transformation": {"position": [1, 0, 0]}},
+                {"time": 2.0, "transformation": {"position": [0, 1, 0]}},
+            ]}, parent, default,
+        )
+        assert len(kf) == 2 and kf[1][0] == 2.0
+        tt = parse_animation(
+            {"frames_per_second": 30,
+             "transformations": [{"position": [0, 0, 0]}, {"position": [1, 0, 0]}]},
+            parent, default,
+        )
+        assert len(tt) == 2
+        assert abs(tt[1][0] - 1.0 / 30.0) < 1e-9
+
+    def test_static_build_has_no_motion(self):
+        scene = load_scene_dict(anim_scene_dict(), time0=0.5)
+        assert scene.animated_props is None
+        np.testing.assert_allclose(np.asarray(scene.prop_pos[0]), [0, 0, 0], atol=1e-6)
+
+    def test_moving_build_resolves_endpoints(self):
+        scene = load_scene_dict(anim_scene_dict(), time0=0.25, time1=0.75)
+        assert scene.animated_props == {(0, 6): True}
+        np.testing.assert_allclose(np.asarray(scene.prop_pos[0]), [-0.5, 0, 0], atol=1e-6)
+        np.testing.assert_allclose(np.asarray(scene.prop_pos_end[0]), [0.5, 0, 0], atol=1e-6)
+
+
+class TestMotionTrace:
+    def _scene(self):
+        return load_scene_dict(anim_scene_dict(), time0=0.1, time1=0.9)
+
+    def test_intersection_follows_time(self):
+        scene = self._scene()
+        o = jnp.asarray([[-0.8, 0, -3], [0.8, 0, -3]], jnp.float32)
+        d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (2, 1))
+        h0 = shapes.intersect_scene(
+            scene, o, d, jnp.float32(0), jnp.float32(3e9),
+            time=jnp.zeros((2,), jnp.float32),
+        )
+        h1 = shapes.intersect_scene(
+            scene, o, d, jnp.float32(0), jnp.float32(3e9),
+            time=jnp.ones((2,), jnp.float32),
+        )
+        # at t=0 the sphere (radius .25 at x=-.8..-..) is under ray 0 only
+        assert int(h0.prop[0]) == 0 and int(h0.prop[1]) != 0
+        assert int(h1.prop[0]) != 0 and int(h1.prop[1]) == 0
+
+    def test_render_shows_smear(self):
+        """The persistent wavefront integrates over the shutter: the moving
+        sphere covers ~3-4x its static footprint."""
+        scene = self._scene()
+        static = load_scene_dict(anim_scene_dict(), time0=0.5)
+        cam = PerspectiveCamera(resolution=(64, 24), fov=np.deg2rad(80))
+        cam.position = np.array([0, 0, -3.0], np.float32)
+        n = 64 * 24
+        ids = jnp.arange(n, dtype=jnp.uint32)
+        ys, xs = np.divmod(np.arange(n), 64)
+        pxy = jnp.asarray(np.stack([xs, ys], -1), jnp.int32)
+
+        def span(sc):
+            acc, _ = ptmis.integrate_persistent(
+                sc, cam.arrays(0), pxy, ids, jnp.int32(0), 48, 48,
+                ptmis.PtmisSettings(max_depth=3),
+            )
+            img = np.asarray(acc).reshape(24, 64, 3) / 48
+            red = (img[12, :, 0] - img[12, :, 2]) > 0.05
+            idx = np.flatnonzero(red)
+            return (idx.max() - idx.min() + 1) if red.any() else 0
+
+        s_blur = span(scene)
+        s_static = span(static)
+        assert s_static > 0 and s_blur > 2.5 * s_static, (
+            f"blur span {s_blur} vs static {s_static}"
+        )
+
+
+class TestShutterTake:
+    def test_take_shutter_keys(self):
+        take = load_take_dict(
+            {
+                "scene": "x.scene",
+                "camera": {
+                    "Perspective": {
+                        "parameters": {
+                            "fov": 50,
+                            "shutter": {"frames_per_second": 24, "open": 0.25, "close": 0.75},
+                        },
+                        "resolution": [8, 8],
+                    }
+                },
+            }
+        )
+        cam = take.cameras[0]
+        assert abs(cam.frame_step - 1 / 24) < 1e-9
+        t0, t1 = cam.frame_interval(3)
+        assert abs(t0 - (3 / 24 + 0.25 / 24)) < 1e-9
+        assert abs(t1 - (3 / 24 + 0.75 / 24)) < 1e-9

@@ -72,10 +72,12 @@ class _Engine:
     progress_fns: tuple = None
     dirty: bool = True
     export_paths: list[str] = field(default_factory=list)
+    frame: int = 0
 
     def compile(self):
         if self.dirty or self.driver is None:
-            scene = self.builder.build()
+            t0, t1 = self.camera.frame_interval(self.frame)
+            scene = self.builder.build(t0, t1)
             self.take.cameras = [self.camera]
             self.driver = Driver(take=self.take, scene=scene, camera=self.camera)
             self.dirty = False
@@ -333,9 +335,23 @@ def su_prop_set_transformation(prop, trafo) -> int:
 
 
 def su_prop_set_transformation_frame(prop, frame, trafo) -> int:
-    # motion-blur keyframes collapse to the last set frame until the animated
-    # transform store lands (ref scene/space.zig setFrames)
-    return su_prop_set_transformation(prop, trafo)
+    """Set one motion keyframe (ref capi.zig:506 -> space.zig setFrames).
+
+    Keyframes are spaced by the camera's frame_step; the scene build
+    interpolates them over the render frame's shutter interval."""
+    if _engine is None or int(prop) >= len(_engine.builder.props):
+        return -1
+    p = _engine.builder.props[int(prop)]
+    step = _engine.camera.frame_step if _engine.camera.frame_step > 0 else 1.0 / 60.0
+    t = float(int(frame)) * step
+    kf = (t, _decompose_matrix(trafo))
+    anim = [k for k in (p.animation or []) if abs(k[0] - t) > 1e-12]
+    anim.append(kf)
+    anim.sort(key=lambda k: k[0])
+    p.animation = anim
+    p.trafo = anim[0][1]
+    _engine.dirty = True
+    return 0
 
 
 def su_prop_set_visibility(prop, in_camera, in_reflection, in_sss) -> int:
@@ -351,6 +367,9 @@ def su_prop_set_visibility(prop, in_camera, in_reflection, in_sss) -> int:
 def su_render_frame(frame) -> int:
     if _engine is None:
         return -1
+    if int(frame) != _engine.frame:
+        _engine.frame = int(frame)
+        _engine.dirty = True
     _engine.compile()
     _engine.driver.render_frame()
     return 0
@@ -369,6 +388,9 @@ def su_export_frame() -> int:
 def su_start_frame(frame) -> int:
     if _engine is None:
         return -1
+    if int(frame) != _engine.frame:
+        _engine.frame = int(frame)
+        _engine.dirty = True
     _engine.compile()
     _engine.driver.start_frame()
     return 0

@@ -49,31 +49,49 @@ def main(argv=None) -> int:
             if os.path.exists(cand):
                 scene_path = cand
                 break
-    scene = load_scene_file(scene_path)
+    cam0 = take.cameras[0]
+    t_a, t_b = cam0.frame_interval(args.start_frame)
+    scene = load_scene_file(scene_path, time0=t_a, time1=t_b)
     print(f"Loading time {time.time() - t0:.3f} s")
 
     if args.num_samples > 0:
         take.num_samples_per_pixel = args.num_samples
 
-    driver = Driver(take=take, scene=scene)
-    driver.progress.quiet = False
-    t0 = time.time()
-    driver.render_frame()
-    render_time = time.time() - t0
-    print(f"Render time {render_time:.3f} s")
+    out = args.output or (os.path.splitext(os.path.basename(args.input))[0] + ".png")
+    render_time = 0.0
+    driver = None
+    for fi in range(args.num_frames):
+        frame = args.start_frame + fi
+        if fi > 0:
+            # re-resolve animated transforms for this frame's shutter span
+            # (ref cli/main.zig per-frame graph.simulate + scene.compile)
+            t_a, t_b = cam0.frame_interval(frame)
+            scene = load_scene_file(scene_path, time0=t_a, time1=t_b)
+        driver = Driver(take=take, scene=scene)
+        driver.progress.quiet = False
+        t0 = time.time()
+        driver.render_frame()
+        render_time += time.time() - t0
+        print(f"Render time {time.time() - t0:.3f} s")
 
+        t0 = time.time()
+        fout = out
+        if args.num_frames > 1:
+            base, ext = os.path.splitext(out)
+            fout = f"{base}_{frame:06d}{ext}" if "#" not in out else out
+            from .io.fs import frame_dependant_name
+
+            fout = frame_dependant_name(fout, frame) if "#" in fout else fout
+        driver.export_frame(fout)
+        # stereo: further layers as _l1, _l2 ... (ref exporting/sink.zig)
+        for layer in range(1, driver.camera.num_layers):
+            d2 = Driver(take=take, scene=scene, camera=driver.camera, layer=layer)
+            d2.render_frame()
+            base, ext = os.path.splitext(fout)
+            d2.export_frame(f"{base}_l{layer}{ext}")
+        print(f"Export time {time.time() - t0:.3f} s")
     w, h = driver.camera.resolution
     spp = take.num_samples_per_pixel
-    out = args.output or (os.path.splitext(os.path.basename(args.input))[0] + ".png")
-    t0 = time.time()
-    driver.export_frame(out)
-    # stereo: further layers as _l1, _l2 ... (ref exporting/sink.zig layers)
-    for layer in range(1, driver.camera.num_layers):
-        d2 = Driver(take=take, scene=scene, camera=driver.camera, layer=layer)
-        d2.render_frame()
-        base, ext = os.path.splitext(out)
-        d2.export_frame(f"{base}_l{layer}{ext}")
-    print(f"Export time {time.time() - t0:.3f} s")
 
     if args.stats:
         print(f"resolution {w}x{h}, {spp} spp, {driver.rays_traced/1e6:.1f}M rays")

@@ -90,6 +90,16 @@ def _load_camera(node: dict) -> PerspectiveCamera:
             cam.focus_distance = float(params["focus"].get("distance", 0.0))
         if "stereo" in params:
             cam.ipd = float(params["stereo"].get("ipd", 0.062))
+        if "shutter" in params or "shutter" in body:
+            sh = params.get("shutter", body.get("shutter", {}))
+            if "frame_step" in sh:
+                cam.frame_step = float(sh["frame_step"])
+            elif "frames_per_second" in sh:
+                fps = float(sh["frames_per_second"])
+                cam.frame_step = 1.0 / fps if fps > 0 else 0.0
+            cam.shutter_open = float(sh.get("open", 0.0))
+            cam.shutter_close = float(sh.get("close", 1.0))
+            cam.motion_blur = bool(sh.get("motion_blur", True))
         trafo = read_transformation(body.get("transformation"))
         cam.rotation = trafo.rotation
         cam.position = trafo.position

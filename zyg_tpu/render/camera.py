@@ -65,6 +65,19 @@ class PerspectiveCamera:
     # stereo (ref camera_perspective.zig setStereo): interpupillary distance;
     # > 0 renders two layers with eyes offset +-ipd/2 along the camera x axis
     ipd: float = 0.0
+    # frame timing + shutter (ref camera_base.zig frame_step/frame_duration,
+    # take_loader.zig loadShutter): frame f spans
+    # [f*frame_step + open*dur, f*frame_step + close*dur], dur = frame_step
+    # when motion_blur else 0
+    frame_step: float = 1.0 / 60.0
+    shutter_open: float = 0.0
+    shutter_close: float = 1.0
+    motion_blur: bool = True
+
+    def frame_interval(self, frame: int) -> tuple[float, float]:
+        t0 = frame * self.frame_step
+        dur = self.frame_step if self.motion_blur else 0.0
+        return (t0 + self.shutter_open * dur, t0 + self.shutter_close * dur)
 
     @property
     def num_layers(self) -> int:

@@ -121,6 +121,7 @@ def _render_samples(
                 ),
                 photon_map=photon_map,
                 photon_max_per_cell=photon_max_per_cell,
+                time=_time,
             )
             radiance = (
                 sensor_mod.clamp_radiance(iv.emission, clamp_max[0])

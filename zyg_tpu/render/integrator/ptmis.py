@@ -65,7 +65,8 @@ class PathState(NamedTuple):
     alive: jax.Array
     bxdf_pdf: jax.Array  # [N] pdf of the previous BSDF sample
     singular: jax.Array  # bool[N] previous bounce was a delta event
-    medium: jax.Array  # int32[N] enclosing medium PROP id (-1 = vacuum)
+    medium: jax.Array  # int32[N, K] nested-dielectric medium stack of
+    # enclosing PROP ids (-1 = empty; ref prop/medium.zig Stack)
     depth: jax.Array  # int32[N] per-lane SURFACE bounce depth
     vol_depth: jax.Array  # int32[N] volume events: scatters + null-interface
     # crossings (ref probe.zig Depth{surface,volume} — grazing rays can cross
@@ -80,6 +81,7 @@ class PathState(NamedTuple):
     from_volume: jax.Array  # bool[N] last real vertex was a volume scatter
     primary_chain: jax.Array  # bool[N] every bounce so far was singular
     # (ref vertex.state primary_ray — photon gathers happen on this chain)
+    time: jax.Array  # float32[N] shutter time in [0,1) (ref probe.zig time)
 
 
 def power_heuristic(f_pdf, g_pdf):
@@ -92,7 +94,7 @@ def predivided_power_heuristic(f_pdf, g_pdf):
     return f_pdf / jnp.maximum(g_pdf * g_pdf + f2, 1e-20)
 
 
-def integrate(scene: SceneData, o, d, sobol: SobolSampler, settings: PtmisSettings, photon_map=None, photon_max_per_cell=64):
+def integrate(scene: SceneData, o, d, sobol: SobolSampler, settings: PtmisSettings, photon_map=None, photon_max_per_cell=64, time=None):
     """Returns (IValue, sobol, num_rays)."""
     n = o.shape[0]
     state = PathState(
@@ -103,7 +105,7 @@ def integrate(scene: SceneData, o, d, sobol: SobolSampler, settings: PtmisSettin
         alive=jnp.ones((n,), bool),
         bxdf_pdf=jnp.zeros((n,), jnp.float32),
         singular=jnp.ones((n,), bool),  # camera rays count as singular
-        medium=jnp.full((n,), -1, jnp.int32),
+        medium=vol_mod.stack_empty(n),
         depth=jnp.zeros((n,), jnp.int32),
         vol_depth=jnp.zeros((n,), jnp.int32),
         rays=jnp.int32(0),
@@ -113,6 +115,7 @@ def integrate(scene: SceneData, o, d, sobol: SobolSampler, settings: PtmisSettin
         mis_n=d,
         from_volume=jnp.zeros((n,), bool),
         primary_chain=jnp.ones((n,), bool),
+        time=jnp.zeros((n,), jnp.float32) if time is None else time,
     )
 
     def cond(s: PathState):
@@ -137,11 +140,11 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
         primary = s.depth == 0
         hit = shapes.intersect_scene(
             scene, s.o, s.d, jnp.float32(0.0), jnp.float32(RAY_MAX_T),
-            "reflection", primary=primary,
+            "reflection", primary=primary, time=s.time,
         )
         has_tex = scene.textures is not None
         frag = shapes.build_fragment(
-            scene, hit, s.o, s.d, need_tangents=has_tex
+            scene, hit, s.o, s.d, need_tangents=has_tex, time=s.time
         )
         if has_tex:
             frag = frag._replace(
@@ -151,11 +154,16 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
                 )
             )
         if has_media:
-            med_mat = vol_mod.medium_material(scene, s.medium)
-            medium_ior = jnp.where(
-                s.medium >= 0, small_gather(scene.materials.ior, jnp.maximum(med_mat, 0)), 1.0
+            # effective enclosing medium = highest-priority stack entry;
+            # fresnel sees the surrounding medium EXCLUDING the hit prop
+            # (ref medium.zig topIor + vertex.zig interfaceChange)
+            eff_prop, _eff_ior = vol_mod.stack_effective(scene, s.medium)
+            med_mat = vol_mod.medium_material(scene, eff_prop)
+            medium_ior, max_prio_excl, _in_stack = vol_mod.stack_info_at_hit(
+                scene, s.medium, jnp.maximum(hit.prop, 0)
             )
         else:
+            eff_prop = None
             med_mat = None
             medium_ior = None
         params = mat.gather(
@@ -171,19 +179,36 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
         if has_media:
             _, _, g_med = mat.medium_coefficients(scene.materials, med_mat)
             ev = vol_mod.sample_interaction(
-                scene, s.medium, s.o, s.d, jnp.minimum(hit.t, jnp.float32(3.0e37)),
+                scene, eff_prop, s.o, s.d, jnp.minimum(hit.t, jnp.float32(3.0e37)),
                 u_dist, s.vol_key,
             )
             scatter = s.alive & ev.scatter & hit.valid()
             absorbed = s.alive & ev.absorb
             throughput0 = s.throughput * ev.weight
             p_scatter = ev.p
+            # nested-dielectric false interface: the hit material's priority
+            # loses to an enclosing medium -> null interface, pass through
+            # (ref medium.zig priorities; Schmidt & Budge style)
+            hit_prio = small_gather(
+                scene.materials.priority, jnp.maximum(frag.material, 0)
+            ).astype(jnp.float32)
+            from ...scene.types import MaterialKind
+
+            mkind = small_gather(scene.materials.kind, jnp.maximum(frag.material, 0))
+            is_medium_b = (mkind == int(MaterialKind.GLASS)) | (
+                mkind == int(MaterialKind.VOLUMETRIC)
+            )
+            false_if = (
+                hit.valid() & (hit.t < RAY_MAX_T) & is_medium_b
+                & (hit_prio < max_prio_excl) & ~scatter
+            )
         else:
             g_med = None
             scatter = jnp.zeros_like(s.alive)
             absorbed = jnp.zeros_like(s.alive)
             throughput0 = s.throughput
             p_scatter = frag.p
+            false_if = jnp.zeros_like(s.alive)
 
         # ---- connectLight: BSDF-sampled emission with MIS (ref connectLight
         # + vertex.evaluateRadiance + scene.lightPdf)
@@ -299,9 +324,12 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
                 lsmp.wi,
                 shadow_axis / jnp.maximum(slen, 1e-20)[..., None],
             )
-            nee_active = cont & (scatter | mat.can_evaluate(params)) & (lsmp.pdf > 0.0) & (jnp.max(f, axis=-1) > 0.0)
+            nee_active = (
+                cont & (scatter | mat.can_evaluate(params)) & ~false_if
+                & (lsmp.pdf > 0.0) & (jnp.max(f, axis=-1) > 0.0)
+            )
             shadow_tmax = jnp.where(lsmp.infinite, jnp.float32(RAY_MAX_T) * 0.9, slen)
-            blocked = shapes.occluded(scene, shadow_o, sdir, jnp.float32(0.0), shadow_tmax)
+            blocked = shapes.occluded(scene, shadow_o, sdir, jnp.float32(0.0), shadow_tmax, time=s.time)
             # participating media attenuate (not block) the shadow ray
             # (ref scene.zig visibility -> propTransmittance)
             if has_media:
@@ -325,6 +353,15 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
         s3 = smp.sample_3d()
         bs = mat.sample_bsdf(params, wo, frag.n, frag.geo_n, s3)
         if has_media:
+            # false interfaces override the BSDF with a straight-through
+            # null event (the enclosing medium owns this boundary)
+            bs = bs._replace(
+                wi=jnp.where(false_if[..., None], -wo, bs.wi),
+                weight=jnp.where(false_if[..., None], 1.0, bs.weight),
+                valid=bs.valid | false_if,
+                transmission=bs.transmission | false_if,
+                passthrough=bs.passthrough | false_if,
+            )
             wi_hg = mat.hg_sample(wo, g_med, s3[..., 1:3])
             ph_s = mat.hg_phase(vm.dot(s.d, wi_hg), g_med)
             wi = jnp.where(scatter[..., None], wi_hg, bs.wi)
@@ -357,15 +394,13 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
         )
         smp.increment_padding()
         if has_media:
-            # medium interface change (ref vertex.zig interfaceChange);
-            # volume scatter events stay inside their medium. Media are
-            # tracked by PROP id so grid lookups know their transform.
+            # medium interface change (ref vertex.zig interfaceChange):
+            # entering pushes the prop onto the stack, exiting pops it.
+            # Only medium-capable (glass/volumetric) boundaries count —
+            # thin translucency transmits without enclosing a medium.
             entering = vm.dot(wo, frag.geo_n) > 0.0
-            new_medium = jnp.where(
-                bs.transmission & cont & ~scatter,
-                jnp.where(entering, frag.prop, -1),
-                s.medium,
-            )
+            crossing = bs.transmission & cont & ~scatter & is_medium_b
+            new_medium = vol_mod.stack_update(s.medium, frag.prop, entering, crossing)
             new_o = jnp.where(scatter[..., None], p_scatter, surf_o)
             new_mis_o = jnp.where(
                 scatter[..., None],
@@ -407,6 +442,7 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
             mis_n=jnp.where(cont[..., None], new_mis_n, s.mis_n),
             from_volume=new_from_volume,
             primary_chain=s.primary_chain & (new_singular | passthrough) & ~scatter,
+            time=s.time,
         )
 
     return body
@@ -457,7 +493,7 @@ def integrate_persistent(
         alive=jnp.zeros((n,), bool),
         bxdf_pdf=jnp.zeros((n,), jnp.float32),
         singular=jnp.ones((n,), bool),
-        medium=jnp.full((n,), -1, jnp.int32),
+        medium=vol_mod.stack_empty(n),
         depth=jnp.zeros((n,), jnp.int32),
         vol_depth=jnp.zeros((n,), jnp.int32),
         rays=jnp.int32(0),
@@ -469,6 +505,7 @@ def integrate_persistent(
         ),
         from_volume=jnp.zeros((n,), bool),
         primary_chain=jnp.ones((n,), bool),
+        time=jnp.zeros((n,), jnp.float32),
     )
     state = PersistentState(path=path0, acc=zero3, done=jnp.zeros((n,), jnp.int32))
 
@@ -512,7 +549,7 @@ def integrate_persistent(
             alive=s.alive | regen,
             bxdf_pdf=jnp.where(regen, 0.0, s.bxdf_pdf),
             singular=jnp.where(regen, True, s.singular),
-            medium=jnp.where(regen, -1, s.medium),
+            medium=jnp.where(regen[..., None], -1, s.medium),
             depth=jnp.where(regen, 0, s.depth),
             vol_depth=jnp.where(regen, 0, s.vol_depth),
             rays=s.rays,
@@ -524,6 +561,7 @@ def integrate_persistent(
             mis_n=jnp.where(rm, d_cam, s.mis_n),
             from_volume=jnp.where(regen, False, s.from_volume),
             primary_chain=jnp.where(regen, True, s.primary_chain),
+            time=jnp.where(regen, _time, s.time),
         )
         done = ps.done + regen.astype(jnp.int32)
 

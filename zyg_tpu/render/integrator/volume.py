@@ -48,6 +48,80 @@ def medium_material(scene: SceneData, medium_prop):
     return jnp.where(inside, m, -1)
 
 
+# ---------------------------------------------------------------------------
+# Nested-dielectric medium stack (ref src/core/scene/prop/medium.zig:14-150)
+#
+# Fixed-depth SoA stack of enclosing medium PROP ids per lane. The effective
+# medium is the highest-priority entry (ties -> newest, matching the
+# reference's `>=` scan); an interface against material M is REAL only when
+# M's priority beats every OTHER stack entry — otherwise the surface is a
+# false (null) interface and the ray passes straight through.
+# ---------------------------------------------------------------------------
+
+MEDIUM_STACK_DEPTH = 4
+_PRIO_EMPTY = jnp.float32(-1e9)
+
+
+def stack_empty(n: int):
+    return jnp.full((n, MEDIUM_STACK_DEPTH), -1, jnp.int32)
+
+
+def _stack_prio_ior(scene: SceneData, stack):
+    """Per-slot (priority-with-tiebreak[N,K] f32, ior[N,K]); empty slots get
+    _PRIO_EMPTY. Newest (higher slot index) wins priority ties."""
+    occupied = stack >= 0
+    mats = small_gather(scene.prop_material, jnp.maximum(stack, 0))
+    prio = small_gather(scene.materials.priority, mats).astype(jnp.float32)
+    ior = small_gather(scene.materials.ior, mats)
+    k = stack.shape[-1]
+    tie = jnp.arange(k, dtype=jnp.float32) * (1.0 / (k + 1.0))
+    prio_f = jnp.where(occupied, prio + tie, _PRIO_EMPTY)
+    return prio_f, ior
+
+
+def stack_effective(scene: SceneData, stack):
+    """(eff_prop[N] int32 (-1 = vacuum), eff_ior[N]) of the highest-priority
+    entry (ref medium.zig topIor / highestPriority)."""
+    prio_f, ior = _stack_prio_ior(scene, stack)
+    slot = jnp.argmax(prio_f, axis=-1)
+    any_med = jnp.max(prio_f, axis=-1) > _PRIO_EMPTY
+    eff_prop = jnp.where(any_med, jnp.take_along_axis(stack, slot[..., None], -1)[..., 0], -1)
+    eff_ior = jnp.where(any_med, jnp.take_along_axis(ior, slot[..., None], -1)[..., 0], 1.0)
+    return eff_prop, eff_ior
+
+
+def stack_info_at_hit(scene: SceneData, stack, hit_prop):
+    """Interface info against `hit_prop`:
+    (ior_excl[N] = effective ior EXCLUDING hit_prop's entry,
+     max_prio_excl[N] f32, in_stack[N] bool)."""
+    prio_f, ior = _stack_prio_ior(scene, stack)
+    same = stack == hit_prop[..., None]
+    prio_x = jnp.where(same, _PRIO_EMPTY, prio_f)
+    slot = jnp.argmax(prio_x, axis=-1)
+    max_p = jnp.max(prio_x, axis=-1)
+    has = max_p > _PRIO_EMPTY
+    ior_excl = jnp.where(has, jnp.take_along_axis(ior, slot[..., None], -1)[..., 0], 1.0)
+    return ior_excl, max_p, jnp.any(same, axis=-1)
+
+
+def stack_update(stack, hit_prop, entering, apply):
+    """Push hit_prop on entry / pop it on exit, for lanes where `apply`.
+    Push drops silently when full (the reference's fixed capacity)."""
+    occupied = stack >= 0
+    # pop: clear entries equal to hit_prop
+    popped = jnp.where(stack == hit_prop[..., None], -1, stack)
+    # push: first free slot
+    free = ~occupied
+    first_free = jnp.argmax(free, axis=-1)
+    has_free = jnp.any(free, axis=-1)
+    k = stack.shape[-1]
+    slot_idx = jnp.arange(k, dtype=jnp.int32)
+    push_here = (slot_idx[None, :] == first_free[..., None]) & has_free[..., None]
+    pushed = jnp.where(push_here, hit_prop[..., None], stack)
+    out = jnp.where(entering[..., None], pushed, popped)
+    return jnp.where(apply[..., None], out, stack)
+
+
 def _medium_grid(scene: SceneData, medium_prop):
     """Density grid id for the enclosing medium (-1 = homogeneous)."""
     if scene.grids is None or scene.materials.density_grid is None:
@@ -111,11 +185,13 @@ def sample_interaction(scene: SceneData, medium_prop, o, d, seg_t, u_dist, vol_k
         p = o + h_t[..., None] * d
         return VolumeEvent(h_scatter, jnp.zeros_like(h_scatter), p, h_w)
 
-    # ---- heterogeneous: spectral decomposition tracking
+    # ---- heterogeneous: spectral decomposition tracking against the LOCAL
+    # (supergrid) majorant — macrocell walk, the dense-array equivalent of
+    # the reference's Gridtree cell tracking (ref tracking.zig trackingHetero
+    # over gridtree.zig:58-71 cells). Sparse regions free-fly cell to cell.
     arena: grids_mod.GridArena = scene.grids
     hetero = grid >= 0
-    maj_d = small_gather(arena.majorant, jnp.maximum(grid, 0))
-    mu_maj = jnp.maximum(maj_d * jnp.max(mu_t, axis=-1), 1e-12)
+    mu_t_max = jnp.maximum(jnp.max(mu_t, axis=-1), 1e-12)
     # clamp the tracked segment to the medium prop's exit — the surface hit
     # normally bounds it, but visibility flags can hide the boundary
     pr = jnp.maximum(medium_prop, 0)
@@ -124,9 +200,26 @@ def sample_interaction(scene: SceneData, medium_prop, o, d, seg_t, u_dist, vol_k
     scl = small_gather(scene.prop_scale, pr)
     lo = vm.world_to_object_point(rot, scl, pos, o)
     ld = vm.world_to_object_vector(rot, scl, d)
-    inv = 1.0 / jnp.where(jnp.abs(ld) < 1e-20, jnp.where(ld < 0, -1e-20, 1e-20), ld)
+    ld_safe = jnp.where(jnp.abs(ld) < 1e-12, jnp.where(ld < 0, -1e-12, 1e-12), ld)
+    inv = 1.0 / ld_safe
     t_exit = jnp.min(jnp.maximum((-0.5 - lo) * inv, (0.5 - lo) * inv), axis=-1)
     seg = jnp.where(hetero, jnp.minimum(seg, jnp.maximum(t_exit, 0.0) + 1e-4), seg)
+    sdims = small_gather(arena.sdims, jnp.maximum(grid, 0)).astype(jnp.float32)
+
+    # epsilon that advances ~0.1% of one cell in ray-t units (scale-free)
+    t_cell_eps = 1e-3 * jnp.min(
+        1.0 / jnp.maximum(sdims * jnp.abs(ld_safe), 1e-12), axis=-1
+    )
+
+    def cell_exit_t(t):
+        """Ray t at which the CURRENT supergrid cell is left (t in the
+        caller's units; cell walls live in unit-cube object space)."""
+        p_l = lo + t[..., None] * ld
+        cell = jnp.floor(jnp.clip((p_l + 0.5) * sdims, 0.0, sdims - 1.0))
+        step_pos = (ld > 0.0).astype(jnp.float32)
+        wall = (cell + step_pos) / jnp.maximum(sdims, 1.0) - 0.5
+        t_ax = (wall - p_l) * inv
+        return t + jnp.maximum(jnp.min(t_ax, axis=-1), 0.0) + t_cell_eps
 
     def cond(c):
         key, t, w, done, scat, absb = c
@@ -139,21 +232,32 @@ def sample_interaction(scene: SceneData, medium_prop, o, d, seg_t, u_dist, vol_k
         r3 = jnp.stack(
             [u32_to_float(hash2_u32(key, jnp.uint32(k))) for k in (2, 3, 4)], -1
         )
-        t_new = t - jnp.log(jnp.maximum(1.0 - u1, 1e-7)) / mu_maj
+        # local majorant of the current macrocell
+        p_cur = lo + t[..., None] * ld
+        uvw_cur = jnp.clip(p_cur + 0.5, 0.0, 1.0)
+        maj_loc = grids_mod.local_majorant(arena, grid, uvw_cur)
+        mu_loc = maj_loc * mu_t_max
+        t_cell = cell_exit_t(t)
+        t_cand = t - jnp.log(jnp.maximum(1.0 - u1, 1e-7)) / jnp.maximum(mu_loc, 1e-12)
+        # empty/thin cell or flight past the wall: hop to the next cell
+        crossed = (mu_loc <= 1e-9) | (t_cand > t_cell)
+        t_new = jnp.where(crossed, t_cell, t_cand)
         exited = t_new >= seg
+        collide = ~exited & ~crossed
         p = o + t_new[..., None] * d
         uvw = _object_uvw(scene, medium_prop, p)
         dens = grids_mod.sample_density_stochastic(arena, grid, uvw, r3)
         mu_t_x = dens[..., None] * mu_t
         mu_s_x = dens[..., None] * mu_s
         mu_a_x = mu_t_x - mu_s_x
-        ps = jnp.mean(mu_s_x, axis=-1) / mu_maj
-        pa = jnp.mean(mu_a_x, axis=-1) / mu_maj
+        mu_loc_s = jnp.maximum(mu_loc, 1e-12)
+        ps = jnp.mean(mu_s_x, axis=-1) / mu_loc_s
+        pa = jnp.mean(mu_a_x, axis=-1) / mu_loc_s
         pn = jnp.maximum(1.0 - ps - pa, 1e-7)
-        scat_now = ~exited & (u2 < ps)
-        abs_now = ~exited & ~scat_now & (u2 < ps + pa)
-        w_scat = mu_s_x / jnp.maximum(mu_maj * ps, 1e-20)[..., None]
-        w_null = (mu_maj[..., None] - mu_t_x) / (mu_maj * pn)[..., None]
+        scat_now = collide & (u2 < ps)
+        abs_now = collide & ~scat_now & (u2 < ps + pa)
+        w_scat = mu_s_x / jnp.maximum(mu_loc_s * ps, 1e-20)[..., None]
+        w_null = (mu_loc_s[..., None] - mu_t_x) / (mu_loc_s * pn)[..., None]
         act = ~done
         w = jnp.where(
             (act & scat_now)[..., None],
@@ -161,7 +265,7 @@ def sample_interaction(scene: SceneData, medium_prop, o, d, seg_t, u_dist, vol_k
             jnp.where(
                 (act & abs_now)[..., None],
                 0.0,
-                jnp.where((act & ~exited)[..., None], w * w_null, w),
+                jnp.where((act & collide)[..., None], w * w_null, w),
             ),
         )
         scat = scat | (act & scat_now)
@@ -248,11 +352,38 @@ def transmittance(scene: SceneData, o, d, tmax, vol_key):
             tr = tr * jnp.where(inside[..., None], jnp.exp(-mu_t * seg[..., None]), 1.0)
             continue
 
-        # ratio tracking against the grid's global majorant
-        maj_d = scene.grids.majorant[grid_idx]
-        mu_maj = jnp.maximum(maj_d * jnp.max(mu_t, axis=-1), 1e-12)
+        # residual-ratio tracking (ref tracking.zig:26-78): the grid's global
+        # MINORANT density is a control variate handled in closed form, and
+        # the stochastic part tracks only the residual against the LOCAL
+        # (supergrid) majorant with macrocell hops through empty space
+        arena = scene.grids
+        d_min = arena.minorant[grid_idx]
+        mu_t_max = jnp.maximum(jnp.max(mu_t, axis=-1), 1e-12)
         prop_b = jnp.full(seg.shape, prop_idx, jnp.int32)
         grid_b = jnp.full(seg.shape, grid_idx, jnp.int32)
+
+        rot_p = scene.prop_rot[prop_idx]
+        pos_p = scene.prop_pos[prop_idx]
+        scl_p = scene.prop_scale[prop_idx]
+        lo = vm.world_to_object_point(rot_p, scl_p, pos_p, o)
+        ld = vm.world_to_object_vector(rot_p, scl_p, d)
+        ld_safe = jnp.where(jnp.abs(ld) < 1e-12, jnp.where(ld < 0, -1e-12, 1e-12), ld)
+        inv_l = 1.0 / ld_safe
+        sdims = jnp.asarray(arena.sdims)[grid_idx].astype(jnp.float32)
+        t_cell_eps = 1e-3 * jnp.min(
+            1.0 / jnp.maximum(sdims * jnp.abs(ld_safe), 1e-12), axis=-1
+        )
+
+        # closed-form control: exp(-mu_t * d_min * segment_length)
+        tr_control = jnp.exp(-mu_t * (d_min * jnp.maximum(seg, 0.0))[..., None])
+
+        def cell_exit_t(t):
+            p_l = lo + t[..., None] * ld
+            cell = jnp.floor(jnp.clip((p_l + 0.5) * sdims, 0.0, sdims - 1.0))
+            step_pos = (ld > 0.0).astype(jnp.float32)
+            wall = (cell + step_pos) / jnp.maximum(sdims, 1.0) - 0.5
+            t_ax = (wall - p_l) * inv_l
+            return t + jnp.maximum(jnp.min(t_ax, axis=-1), 0.0) + t_cell_eps
 
         def cond(c):
             key, t, trv, done = c
@@ -264,14 +395,22 @@ def transmittance(scene: SceneData, o, d, tmax, vol_key):
             r3 = jnp.stack(
                 [u32_to_float(hash2_u32(key, jnp.uint32(k))) for k in (1, 2, 3)], -1
             )
-            t_new = t - jnp.log(jnp.maximum(1.0 - u1, 1e-7)) / mu_maj
+            p_cur = lo + t[..., None] * ld
+            uvw_cur = jnp.clip(p_cur + 0.5, 0.0, 1.0)
+            maj_loc = grids_mod.local_majorant(arena, grid_b, uvw_cur)
+            mu_r = jnp.maximum(maj_loc - d_min, 0.0) * mu_t_max  # residual maj
+            t_cell = cell_exit_t(t)
+            t_cand = t - jnp.log(jnp.maximum(1.0 - u1, 1e-7)) / jnp.maximum(mu_r, 1e-12)
+            crossed = (mu_r <= 1e-9) | (t_cand > t_cell)
+            t_new = jnp.where(crossed, t_cell, t_cand)
             exited = t_new >= t1
+            collide = ~exited & ~crossed
             p = o + t_new[..., None] * d
             uvw = _object_uvw(scene, prop_b, p)
-            dens = grids_mod.sample_density_stochastic(scene.grids, grid_b, uvw, r3)
-            mu_t_x = dens[..., None] * mu_t
-            ratio = jnp.clip(1.0 - mu_t_x / mu_maj[..., None], 0.0, 1.0)
-            act = ~done & ~exited
+            dens = grids_mod.sample_density_stochastic(arena, grid_b, uvw, r3)
+            mu_res_x = jnp.maximum(dens - d_min, 0.0)[..., None] * mu_t
+            ratio = jnp.clip(1.0 - mu_res_x / jnp.maximum(mu_r, 1e-12)[..., None], 0.0, 1.0)
+            act = ~done & collide
             trv = jnp.where(act[..., None], trv * ratio, trv)
             t = jnp.where(~done, t_new, t)
             done = done | exited | (jnp.max(trv, axis=-1) < 1e-5)
@@ -284,5 +423,5 @@ def transmittance(scene: SceneData, o, d, tmax, vol_key):
             ~inside,
         )
         _, _, trv, _ = jax.lax.while_loop(cond, step, init)
-        tr = tr * jnp.where(inside[..., None], trv, 1.0)
+        tr = tr * jnp.where(inside[..., None], tr_control * trv, 1.0)
     return tr

@@ -140,6 +140,7 @@ class MaterialDesc:
     coating_thickness: float = 0.0
     coating_ior: float = 1.5
     coating_roughness: float = 0.2
+    priority: int = 0  # nested-dielectric priority (ref medium.zig)
 
 
 def _read_color(v) -> np.ndarray:
@@ -227,6 +228,9 @@ def parse_material(value: dict, builder: "SceneBuilder | None" = None, base_dir:
                 desc.two_sided = bool(v)
             elif key == "translucency":
                 desc.translucency = float(v)
+            elif key == "priority":
+                # nested-dielectric priority (ref material_provider.zig:189)
+                desc.priority = int(v)
             elif key == "coating" and isinstance(v, dict):
                 # ref substitute_coating.zig: thickness-attenuated clearcoat
                 desc.coating_thickness = float(v.get("thickness", 0.001))
@@ -325,6 +329,7 @@ def materials_to_table(descs: list[MaterialDesc]) -> Materials:
         coating_thickness=jnp.asarray([d.coating_thickness for d in descs], jnp.float32),
         coating_ior=jnp.asarray([d.coating_ior for d in descs], jnp.float32),
         coating_roughness=jnp.asarray([d.coating_roughness for d in descs], jnp.float32),
+        priority=jnp.asarray([d.priority for d in descs], jnp.int32),
     )
 
 
@@ -343,6 +348,101 @@ class PropDesc:
     visible_shadow: bool = True
     is_light: bool = False
     mesh_id: int = -1
+    # keyframed motion: [(time_seconds, Transformation), ...] or None
+    # (ref util/animation_loader.zig / scene/space.zig setFrames)
+    animation: "list | None" = None
+
+
+def _np_mat3_to_quat(m: np.ndarray) -> np.ndarray:
+    """Rotation matrix (rows = object axes) -> quaternion [x,y,z,w] (host)."""
+    t = np.trace(m)
+    if t > 0:
+        s = np.sqrt(t + 1.0) * 2
+        return np.array(
+            [(m[1, 2] - m[2, 1]) / s, (m[2, 0] - m[0, 2]) / s,
+             (m[0, 1] - m[1, 0]) / s, 0.25 * s], np.float64)
+    i = int(np.argmax(np.diag(m)))
+    j, k = (i + 1) % 3, (i + 2) % 3
+    s = np.sqrt(max(1.0 + m[i, i] - m[j, j] - m[k, k], 1e-12)) * 2
+    q = np.empty(4, np.float64)
+    q[i] = 0.25 * s
+    q[j] = (m[i, j] + m[j, i]) / s
+    q[k] = (m[i, k] + m[k, i]) / s
+    q[3] = (m[j, k] - m[k, j]) / s
+    return q
+
+
+def _np_quat_to_mat3(q: np.ndarray) -> np.ndarray:
+    x, y, z, w = q / np.linalg.norm(q)
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y + z * w), 2 * (x * z - y * w)],
+            [2 * (x * y - z * w), 1 - 2 * (x * x + z * z), 2 * (y * z + x * w)],
+            [2 * (x * z + y * w), 2 * (y * z - x * w), 1 - 2 * (x * x + y * y)],
+        ],
+        np.float64,
+    )
+
+
+def _np_slerp(qa: np.ndarray, qb: np.ndarray, t: float) -> np.ndarray:
+    d = float(np.dot(qa, qb))
+    if d < 0.0:
+        qb = -qb
+        d = -d
+    if d > 0.9995:
+        q = qa + t * (qb - qa)
+        return q / np.linalg.norm(q)
+    th = np.arccos(np.clip(d, -1, 1))
+    return (np.sin((1 - t) * th) * qa + np.sin(t * th) * qb) / np.sin(th)
+
+
+def eval_animation(anim: list, t: float) -> Transformation:
+    """Piecewise lerp/slerp a keyframe track at time t (seconds); clamped at
+    the ends (ref scene/space.zig transformationAtMaybeStatic slerp)."""
+    times = [k[0] for k in anim]
+    if t <= times[0]:
+        return anim[0][1]
+    if t >= times[-1]:
+        return anim[-1][1]
+    i = 0
+    while i + 1 < len(times) and times[i + 1] <= t:
+        i += 1
+    span = max(times[i + 1] - times[i], 1e-12)
+    f = (t - times[i]) / span
+    a, b = anim[i][1], anim[i + 1][1]
+    q = _np_slerp(_np_mat3_to_quat(np.asarray(a.rotation, np.float64)),
+                  _np_mat3_to_quat(np.asarray(b.rotation, np.float64)), f)
+    return Transformation(
+        position=((1 - f) * a.position + f * b.position).astype(np.float32),
+        rotation=_np_quat_to_mat3(q).astype(np.float32),
+        scale=((1 - f) * a.scale + f * b.scale).astype(np.float32),
+    )
+
+
+def parse_animation(value, parent: Transformation, default: Transformation):
+    """Entity "animation" node -> [(time, Transformation)] (ref
+    util/animation_loader.zig: keyframes with time/transformation, or
+    transformations+times, stepped by frames_per_second)."""
+    if not isinstance(value, dict):
+        return None
+    fps = float(value.get("frames_per_second", 0.0))
+    step = (1.0 / fps) if fps > 0.0 else (1.0 / 60.0)
+    frames = []
+    if "keyframes" in value:
+        t = 0.0
+        for kf in value["keyframes"]:
+            kt = float(kf.get("time", t))
+            trafo = parent.compose(read_transformation(kf.get("transformation"), base=default))
+            frames.append((kt, trafo))
+            t = kt + step
+    elif "transformations" in value:
+        times = value.get("times", [])
+        t = 0.0
+        for i, tr in enumerate(value["transformations"]):
+            kt = float(times[i]) if i < len(times) else t
+            frames.append((kt, parent.compose(read_transformation(tr, base=default))))
+            t = kt + step
+    return frames or None
 
 
 def load_image(path: str):
@@ -487,8 +587,9 @@ class SceneBuilder:
         e2 = w[idx[:, 2]] - w[idx[:, 0]]
         return float(0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1).sum())
 
-    def _mesh_light_cdf(self, p: PropDesc, mesh_tri_base: dict[int, int]):
-        """Per-triangle world-area CDF; triangle ids are ARENA-global."""
+    def _mesh_light_cdf(self, p: PropDesc, mesh_host_info: list[dict]):
+        """Per-triangle world-area CDF; triangle ids are ARENA-global
+        (padded layout — taken from build_arena's host info)."""
         mesh = self.meshes[p.mesh_id]
         pos = np.asarray(mesh.positions, np.float32)
         idx = np.asarray(mesh.indices, np.int32)
@@ -496,21 +597,50 @@ class SceneBuilder:
         e1 = w[idx[:, 1]] - w[idx[:, 0]]
         e2 = w[idx[:, 2]] - w[idx[:, 0]]
         areas = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
-        # arena order permutes triangles (BVH leaf order): build in that order
-        from .bvh import build_bvh  # noqa: F401 (order comes from arena build)
-
-        order = self._mesh_orders[p.mesh_id]
-        areas = areas[order]
+        info = mesh_host_info[p.mesh_id]
+        areas = areas[info["order"]]  # BVH leaf order
         total = max(float(areas.sum()), 1e-20)
         cdf = np.cumsum(areas / total).astype(np.float32)
         cdf[-1] = 1.0
-        tri_ids = (np.arange(len(order), dtype=np.int32) + mesh_tri_base[p.mesh_id])
-        return cdf, tri_ids, total
+        return cdf, info["arena_ids"], total
 
-    def build(self) -> SceneData:
+    def build(self, time0: float = 0.0, time1: float | None = None) -> SceneData:
+        """Compile to device arrays. [time0, time1] is the frame's shutter
+        interval (seconds); animated props are resolved to start/end
+        transforms and interpolated per lane at trace time
+        (ref scene/space.zig setFrames + transformationAtMaybeStatic)."""
         props = self.props or [
             PropDesc(int(ShapeType.SPHERE), Transformation(scale=np.zeros(3, np.float32)), 0)
         ]
+        if time1 is None:
+            time1 = time0
+        animated_props: dict[int, int] = {}
+        end_trafo: dict[int, Transformation] = {}
+        for i, p in enumerate(props):
+            if not p.animation:
+                continue
+            t_start = eval_animation(p.animation, time0)
+            t_end = eval_animation(p.animation, time1)
+            p.trafo = t_start
+            moving = time1 > time0 and not (
+                np.allclose(t_start.position, t_end.position)
+                and np.allclose(t_start.rotation, t_end.rotation)
+                and np.allclose(t_start.scale, t_end.scale)
+            )
+            if not moving:
+                continue
+            if p.mesh_id >= 0 or p.is_light:
+                from ..utils.log import warning
+
+                warning(
+                    "motion blur on mesh/light props is not supported yet; "
+                    f"prop {i} rendered at shutter start"
+                )
+                continue
+            # key = (prop, shape): dict KEYS ride the pytree treedef, so jit
+            # specializes statically (values would be traced leaves)
+            animated_props[(i, p.shape)] = True
+            end_trafo[i] = t_end
         light_props = [i for i, p in enumerate(props) if p.is_light and self._light_weight(p) > 0.0]
         weights = np.array([self._light_weight(props[i]) for i in light_props], np.float32)
         if len(light_props) == 0:
@@ -524,22 +654,10 @@ class SceneBuilder:
         for li, pi in enumerate(light_props):
             prop_light[pi] = li
 
-        meshes = build_arena(self.meshes) if self.meshes else None
-        # per-mesh: triangle permutation (BVH leaf order) + arena base offsets
-        self._mesh_orders = {}
-        mesh_tri_base = {}
         if self.meshes:
-            base = 0
-            from .bvh import build_bvh
-
-            for mi, m in enumerate(self.meshes):
-                pos = np.asarray(m.positions, np.float32)
-                idx = np.asarray(m.indices, np.int32)
-                v0, v1, v2 = pos[idx[:, 0]], pos[idx[:, 1]], pos[idx[:, 2]]
-                bvh = build_bvh(np.minimum(np.minimum(v0, v1), v2), np.maximum(np.maximum(v0, v1), v2))
-                self._mesh_orders[mi] = bvh.prim_order
-                mesh_tri_base[mi] = base
-                base += len(idx)
+            meshes, mesh_host_info = build_arena(self.meshes, return_host_info=True)
+        else:
+            meshes, mesh_host_info = None, []
         mesh_props = [i for i, p in enumerate(props) if p.mesh_id >= 0]
         texture_arena = self.textures.build()
 
@@ -641,11 +759,30 @@ class SceneBuilder:
 
             env_sampler = build_env_sampler(env_entries)
 
+        animated_ids = {i for i, _ in animated_props}
         groups: dict[int, list[int]] = {}
         for i, p in enumerate(props):
-            if p.mesh_id < 0:
+            if p.mesh_id < 0 and i not in animated_ids:
                 groups.setdefault(p.shape, []).append(i)
         prop_groups = {k: jnp.asarray(v, jnp.int32) for k, v in sorted(groups.items())}
+
+        # motion arrays (only when something moves)
+        pos_end = scale_end = quat0 = quat1 = None
+        if animated_props:
+            q0 = np.stack([_np_mat3_to_quat(np.asarray(p.trafo.rotation, np.float64)) for p in props])
+            q1 = q0.copy()
+            pe = np.stack([p.trafo.position for p in props]).astype(np.float32)
+            se = np.stack([p.trafo.scale for p in props]).astype(np.float32)
+            for i, te in end_trafo.items():
+                pe[i] = te.position
+                se[i] = te.scale
+                q1[i] = _np_mat3_to_quat(np.asarray(te.rotation, np.float64))
+                if np.dot(q0[i], q1[i]) < 0.0:  # shortest-arc slerp on device
+                    q1[i] = -q1[i]
+            pos_end = jnp.asarray(pe)
+            scale_end = jnp.asarray(se)
+            quat0 = jnp.asarray(q0.astype(np.float32))
+            quat1 = jnp.asarray(q1.astype(np.float32))
         light_shapes = {int(props[i].shape): True for i in light_props}
 
         # emissive-mesh triangle CDF arena
@@ -656,7 +793,7 @@ class SceneBuilder:
         for li, pi in enumerate(light_props):
             p = props[pi]
             if p.mesh_id >= 0 and weights[li] > 0.0:
-                mcdf, tids, total = self._mesh_light_cdf(p, mesh_tri_base)
+                mcdf, tids, total = self._mesh_light_cdf(p, mesh_host_info)
                 light_area.append(total)
                 tri_off.append(off)
                 tri_cnt.append(len(tids))
@@ -710,6 +847,11 @@ class SceneBuilder:
             light_tree=light_tree,
             mat_features=mat_features,
             env=env_sampler,
+            animated_props=animated_props or None,
+            prop_pos_end=pos_end,
+            prop_scale_end=scale_end,
+            prop_quat0=quat0,
+            prop_quat1=quat1,
         )
 
     def _light_bounds(self, p: PropDesc):
@@ -740,14 +882,20 @@ class SceneBuilder:
         return pos, 0.0, full, False
 
 
-def load_scene_dict(root: dict, builder: SceneBuilder | None = None, base_dir: str = "") -> SceneData:
+def load_scene_dict(
+    root: dict,
+    builder: SceneBuilder | None = None,
+    base_dir: str = "",
+    time0: float = 0.0,
+    time1: float | None = None,
+) -> SceneData:
     builder = builder or SceneBuilder()
     local_materials: dict[str, dict] = {}
     for m in root.get("materials", []):
         if "name" in m:
             local_materials[m["name"]] = m
     _load_entities(root.get("entities", []), Transformation(), local_materials, builder, base_dir)
-    return builder.build()
+    return builder.build(time0, time1)
 
 
 def _load_entities(entities, parent: Transformation, local_materials, builder: SceneBuilder, base_dir: str):
@@ -763,7 +911,9 @@ def _load_entities(entities, parent: Transformation, local_materials, builder: S
             _load_entities(sub.get("entities", []), parent, local_materials, builder, os.path.dirname(path))
             continue
         etype = e.get("type")
-        trafo = parent.compose(read_transformation(e.get("transformation")))
+        local = read_transformation(e.get("transformation"))
+        trafo = parent.compose(local)
+        anim = parse_animation(e.get("animation"), parent, local)
         if etype == "Sky":
             _load_sky(e, builder)
         elif etype == "Instancer":
@@ -818,6 +968,7 @@ def _load_entities(entities, parent: Transformation, local_materials, builder: S
                         visible_shadow=occluding and bool(vis.get("in_shadow", True)),
                         is_light=is_light,
                         mesh_id=mesh_id,
+                        animation=anim,
                     )
                 )
         # children inherit this entity's transform
@@ -938,10 +1089,12 @@ def _load_sky(e: dict, builder: SceneBuilder) -> None:
     )
 
 
-def load_scene_file(path: str) -> SceneData:
+def load_scene_file(path: str, time0: float = 0.0, time1: float | None = None) -> SceneData:
     from ..io import fs
 
     with fs.open_stream(path) as f:
         root = json.loads(f.read().decode())
     resolved = fs.resolve(path) or path
-    return load_scene_dict(root, base_dir=os.path.dirname(resolved))
+    return load_scene_dict(
+        root, base_dir=os.path.dirname(resolved), time0=time0, time1=time1
+    )

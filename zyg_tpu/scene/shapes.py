@@ -194,7 +194,19 @@ def _intersect_one_prop(o, d, tmin, tmax, shape_type, rot, pos, scale):
 _GROUP_CHUNK = 32  # props per batched pass (bounds the [N, G] transients)
 
 
-def intersect_scene(scene: SceneData, o, d, tmin, tmax, ray_class: str = "reflection", primary=None) -> Hit:
+def prop_transform_at(scene: SceneData, k: int, time):
+    """Per-lane transform of animated prop k at lane times in [0,1]
+    (lerp position/scale, slerp rotation between the shutter endpoints;
+    ref scene/space.zig transformationAtMaybeStatic)."""
+    t = time[..., None]
+    q = vm.quat_slerp(scene.prop_quat0[k], scene.prop_quat1[k], t)
+    rot = vm.quat_to_mat3(q)
+    pos = vm.lerp(scene.prop_pos[k], scene.prop_pos_end[k], t)
+    scale = vm.lerp(scene.prop_scale[k], scene.prop_scale_end[k], t)
+    return rot, pos, scale
+
+
+def intersect_scene(scene: SceneData, o, d, tmin, tmax, ray_class: str = "reflection", primary=None, time=None) -> Hit:
     """Closest-hit over all props.
 
     Props are batched by shape type (static groups built at compile): one
@@ -245,6 +257,22 @@ def intersect_scene(scene: SceneData, o, d, tmin, tmax, ray_class: str = "reflec
             u_b = jnp.where(closer, take(u), u_b)
             v_b = jnp.where(closer, take(v), v_b)
 
+    # animated props: one per-prop pass with per-lane shutter transforms
+    # (static scenes have an empty dict — compiles to nothing)
+    if scene.animated_props:
+        tl = jnp.zeros(n_shape, jnp.float32) if time is None else time
+        for pk, st in scene.animated_props.keys():
+            rot, pos, scale = prop_transform_at(scene, pk, tl)
+            t, u, v, hit = _INTERSECTORS[int(st)](o, d, rot, pos, scale, tmin, tmax)
+            lane_vis = vis[pk]
+            if primary is not None:
+                lane_vis = jnp.where(primary, scene.prop_visible_camera[pk], lane_vis)
+            closer = hit & lane_vis & (t < t_b)
+            t_b = jnp.where(closer, t, t_b)
+            p_b = jnp.where(closer, pk, p_b)
+            u_b = jnp.where(closer, u, u_b)
+            v_b = jnp.where(closer, v, v_b)
+
     prim = jnp.full(n_shape, -1, jnp.int32)
     if scene.meshes is not None:
         t_b, p_b, u_b, v_b, prim = _intersect_meshes(
@@ -286,11 +314,18 @@ def _intersect_meshes(scene: SceneData, o, d, tmin, tmax, vis, primary, t_b, p_b
     return t_b, p_b, u_b, v_b, prim_b
 
 
-def occluded(scene: SceneData, o, d, tmin, tmax) -> jax.Array:
+def occluded(scene: SceneData, o, d, tmin, tmax, time=None) -> jax.Array:
     """Any-hit visibility query for shadow rays. True = blocked."""
     blocked = jnp.zeros(o.shape[:-1], bool)
     o_e = o[None]
     d_e = d[None]
+
+    if scene.animated_props:
+        tl = jnp.zeros(o.shape[:-1], jnp.float32) if time is None else time
+        for pk, st in scene.animated_props.keys():
+            rot, pos, scale = prop_transform_at(scene, pk, tl)
+            _, _, _, hit = _INTERSECTORS[int(st)](o, d, rot, pos, scale, tmin, tmax)
+            blocked = blocked | (hit & scene.prop_visible_shadow[pk])
 
     groups = scene.prop_groups or {}
     for st, all_idx in groups.items():
@@ -328,7 +363,7 @@ def occluded(scene: SceneData, o, d, tmin, tmax) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def build_fragment(scene: SceneData, hit: Hit, o, d, need_uv: bool | None = None, need_tangents: bool = False) -> Fragment:
+def build_fragment(scene: SceneData, hit: Hit, o, d, need_uv: bool | None = None, need_tangents: bool = False, time=None) -> Fragment:
     """Shading fragment for the closest hit.
 
     Only shape types PRESENT in the scene (static prop_groups keys) are
@@ -348,6 +383,15 @@ def build_fragment(scene: SceneData, hit: Hit, o, d, need_uv: bool | None = None
     pos = small_gather(scene.prop_pos, prop)
     scale = small_gather(scene.prop_scale, prop)
     material = small_gather(scene.prop_material, prop)
+    if scene.animated_props:
+        # shading frames of animated props use the lane-time transform
+        tl = jnp.zeros(hit.t.shape, jnp.float32) if time is None else time
+        for pk, _st in scene.animated_props.keys():
+            rk, pk_pos, pk_scale = prop_transform_at(scene, pk, tl)
+            m1 = (prop == pk)[..., None]
+            rot = jnp.where(m1[..., None], rk, rot)
+            pos = jnp.where(m1, pk_pos, pos)
+            scale = jnp.where(m1, pk_scale, scale)
 
     p = o + hit.t[..., None] * d
     r0, r1, r2 = rot[..., 0, :], rot[..., 1, :], rot[..., 2, :]

@@ -77,6 +77,9 @@ class Materials(NamedTuple):
     coating_thickness: jax.Array = None  # float32[M] clearcoat layer (0 = off)
     coating_ior: jax.Array = None  # float32[M]
     coating_roughness: jax.Array = None  # float32[M]
+    # nested-dielectric priority (ref prop/medium.zig Medium.priority i8):
+    # at an interface, the higher-priority medium wins; ties -> newest entry
+    priority: jax.Array = None  # int32[M]
 
     @property
     def count(self) -> int:
@@ -144,6 +147,15 @@ class SceneData(NamedTuple):
     # env-map importance sampler for dome/canopy lights with emission maps
     # (ref shape_sampler.zig ImageImpl); None = uniform direction sampling
     env: "object" = None  # env_sampling.EnvSampler | None
+    # motion blur (ref scene/space.zig keyframed transforms): shutter-end
+    # transforms for animated props; per-lane time slerps between the two.
+    # STATIC dict {prop_index: shape_type} — scenes without motion compile
+    # all of this away. None fields when no prop moves.
+    animated_props: dict = None
+    prop_pos_end: jax.Array = None  # float32[P,3]
+    prop_scale_end: jax.Array = None  # float32[P,3]
+    prop_quat0: jax.Array = None  # float32[P,4] shutter-start rotations
+    prop_quat1: jax.Array = None  # float32[P,4] shutter-end rotations
 
     @property
     def num_props(self) -> int:
@@ -183,6 +195,7 @@ def default_materials(n: int = 1) -> Materials:
         coating_thickness=jnp.zeros((n,), jnp.float32),
         coating_ior=jnp.full((n,), 1.5, jnp.float32),
         coating_roughness=jnp.full((n,), 0.2, jnp.float32),
+        priority=jnp.zeros((n,), jnp.int32),
     )
 
 
