@@ -20,3 +20,14 @@ Package layout:
 """
 
 __version__ = "0.1.0"
+
+# Geometry correctness: XLA:TPU lowers matmul/einsum (including the tiny
+# batched 3x3 transform products in core/vecmath.py) to the MXU at BF16
+# input precision by default. An object-space ray origin computed at bf16
+# loses ~1e-3 relative accuracy — enough to defeat the watertight ray
+# offset and cover mesh surfaces in self-intersection acne (observed on
+# v5e; CPU was exact). Renderer FLOPs live on the VPU, so forcing full
+# f32 matmul precision costs nothing measurable here.
+import jax as _jax
+
+_jax.config.update("jax_default_matmul_precision", "highest")

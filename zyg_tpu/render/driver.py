@@ -49,6 +49,7 @@ def _render_samples(
     photon_map=None,
     photons_not_only: bool = False,
     photon_max_per_cell: int = 64,
+    light_split_depth: int = 0,
 ):
     """Accumulate `num_samples` consecutive samples into fb (one jit)."""
 
@@ -69,6 +70,9 @@ def _render_samples(
                 caustics=integrator.caustics,
                 nee_only=integrator.kind == "PTDL",
                 photons_not_only_through_specular=photons_not_only,
+                light_split_depth=light_split_depth,
+                light_split_threshold=integrator.light_split_threshold,
+                regularize_roughness=integrator.regularize_roughness,
             ),
             clamp_max,
             photon_map=photon_map,
@@ -118,6 +122,9 @@ def _render_samples(
                     caustics=integrator.caustics,
                     nee_only=integrator.kind == "PTDL",
                     photons_not_only_through_specular=photons_not_only,
+                    light_split_depth=light_split_depth,
+                    light_split_threshold=integrator.light_split_threshold,
+                    regularize_roughness=integrator.regularize_roughness,
                 ),
                 photon_map=photon_map,
                 photon_max_per_cell=photon_max_per_cell,
@@ -169,6 +176,20 @@ class Driver:
         self._clamp_max = (clamp.emission, clamp.direct, clamp.indirect)
         self._render_cache: dict[int, callable] = {}
         self.progress = Progressor(quiet=True)
+        # NEE splitting (ref take.zig light_sampling split_threshold): every
+        # lane pays the full static pick width, so enable only where the
+        # variance win is real — many-light scenes with a tree. 2^2 finite
+        # picks + 1 infinite bounds the cost at ~4x NEE for ~NxN light counts.
+        lt = self.scene.light_tree
+        self._light_split_depth = (
+            2
+            if (
+                lt is not None
+                and lt.num_finite >= 16
+                and self.take.integrator.light_split_threshold > 0.0
+            )
+            else 0
+        )
         # chunking: the persistent-wavefront path (PTMIS/PTDL, box filter)
         # streams samples through resident lanes, so its footprint does not
         # grow with spp — run all samples in one dispatch. The scan path
@@ -208,6 +229,7 @@ class Driver:
                     resolution=self.camera.resolution,
                     photons_not_only=self.take.photon.not_only_through_specular,
                     photon_max_per_cell=getattr(self, "_photon_max_per_cell", 64),
+                    light_split_depth=self._light_split_depth,
                 )
             )
             self._render_cache[num_samples] = fn
@@ -273,11 +295,9 @@ class Driver:
         n_pixels = self._pixel_ids.shape[0]
         # filtered splats write across tile borders — only tile box-filter runs
         can_tile = self._heavy_loops and self.take.sensor.filter_radius == 0
-        tile_n = (
-            16384
-            if (self.scene.meshes is not None or self._photon_map is not None)
-            else 65536
-        )
+        # packed node/leaf rows cut the traversal to 2 gathers/step (~9x),
+        # so mesh tiles can be 4x larger at the same dispatch wall-time
+        tile_n = 65536
         tile = min(n_pixels, tile_n) if can_tile else n_pixels
         self.progress.start(num * ((n_pixels + tile - 1) // tile))
         done = 0
