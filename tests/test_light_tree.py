@@ -104,3 +104,135 @@ class TestLightTree:
         np.testing.assert_allclose(
             np.asarray(lsm.light_select_pdf(scene, idx)), np.asarray(pdf)
         )
+
+
+def grid_light_scene(nx=6, ny=6, with_dome=False, spread=4.0):
+    """nx*ny rect lights on a plane with power growing across the grid."""
+    mats, ents = [], []
+    for i in range(nx * ny):
+        mats.append(
+            {"name": f"g{i}", "rendering": {"Light": {"emittance": {"value": 1.0 + 0.5 * i}}}}
+        )
+        x = spread * ((i % nx) / max(nx - 1, 1) - 0.5)
+        z = spread * ((i // nx) / max(ny - 1, 1) - 0.5)
+        ents.append(
+            {
+                "type": "Light",
+                "shape": {"type": "Rectangle"},
+                "materials": [f"g{i}"],
+                "transformation": {
+                    "position": [x, 2.0, z],
+                    "rotation": [-90, 0, 0],
+                    "scale": [0.15, 0.15, 1.0],
+                },
+            }
+        )
+    if with_dome:
+        mats.append({"name": "sky", "rendering": {"Light": {"emittance": {"value": 0.3}}}})
+        ents.append({"type": "Light", "shape": {"type": "Dome"}, "materials": ["sky"]})
+    mats.append({"name": "floor", "rendering": {"Substitute": {"color": [0.5, 0.5, 0.5]}}})
+    ents.append(
+        {
+            "type": "Prop",
+            "shape": {"type": "Rectangle"},
+            "materials": ["floor"],
+            "transformation": {"rotation": [90, 0, 0], "scale": [10, 10, 1]},
+        }
+    )
+    return load_scene_dict({"materials": mats, "entities": ents})
+
+
+class TestLightTreeSplitting:
+    """Adaptive NEE splitting (ref light_tree.zig randomLight with
+    split_threshold > 0): static 2^S finite picks + 1 infinite pick."""
+
+    THR = 0.5**4  # take.zig DefaultSplitThreshold after the st^4 remap
+
+    def test_split_estimator_unbiased(self):
+        """For EVERY light, E[sum_k 1{pick_k == li} / pdf_k] == 1 — the
+        split estimator covers each light with weight one in expectation."""
+        scene = grid_light_scene(4, 4, with_dome=True)
+        tree = scene.light_tree
+        n = 100_000
+        rng = np.random.default_rng(3)
+        u = jnp.asarray(rng.uniform(0, 1, n), jnp.float32)
+        p = jnp.tile(jnp.asarray([[0.3, 0.0, 0.1]], jnp.float32), (n, 1))
+        nrm = jnp.tile(jnp.asarray([[0.0, 1.0, 0.0]], jnp.float32), (n, 1))
+        thr = jnp.full((n,), self.THR, jnp.float32)
+        picks, pdfs = lsm.select_lights_split(scene, u, p, nrm, False, thr, 2)
+        picks = np.asarray(picks)
+        pdfs = np.asarray(pdfs)
+        assert picks.shape == (n, 5)  # 4 finite + 1 infinite
+        for li in range(scene.lights.count):
+            mask = picks == li
+            est = np.where(mask, 1.0 / np.maximum(pdfs, 1e-20), 0.0).sum(axis=1)
+            mean = est.mean()
+            assert abs(mean - 1.0) < 0.05, f"light {li}: coverage {mean}"
+
+    def test_split_pdf_matches_recorded(self):
+        """pdf_split must reproduce the pdf recorded by select_split for
+        whichever pick chose that light (the MIS contract)."""
+        scene = grid_light_scene(4, 4, with_dome=True)
+        n = 4_000
+        rng = np.random.default_rng(11)
+        u = jnp.asarray(rng.uniform(0, 1, n), jnp.float32)
+        p = jnp.tile(jnp.asarray([[-0.4, 0.0, 0.6]], jnp.float32), (n, 1))
+        nrm = jnp.tile(jnp.asarray([[0.0, 1.0, 0.0]], jnp.float32), (n, 1))
+        thr = jnp.full((n,), self.THR, jnp.float32)
+        picks, pdfs = lsm.select_lights_split(scene, u, p, nrm, False, thr, 2)
+        picks_np = np.asarray(picks)
+        pdfs_np = np.asarray(pdfs)
+        for li in range(scene.lights.count):
+            ana = np.asarray(
+                lsm.light_select_pdf(
+                    scene,
+                    jnp.full((n,), li, jnp.int32),
+                    p=p, n=nrm, total_sphere=False,
+                    split_threshold=thr, split_depth=2,
+                )
+            )
+            mask = picks_np == li
+            rows = mask.any(axis=1)
+            if not rows.any():
+                continue
+            got = pdfs_np[mask]
+            want = np.repeat(ana, mask.sum(axis=1))
+            np.testing.assert_allclose(got, want, rtol=2e-3)
+
+    def test_tree_beats_power_cdf_variance(self):
+        """VERDICT item 6 'done' criterion: on a 36-light grid the spatial
+        tree's single-sample direct-light estimator has lower variance than
+        the global power CDF at equal sample count."""
+        spread = 16.0
+        scene = grid_light_scene(6, 6, spread=spread)
+        n = 60_000
+        rng = np.random.default_rng(17)
+        u = jnp.asarray(rng.uniform(0, 1, n), jnp.float32)
+        # shading point directly under the weakest corner of the grid:
+        # power-proportional selection almost never picks the near light
+        p = jnp.tile(jnp.asarray([[-spread / 2, 0.0, -spread / 2]], jnp.float32), (n, 1))
+        nrm = jnp.tile(jnp.asarray([[0.0, 1.0, 0.0]], jnp.float32), (n, 1))
+
+        centers = np.asarray(
+            [[spread * ((i % 6) / 5 - 0.5), 2.0, spread * ((i // 6) / 5 - 0.5)]
+             for i in range(36)],
+            np.float32,
+        )
+        powers = np.asarray([1.0 + 0.5 * i for i in range(36)], np.float32)
+
+        def estimator(idx, pdf):
+            idx = np.asarray(idx)
+            pdf = np.asarray(pdf)
+            d2 = ((centers[idx] - np.asarray(p[0])[None, :]) ** 2).sum(axis=1)
+            f = powers[idx] / d2  # unshadowed point-light proxy integrand
+            return f / np.maximum(pdf, 1e-20)
+
+        idx_t, pdf_t = lsm.select_light(scene, u, p=p, n=nrm, total_sphere=False)
+        est_t = estimator(idx_t, pdf_t)
+        idx_c, pdf_c = lsm.select_light(scene, u)  # power CDF
+        est_c = estimator(idx_c, pdf_c)
+        # equal means (both unbiased), tree variance strictly better
+        assert abs(est_t.mean() - est_c.mean()) / est_c.mean() < 0.05
+        assert est_t.var() < 0.5 * est_c.var(), (
+            f"tree var {est_t.var():.4f} vs cdf var {est_c.var():.4f}"
+        )

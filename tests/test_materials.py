@@ -300,3 +300,56 @@ class TestSubstituteExtras:
         np.testing.assert_allclose(
             np.asarray(pdf)[v], np.asarray(bs.pdf)[v], rtol=1e-4, atol=1e-7
         )
+
+
+class TestPathRegularization:
+    """ref renderstate.zig regularizeAlpha + take.zig regularize_roughness."""
+
+    def test_regularize_alpha_formula(self):
+        import jax.numpy as jnp
+        from zyg_tpu.render import materials as mat
+
+        a = jnp.asarray([0.04, 0.25, mat.MIN_ALPHA], jnp.float32)
+        params = {"alpha": a, "coat_alpha": a}
+        # no previous roughness -> unchanged
+        out = mat.regularize_alpha(params, jnp.zeros(3), 0.5, caustics=False)
+        np.testing.assert_allclose(np.asarray(out["alpha"]), np.asarray(a), rtol=1e-5)
+        # fully rough previous bounce, weight 0.5: a' = 1 - (1-a)*0.5,
+        # but the near-specular lobe is exempt without caustics
+        out = mat.regularize_alpha(params, jnp.ones(3), 0.5, caustics=False)
+        want = 1.0 - (1.0 - np.asarray(a)) * 0.5
+        np.testing.assert_allclose(np.asarray(out["alpha"])[:2], want[:2], rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(out["alpha"])[2], float(mat.MIN_ALPHA))
+        # with caustics enabled the specular lobe regularizes too
+        out = mat.regularize_alpha(params, jnp.ones(3), 0.5, caustics=True)
+        np.testing.assert_allclose(np.asarray(out["alpha"]), want, rtol=1e-6)
+
+    def test_sample_reports_lobe_reg_alpha(self):
+        """Diffuse lobes report 1, glossy report their alpha (ref bxdf.zig
+        Path.reg_alpha)."""
+        import jax.numpy as jnp
+        from zyg_tpu.render import materials as mat
+        from zyg_tpu.scene.loader import load_scene_dict
+
+        scene = load_scene_dict(
+            {
+                "materials": [
+                    {"name": "m", "rendering": {"Substitute": {
+                        "color": [0.7, 0.7, 0.7], "roughness": 0.5, "metallic": 1.0}}},
+                ],
+                "entities": [
+                    {"type": "Prop", "shape": {"type": "Sphere"}, "materials": ["m"]},
+                ],
+            }
+        )
+        n = 512
+        rng = np.random.default_rng(2)
+        nrm = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32), (n, 1))
+        wo = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32), (n, 1))
+        s3 = jnp.asarray(rng.random((n, 3)), jnp.float32)
+        params = mat.gather(
+            scene.materials, jnp.ones((n,), jnp.int32), features=scene.mat_features
+        )
+        bs = mat.sample_bsdf(params, wo, nrm, nrm, s3)
+        # fully metallic: every sample is the glossy lobe -> alpha = 0.25
+        np.testing.assert_allclose(np.asarray(bs.reg_alpha), 0.25, rtol=1e-5)

@@ -29,7 +29,7 @@ def test_entry_compiles_and_runs():
     from __graft_entry__ import entry
 
     fn, args = entry()
-    fb, _ = jax.jit(fn)(*args)
+    fb, _, _ = jax.jit(fn)(*args)
     img = np.asarray(fb.resolve())
     assert np.isfinite(img).all() and img.max() > 0.0
 
@@ -55,7 +55,7 @@ def test_sample_sharding_psum_matches_sequential():
     )
 
     def render_one(scene, cam, fb, xy, ids, first_it):
-        new_fb, _ = render_impl(scene, cam, fb, xy, ids, first_it)
+        new_fb, _, _ = render_impl(scene, cam, fb, xy, ids, first_it)
         return jax.tree.map(lambda a, b: a - b, new_fb, fb)  # delta only
 
     args = (scene, driver.camera.arrays(), driver._fb, driver._pixel_xy, driver._pixel_ids)

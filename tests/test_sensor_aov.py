@@ -107,3 +107,76 @@ class TestExport:
         back = read_exr(p)
         assert set(back.keys()) == {"R", "G", "B"}
         assert back["R"].shape == (16, 16)
+
+
+class TestSensorAovs:
+    """Sensor AOV layers + Transparent buffer (ref sensor/aov/*,
+    buffer_transparent.zig), captured by the persistent wavefront."""
+
+    def _driver(self, aovs=(), alpha=False):
+        take, scene = cornell_driver(res=24, spp=4)
+        take.integrator.kind = "PTMIS"
+        take.aovs = tuple(aovs)
+        take.sensor.alpha_transparency = alpha
+        return Driver(take=take, scene=scene)
+
+    def test_aov_buffers_collected(self):
+        d = self._driver(aovs=("albedo", "depth", "shading_normal", "material_id"))
+        d.render_frame()
+        alb = d.resolve_aov("albedo")
+        dep = d.resolve_aov("depth")
+        nrm = d.resolve_aov("shading_normal")
+        mid = d.resolve_aov("material_id")
+        # cornell: every pixel covered; albedo in (0,1), depth finite,
+        # unit normals, material ids >= 0
+        assert alb.shape == (24, 24, 3)
+        assert (alb > 0.0).any() and (alb <= 1.0).all()
+        assert (dep < 100.0).all()
+        ln = np.linalg.norm(nrm.reshape(-1, 3), axis=-1)
+        np.testing.assert_allclose(ln, 1.0, atol=1e-3)
+        assert (mid >= 0).all()
+
+    def test_alpha_transparency_coverage(self):
+        """An open scene: covered pixels alpha 1, background alpha 0."""
+        from zyg_tpu.scene.loader import load_scene_dict
+        from zyg_tpu.io.take import load_take_file
+
+        take = load_take_file(os.path.join(EXAMPLES, "takes", "cornell.take"))
+        take.cameras[0].resolution = (24, 24)
+        take.num_samples_per_pixel = 4
+        take.integrator.kind = "PTMIS"  # alpha rides the persistent path
+        take.sensor.alpha_transparency = True
+        scene = load_scene_dict(
+            {
+                "materials": [
+                    {"name": "w", "rendering": {"Substitute": {"color": [0.7, 0.7, 0.7]}}},
+                    {"name": "l", "rendering": {"Light": {"emittance": {"value": 5.0}}}},
+                ],
+                "entities": [
+                    {"type": "Prop", "shape": {"type": "Sphere"}, "materials": ["w"],
+                     "transformation": {"position": [0, 0, 2.0]}},
+                    {"type": "Light", "shape": {"type": "Rectangle"}, "materials": ["l"],
+                     "transformation": {"position": [0, 2, 2], "rotation": [-90, 0, 0]}},
+                ],
+            }
+        )
+        d = Driver(take=take, scene=scene)
+        d.render_frame()
+        alpha = d.resolve_alpha()
+        assert alpha is not None
+        # sphere of radius 0.5 at z=2: center pixels covered, corners not
+        assert alpha[12, 12] > 0.9
+        assert alpha[0, 0] < 0.1
+        assert alpha[-1, -1] < 0.1
+
+    def test_aov_export_companions(self, tmp_path):
+        d = self._driver(aovs=("albedo", "depth"))
+        d.render_frame()
+        out = str(tmp_path / "img.png")
+        d.export_frame(out)
+        assert os.path.exists(str(tmp_path / "img_albedo.exr"))
+        assert os.path.exists(str(tmp_path / "img_depth.exr"))
+        from zyg_tpu.io.exr import read_exr
+
+        ch = read_exr(str(tmp_path / "img_albedo.exr"))
+        assert "R" in ch or "Y" in ch

@@ -36,6 +36,12 @@ from ..scene.types import ShapeType
 # >= MESH_BASE are triangle meshes created via su_triangle_mesh_create
 MESH_BASE = 7
 
+# prop handle returned by su_perspective_camera_create: the reference's
+# camera IS a prop (capi.zig:143 returns its entity id), so transforms
+# arrive through su_prop_set_transformation — route this reserved handle
+# to the view camera
+CAMERA_PROP = 0x00FFFFFF
+
 _engine = None
 
 
@@ -58,6 +64,14 @@ def _as_array(ptr, count, dtype):
     except Exception:
         pass
     return np.frombuffer(ptr, dtype=dtype, count=count)
+
+
+def _out_array(buffer, dtype, count):
+    """Writable destination view: ndarrays pass through, raw memoryviews
+    (the libzyg.so shim) reinterpret as `dtype`."""
+    if isinstance(buffer, np.ndarray):
+        return buffer
+    return np.frombuffer(buffer, dtype=dtype, count=count)
 
 
 @dataclass
@@ -112,7 +126,7 @@ def su_perspective_camera_create(width: int, height: int) -> int:
         return -1
     _engine.camera = PerspectiveCamera(resolution=(int(width), int(height)))
     _engine.dirty = True
-    return 0
+    return CAMERA_PROP
 
 
 def su_camera_set_fov(fov: float) -> int:
@@ -128,6 +142,16 @@ def su_camera_sensor_dimensions(dimensions) -> int:
         return -1
     w, h = _engine.camera.resolution
     dimensions[0], dimensions[1] = int(w), int(h)
+    return 0
+
+
+def su_camera_sensor_dimensions_raw(buffer) -> int:
+    """libzyg.so entry: writes int32[2] through a raw memoryview."""
+    if _engine is None:
+        return -1
+    out = _out_array(buffer, np.int32, 2)
+    w, h = _engine.camera.resolution
+    out[0], out[1] = int(w), int(h)
     return 0
 
 
@@ -148,10 +172,27 @@ def su_exporters_create(string) -> int:
     return 0
 
 
+# reference aov_value.zig Class enum order, for su_resolve_frame(aov)
+_AOV_INDEX = (
+    "albedo", "depth", "material_id", "geometric_normal", "shading_normal",
+    "roughness", "emission", "direct", "indirect",
+)
+
+
 def su_aovs_create(string) -> int:
+    """Enable sensor AOV layers (ref capi.zig:202 -> View.loadAOV)."""
     if _engine is None:
         return -1
-    return 0  # AOV buffers wired in a later round
+    s = string.decode() if isinstance(string, bytes) else str(string)
+    try:
+        node = json.loads(s)
+    except json.JSONDecodeError:
+        return -1
+    from ..io.take import parse_aovs
+
+    _engine.take.aovs = parse_aovs(node)
+    _engine.dirty = True
+    return 0
 
 
 def su_sampler_create(num_samples: int) -> int:
@@ -197,6 +238,9 @@ def su_image_update(id, pixel_stride, data) -> int:
     old = _engine.images[int(id)]
     arr = _as_array(data, old.size, old.dtype)
     _engine.images[int(id)] = arr.reshape(old.shape)
+    # propagate into texture slots that reference this image id
+    if _engine.builder.refresh_capi_image(int(id), _engine.images[int(id)]):
+        _engine.dirty = True
     return 0
 
 
@@ -205,7 +249,10 @@ def su_material_create(id, string) -> int:
         return -1
     s = string.decode() if isinstance(string, bytes) else str(string)
     try:
-        desc = parse_material(json.loads(s))
+        desc = parse_material(
+            json.loads(s), builder=_engine.builder,
+            image_provider=_engine.images.get,
+        )
     except (json.JSONDecodeError, KeyError, ValueError):
         return -1
     if id != 0xFFFFFFFF and int(id) < len(_engine.builder.materials):
@@ -222,7 +269,10 @@ def su_material_update(id, string) -> int:
         return -1
     s = string.decode() if isinstance(string, bytes) else str(string)
     try:
-        _engine.builder.materials[int(id)] = parse_material(json.loads(s))
+        _engine.builder.materials[int(id)] = parse_material(
+            json.loads(s), builder=_engine.builder,
+            image_provider=_engine.images.get,
+        )
     except (json.JSONDecodeError, KeyError, ValueError):
         return -1
     _engine.dirty = True
@@ -327,7 +377,15 @@ def _decompose_matrix(trafo) -> Transformation:
 
 
 def su_prop_set_transformation(prop, trafo) -> int:
-    if _engine is None or int(prop) >= len(_engine.builder.props):
+    if _engine is None:
+        return -1
+    if int(prop) == CAMERA_PROP:
+        t = _decompose_matrix(trafo)
+        _engine.camera.position = np.asarray(t.position, np.float32)
+        _engine.camera.rotation = np.asarray(t.rotation, np.float32)
+        _engine.dirty = True
+        return 0
+    if int(prop) >= len(_engine.builder.props):
         return -1
     _engine.builder.props[int(prop)].trafo = _decompose_matrix(trafo)
     _engine.dirty = True
@@ -403,21 +461,48 @@ def su_render_iterations(num_steps) -> int:
     return 0
 
 
-def su_resolve_frame(aov=0) -> int:
+def su_resolve_frame(aov=0xFFFFFFFF) -> int:
     if _engine is None or _engine.driver is None:
+        return -1
+    a = int(aov) & 0xFFFFFFFF
+    if a < len(_AOV_INDEX):
+        name = _AOV_INDEX[a]
+        if name in getattr(_engine.driver, "_aov", {}):
+            _engine.driver.resolve_aov(name)
+            return 0
         return -1
     _engine.driver.resolve()
     return 0
 
 
 def su_resolve_frame_to_buffer(aov, width, height, buffer) -> int:
+    """aov = 0xFFFFFFFF/-1 -> tonemapped beauty; else an AOV plane by the
+    reference Class index (ref capi.zig su_resolve_frame_to_buffer)."""
     if _engine is None or _engine.driver is None:
         return -1
+    a = int(aov) & 0xFFFFFFFF
+    if isinstance(buffer, np.ndarray):
+        out = buffer.reshape(int(height), int(width), -1)
+    else:  # raw shim buffer: 4 float32 per pixel
+        out = _out_array(buffer, np.float32, int(width) * int(height) * 4)
+        out = out.reshape(int(height), int(width), 4)
+    if a < len(_AOV_INDEX):
+        name = _AOV_INDEX[a]
+        if name not in getattr(_engine.driver, "_aov", {}):
+            return -1
+        plane = _engine.driver.resolve_aov(name)
+        h = min(int(height), plane.shape[0])
+        w = min(int(width), plane.shape[1])
+        c = min(out.shape[-1], plane.shape[-1])
+        out[:h, :w, :c] = plane[:h, :w, :c]
+        return 0
     img = _engine.driver.resolve(tonemapped=True)
-    out = np.asarray(buffer).reshape(int(height), int(width), -1)
     h = min(int(height), img.shape[0])
     w = min(int(width), img.shape[1])
     out[:h, :w, :3] = img[:h, :w]
+    if out.shape[-1] == 4:
+        alpha = _engine.driver.resolve_alpha()
+        out[:h, :w, 3] = 1.0 if alpha is None else alpha[:h, :w]
     return 0
 
 
@@ -433,22 +518,45 @@ def su_copy_framebuffer(format, num_channels, width, height, destination) -> int
         from ..io.png import float_to_srgb8
 
         srgb = float_to_srgb8(img[:h, :w], dither=False)
-        dst = np.asarray(destination).reshape(int(height), int(width), nc)
+        dst = _out_array(
+            destination, np.uint8, int(height) * int(width) * nc
+        ).reshape(int(height), int(width), nc)
         if nc >= 3:
             dst[:h, :w, :3] = srgb
         if nc == 4:
-            dst[:h, :w, 3] = 255
+            alpha = _engine.driver.resolve_alpha()
+            dst[:h, :w, 3] = (
+                255 if alpha is None
+                else (alpha[:h, :w] * 255.0 + 0.5).astype(np.uint8)
+            )
     else:
-        dst = np.asarray(destination).reshape(int(height), int(width), nc)
+        dst = _out_array(
+            destination, np.float32, int(height) * int(width) * nc
+        ).reshape(int(height), int(width), nc)
         dst[:h, :w, : min(nc, 3)] = img[:h, :w, : min(nc, 3)]
         if nc == 4:
-            dst[:h, :w, 3] = 1.0
+            alpha = _engine.driver.resolve_alpha()
+            dst[:h, :w, 3] = 1.0 if alpha is None else alpha[:h, :w]
     return 0
 
 
 def su_register_log(post) -> int:
     if _engine is None:
         return -1
+    if isinstance(post, int):  # raw fn pointer from the libzyg.so shim
+        import ctypes
+
+        post = (
+            ctypes.CFUNCTYPE(None, ctypes.c_uint32, ctypes.c_char_p)(post)
+            if post
+            else None
+        )
+        raw = post
+        post = (
+            (lambda lvl, msg: raw(lvl, msg.encode() if isinstance(msg, str) else msg))
+            if raw
+            else None
+        )
     _engine.log_fn = post
     from ..utils import log as _log
 
@@ -459,5 +567,10 @@ def su_register_log(post) -> int:
 def su_register_progress(start, tick) -> int:
     if _engine is None:
         return -1
+    if isinstance(start, int):  # raw fn pointers from the libzyg.so shim
+        import ctypes
+
+        start = ctypes.CFUNCTYPE(None, ctypes.c_uint32)(start) if start else None
+        tick = ctypes.CFUNCTYPE(None)(tick) if tick else None
     _engine.progress_fns = (start, tick)
     return 0

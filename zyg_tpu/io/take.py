@@ -69,6 +69,33 @@ class Take:
     photon: PhotonSettings = field(default_factory=PhotonSettings)
     start_frame: int = 0
     num_frames: int = 1
+    # enabled sensor AOV classes (ref take.zig View.loadAOV; names are the
+    # keys of ptmis.AOV_SPECS)
+    aovs: tuple = ()
+
+
+# reference AOV JSON keys -> AOV_SPECS names (ref aov_value.zig Class)
+AOV_NAME_MAP = {
+    "Albedo": "albedo",
+    "Depth": "depth",
+    "MaterialId": "material_id",
+    "GeometricNormal": "geometric_normal",
+    "ShadingNormal": "shading_normal",
+    "Roughness": "roughness",
+    "Emission": "emission",
+    "Direct": "direct",
+    "Indirect": "indirect",
+}
+
+
+def parse_aovs(node: dict) -> tuple:
+    """{"Albedo": true, ...} -> tuple of enabled AOV names."""
+    out = []
+    for key, enabled in node.items():
+        name = AOV_NAME_MAP.get(key)
+        if name and bool(enabled):
+            out.append(name)
+    return tuple(out)
 
 
 def _load_camera(node: dict) -> PerspectiveCamera:
@@ -184,6 +211,9 @@ def load_take_dict(root: dict, base_dir: str = "") -> Take:
 
     if "sensor" in root:
         take.sensor = _load_sensor(root["sensor"])
+
+    if isinstance(root.get("aov"), dict):
+        take.aovs = parse_aovs(root["aov"])
 
     ph = root.get("photon")
     if isinstance(ph, dict):

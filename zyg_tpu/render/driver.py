@@ -50,13 +50,17 @@ def _render_samples(
     photons_not_only: bool = False,
     photon_max_per_cell: int = 64,
     light_split_depth: int = 0,
+    aovs: tuple = (),
 ):
-    """Accumulate `num_samples` consecutive samples into fb (one jit)."""
+    """Accumulate `num_samples` consecutive samples into fb (one jit).
+
+    Returns (fb, rays, aov_sums) — aov_sums is {} unless `aovs` are enabled
+    on the persistent-wavefront path."""
 
     # PTMIS/PTDL with a box filter uses the persistent wavefront (lane
     # regeneration): ~3x utilization vs the per-sample scan below
     if integrator.kind in ("PTMIS", "PTDL") and filter_radius == 0:
-        acc, rays = ptmis_mod.integrate_persistent(
+        acc, rays, aov_sums = ptmis_mod.integrate_persistent(
             scene,
             cam_arrays,
             pixel_xy,
@@ -73,12 +77,13 @@ def _render_samples(
                 light_split_depth=light_split_depth,
                 light_split_threshold=integrator.light_split_threshold,
                 regularize_roughness=integrator.regularize_roughness,
+                collect_aovs=aovs,
             ),
             clamp_max,
             photon_map=photon_map,
             photon_max_per_cell=photon_max_per_cell,
         )
-        return Framebuffer(fb.value + acc, fb.weight + num_samples), rays
+        return Framebuffer(fb.value + acc, fb.weight + num_samples), rays, aov_sums
 
     def one_sample(carry, s):
         fb, total_rays = carry
@@ -148,7 +153,7 @@ def _render_samples(
     (fb, rays), _ = jax.lax.scan(
         one_sample, (fb, jnp.int32(0)), jnp.arange(num_samples, dtype=jnp.int32)
     )
-    return fb, rays
+    return fb, rays, {}
 
 
 @dataclass
@@ -180,6 +185,18 @@ class Driver:
         # lane pays the full static pick width, so enable only where the
         # variance win is real — many-light scenes with a tree. 2^2 finite
         # picks + 1 infinite bounds the cost at ~4x NEE for ~NxN light counts.
+        # sensor AOVs ride the persistent-wavefront path only (the scan
+        # path has no per-bounce capture); alpha coverage is implied by the
+        # Transparent buffer class (ref buffer_transparent.zig)
+        aovs = tuple(self.take.aovs)
+        if self.take.sensor.alpha_transparency and "alpha" not in aovs:
+            aovs = aovs + ("alpha",)
+        persistent = (
+            self.take.integrator.kind in ("PTMIS", "PTDL")
+            and self.take.sensor.filter_radius == 0
+        )
+        self._aov_names = aovs if persistent else ()
+        self._aov = {}
         lt = self.scene.light_tree
         self._light_split_depth = (
             2
@@ -230,6 +247,7 @@ class Driver:
                     photons_not_only=self.take.photon.not_only_through_specular,
                     photon_max_per_cell=getattr(self, "_photon_max_per_cell", 64),
                     light_split_depth=self._light_split_depth,
+                    aovs=self._aov_names,
                 )
             )
             self._render_cache[num_samples] = fn
@@ -239,6 +257,7 @@ class Driver:
         w, h = self.camera.resolution
         self._fb = Framebuffer.zeros(w * h)
         self._splat = jnp.zeros((w * h, 3), jnp.float32)
+        self._aov = ptmis_mod.aov_init(self._aov_names, w * h)
         self._particles_traced = 0
         self._iteration = 0
         self.rays_traced = 0
@@ -307,7 +326,7 @@ class Driver:
             for t0 in range(0, n_pixels, tile):
                 t1 = min(t0 + tile, n_pixels)
                 fb_t = Framebuffer(self._fb.value[t0:t1], self._fb.weight[t0:t1])
-                fb_t, rays = fn(
+                fb_t, rays, aov_t = fn(
                     self.scene,
                     self.camera.arrays(self.layer),
                     fb_t,
@@ -320,6 +339,15 @@ class Driver:
                     self._fb.value.at[t0:t1].set(fb_t.value),
                     self._fb.weight.at[t0:t1].set(fb_t.weight),
                 )
+                for name, part in aov_t.items():
+                    mode = ptmis_mod.AOV_SPECS[name][1]
+                    cur = self._aov[name][t0:t1]
+                    merged = (
+                        cur + part if mode == "sum"
+                        else jnp.minimum(cur, part) if mode == "min"
+                        else jnp.maximum(cur, part)
+                    )
+                    self._aov[name] = self._aov[name].at[t0:t1].set(merged)
                 self.rays_traced += int(rays)
                 self.progress.tick()
             self._iteration += n
@@ -381,6 +409,28 @@ class Driver:
             img = sensor_mod.tonemap(img, self.take.sensor.tonemapper, self.take.sensor.exposure)
         return np.asarray(jax.device_get(img))
 
+    def resolve_aov(self, name: str) -> np.ndarray:
+        """One resolved AOV plane [H,W,C] (ref sensor.zig resolve AOV
+        layers): sum-mode buffers average over samples (normals renormalize),
+        min/max buffers pass through."""
+        w, h = self.camera.resolution
+        buf = self._aov[name]
+        c, mode = ptmis_mod.AOV_SPECS[name]
+        if mode == "sum":
+            img = buf / jnp.maximum(self._fb.weight[..., None], 1e-20)
+            if name in ("geometric_normal", "shading_normal"):
+                ln = jnp.sqrt(jnp.sum(img * img, axis=-1, keepdims=True))
+                img = img / jnp.maximum(ln, 1e-20)
+        else:
+            img = buf
+        return np.asarray(jax.device_get(img)).reshape(h, w, c)
+
+    def resolve_alpha(self) -> np.ndarray | None:
+        """[H,W] coverage when the Transparent buffer class is active."""
+        if "alpha" not in self._aov:
+            return None
+        return np.clip(self.resolve_aov("alpha")[..., 0], 0.0, 1.0)
+
     def memory_stats(self) -> dict:
         """Device-memory byte counts per scene category (ref cli/main.zig
         --stats report via numBytes())."""
@@ -416,11 +466,15 @@ class Driver:
         """Write by extension: .png (tonemapped sRGB8), .exr (linear HDR),
         .hdr (RGBE) — ref exporting/sink.zig ImageSequence."""
         ext = path.rsplit(".", 1)[-1].lower()
+        alpha = self.resolve_alpha()
         if ext == "exr":
             from ..io.exr import write_exr
 
             img = self.resolve(tonemapped=False)
-            write_exr(path, {"R": img[..., 0], "G": img[..., 1], "B": img[..., 2]})
+            channels = {"R": img[..., 0], "G": img[..., 1], "B": img[..., 2]}
+            if alpha is not None:
+                channels["A"] = alpha
+            write_exr(path, channels)
         elif ext == "hdr":
             from ..io.rgbe import write_hdr
 
@@ -429,4 +483,22 @@ class Driver:
             from ..io.png import write_png, float_to_srgb8
 
             img = self.resolve(tonemapped=True)
-            write_png(path, float_to_srgb8(img))
+            rgb8 = float_to_srgb8(img)
+            if alpha is not None:
+                a8 = (np.clip(alpha, 0, 1) * 255.0 + 0.5).astype(np.uint8)
+                rgb8 = np.concatenate([rgb8, a8[..., None]], axis=-1)
+            write_png(path, rgb8)
+        # AOV companion files: <stem>_<name>.exr (ref exporting per-AOV
+        # sinks); alpha is folded into the beauty output instead
+        stem = path.rsplit(".", 1)[0]
+        for name in self._aov_names:
+            if name == "alpha":
+                continue
+            from ..io.exr import write_exr
+
+            plane = self.resolve_aov(name)
+            if plane.shape[-1] == 3:
+                ch = {"R": plane[..., 0], "G": plane[..., 1], "B": plane[..., 2]}
+            else:
+                ch = {"Y": plane[..., 0]}
+            write_exr(f"{stem}_{name}.exr", ch)

@@ -36,6 +36,55 @@ class PtmisSettings(NamedTuple):
     # photon gathering at every primary diffuse vertex instead of only after
     # specular chains (ref View.photons_not_only_through_specular)
     photons_not_only_through_specular: bool = False
+    # NEE splitting (ref light_tree.zig randomLight with split_threshold,
+    # take.zig light_sampling): STATIC pick budget 2^light_split_depth
+    # finite picks (+1 infinite) per bounce; 0 = single pick. The driver
+    # enables this only for many-light scenes — every lane pays the full
+    # static width.
+    light_split_depth: int = 0
+    light_split_threshold: float = 0.0
+    # path-space regularization (ref take.zig regularize_roughness,
+    # renderstate.zig regularizeAlpha): widen glossy/specular lobes after
+    # rough bounces to tame caustic variance. 0 = off (compiled away).
+    regularize_roughness: float = 0.0
+    # STATIC tuple of sensor AOV class names to collect at the primary hit
+    # (ref sensor/aov/aov_value.zig Value.Class; () compiles to nothing):
+    # subset of ("albedo","depth","material_id","geometric_normal",
+    # "shading_normal","roughness","alpha")
+    collect_aovs: tuple = ()
+
+
+# ref helper.zig LightSampling.splitThreshold: full threshold for the first
+# 4 path vertices, effectively none below
+_SPLIT_LOW_THRESHOLD = 1e-8
+
+
+# sensor AOV classes captured at the primary hit (ref aov_value.zig Class):
+# name -> (channels, accumulation mode). "sum" resolves to mean over
+# samples, "min"/"max" keep extrema (depth / ids must not be averaged).
+AOV_SPECS = {
+    "albedo": (3, "sum"),
+    "depth": (1, "min"),
+    "material_id": (1, "max"),
+    "geometric_normal": (3, "sum"),
+    "shading_normal": (3, "sum"),
+    "roughness": (1, "sum"),
+    "alpha": (1, "sum"),  # coverage for the Transparent sensor buffer
+    # IValue radiance classes, accumulated at sample flush (ref IValue)
+    "emission": (3, "sum"),
+    "direct": (3, "sum"),
+    "indirect": (3, "sum"),
+}
+
+
+def aov_init(names, n):
+    """Fresh accumulator dict for the enabled AOV classes."""
+    out = {}
+    for name in names:
+        c, mode = AOV_SPECS[name]
+        fill = {"sum": 0.0, "min": float(RAY_MAX_T), "max": -1.0}[mode]
+        out[name] = jnp.full((n, c), fill, jnp.float32)
+    return out
 
 
 class IValue(NamedTuple):
@@ -82,6 +131,21 @@ class PathState(NamedTuple):
     primary_chain: jax.Array  # bool[N] every bounce so far was singular
     # (ref vertex.state primary_ray — photon gathers happen on this chain)
     time: jax.Array  # float32[N] shutter time in [0,1) (ref probe.zig time)
+    nee_thr: jax.Array  # float32[N] split threshold used at the last real
+    # vertex's NEE (ref vertex.zig light_split_threshold) — the MIS-side
+    # selection pdf must be computed under the same splitting policy
+    reg_alpha: jax.Array  # float32[N] alpha of the previously sampled lobe
+    # (ref vertex.zig reg_alpha / bxdf.zig Path.reg_alpha): diffuse = 1,
+    # glossy = alpha, specular = 0; drives path-space regularization
+    aov: dict  # STATIC-keyed dict of sensor AOV accumulators [N,C]
+    # (ref sensor/aov/aov_buffer.zig); {} when collect_aovs is empty
+
+
+def _cp_offset(k: int):
+    """R2 low-discrepancy offsets for Cranley-Patterson rotation of the
+    shared NEE 2D sample across split picks."""
+    a1, a2 = 0.7548776662466927, 0.5698402909980532
+    return ((k * a1) % 1.0, (k * a2) % 1.0)
 
 
 def power_heuristic(f_pdf, g_pdf):
@@ -116,6 +180,9 @@ def integrate(scene: SceneData, o, d, sobol: SobolSampler, settings: PtmisSettin
         from_volume=jnp.zeros((n,), bool),
         primary_chain=jnp.ones((n,), bool),
         time=jnp.zeros((n,), jnp.float32) if time is None else time,
+        nee_thr=jnp.zeros((n,), jnp.float32),
+        reg_alpha=jnp.zeros((n,), jnp.float32),
+        aov=aov_init(settings.collect_aovs, n),
     )
 
     def cond(s: PathState):
@@ -170,6 +237,13 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
             scene.materials, frag.material, medium_ior, scene.textures, frag.uv,
             features=scene.mat_features,
         )
+        if settings.regularize_roughness > 0.0:
+            # path-space regularization: widen lobes after rough bounces
+            # (ref renderstate.zig regularizeAlpha; static no-op when the
+            # take leaves regularize_roughness at 0)
+            params = mat.regularize_alpha(
+                params, s.reg_alpha, settings.regularize_roughness, settings.caustics
+            )
         wo = -s.d
 
         # ---- medium transport: distance sampling in the enclosing medium
@@ -210,6 +284,49 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
             p_scatter = frag.p
             false_if = jnp.zeros_like(s.alive)
 
+        # ---- sensor AOV capture at the primary hit (ref sensor/aov):
+        # every sample passes depth==0 && vol_depth==0 exactly once
+        if settings.collect_aovs:
+            fh = s.alive & (s.depth == 0) & (s.vol_depth == 0) & ~scatter
+            finite0 = hit.valid() & (hit.t < RAY_MAX_T)
+            fin_m = (fh & finite0)[..., None]
+            aov = dict(s.aov)
+            if "albedo" in aov:
+                aov["albedo"] = aov["albedo"] + jnp.where(fin_m, params["color"], 0.0)
+            if "depth" in aov:
+                aov["depth"] = jnp.where(
+                    fin_m, jnp.minimum(aov["depth"], hit.t[..., None]), aov["depth"]
+                )
+            if "material_id" in aov:
+                aov["material_id"] = jnp.where(
+                    fin_m,
+                    jnp.maximum(
+                        aov["material_id"],
+                        frag.material.astype(jnp.float32)[..., None],
+                    ),
+                    aov["material_id"],
+                )
+            if "geometric_normal" in aov:
+                aov["geometric_normal"] = aov["geometric_normal"] + jnp.where(
+                    fin_m, frag.geo_n, 0.0
+                )
+            if "shading_normal" in aov:
+                aov["shading_normal"] = aov["shading_normal"] + jnp.where(
+                    fin_m, frag.n, 0.0
+                )
+            if "roughness" in aov:
+                aov["roughness"] = aov["roughness"] + jnp.where(
+                    fin_m, jnp.sqrt(jnp.maximum(params["alpha"], 0.0))[..., None], 0.0
+                )
+            if "alpha" in aov:
+                # coverage: 1 where the primary ray lands on geometry
+                # (transparent-buffer semantics; transmission chains that
+                # escape still count as covered — simplification vs ref
+                # buffer_transparent.zig weight tracking)
+                aov["alpha"] = aov["alpha"] + jnp.where(fin_m, 1.0, 0.0)
+        else:
+            aov = s.aov
+
         # ---- connectLight: BSDF-sampled emission with MIS (ref connectLight
         # + vertex.evaluateRadiance + scene.lightPdf)
         emission = mat.eval_radiance(params, wo, frag.geo_n)
@@ -227,7 +344,11 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
                 scene, hit.prop, s.mis_o, s.d, eff_t, frag.p, frag.geo_n, frag.geo_n,
                 total_sphere=s.from_volume,
             ) * ls_mod.light_select_pdf(
-                scene, light_id, p=s.mis_o, n=s.mis_n, total_sphere=s.from_volume
+                scene, light_id, p=s.mis_o, n=s.mis_n, total_sphere=s.from_volume,
+                split_threshold=(
+                    s.nee_thr if settings.light_split_depth > 0 else None
+                ),
+                split_depth=settings.light_split_depth,
             )
             mis_w = jnp.where(
                 s.singular | ~is_light, 1.0, power_heuristic(s.bxdf_pdf, lp)
@@ -286,68 +407,110 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
             u_sel = smp.sample_1d()
             xi_l = smp.sample_2d()
             nee_p = jnp.where(scatter[..., None], p_scatter, frag.p) if has_media else frag.p
-            light_idx, sel_pdf = ls_mod.select_light(
-                scene, u_sel, p=nee_p, n=frag.n, total_sphere=scatter
-            )
-            lsmp = ls_mod.sample_light(
-                scene, light_idx, nee_p, frag.geo_n, xi_l, total_sphere=scatter
-            )
-            radiance = ls_mod.light_radiance(scene, light_idx, lsmp.wi, lsmp.light_n, lsmp.uv)
-            f_srf, bpdf_srf = mat.eval_bsdf(params, wo, lsmp.wi, frag.n, frag.geo_n)
-            if has_media:
-                ph = mat.hg_phase(vm.dot(s.d, lsmp.wi), g_med)
-                f = jnp.where(scatter[..., None], ph[..., None], f_srf)
-                bpdf = jnp.where(scatter, ph, bpdf_srf)
-            else:
-                f = f_srf
-                bpdf = bpdf_srf
-            light_pdf = lsmp.pdf * sel_pdf
-            w = predivided_power_heuristic(light_pdf, bpdf)
+            can_nee = cont & (scatter | mat.can_evaluate(params)) & ~false_if
 
-            shadow_surf = shapes.offset_ray(
-                frag.p,
-                jnp.where(vm.dot(lsmp.wi, frag.geo_n)[..., None] >= 0.0, frag.geo_n, -frag.geo_n),
-            )
-            shadow_o = (
-                jnp.where(scatter[..., None], p_scatter, shadow_surf)
-                if has_media
-                else shadow_surf
-            )
-            # finite lights: aim at the (offset) sampled point
-            lp_off = shapes.offset_ray(lsmp.light_p, lsmp.light_n)
-            shadow_axis = jnp.where(
-                lsmp.infinite[..., None], lsmp.wi, lp_off - shadow_o
-            )
-            slen = jnp.where(lsmp.infinite, jnp.float32(RAY_MAX_T), vm.length(shadow_axis))
-            sdir = jnp.where(
-                lsmp.infinite[..., None],
-                lsmp.wi,
-                shadow_axis / jnp.maximum(slen, 1e-20)[..., None],
-            )
-            nee_active = (
-                cont & (scatter | mat.can_evaluate(params)) & ~false_if
-                & (lsmp.pdf > 0.0) & (jnp.max(f, axis=-1) > 0.0)
-            )
-            shadow_tmax = jnp.where(lsmp.infinite, jnp.float32(RAY_MAX_T) * 0.9, slen)
-            blocked = shapes.occluded(scene, shadow_o, sdir, jnp.float32(0.0), shadow_tmax, time=s.time)
-            # participating media attenuate (not block) the shadow ray
-            # (ref scene.zig visibility -> propTransmittance)
-            if has_media:
-                shadow_tr = vol_mod.transmittance(
-                    scene, shadow_o, sdir, shadow_tmax, hash_u32(s.vol_key ^ jnp.uint32(0x1B873593))
+            def nee_pick(light_idx, sel_pdf, xi):
+                """One NEE estimator for one selected light.
+                Returns (contribution[N,3], active[N])."""
+                lsmp = ls_mod.sample_light(
+                    scene, light_idx, nee_p, frag.geo_n, xi, total_sphere=scatter
                 )
+                radiance = ls_mod.light_radiance(
+                    scene, light_idx, lsmp.wi, lsmp.light_n, lsmp.uv
+                )
+                f_srf, bpdf_srf = mat.eval_bsdf(params, wo, lsmp.wi, frag.n, frag.geo_n)
+                if has_media:
+                    ph = mat.hg_phase(vm.dot(s.d, lsmp.wi), g_med)
+                    f = jnp.where(scatter[..., None], ph[..., None], f_srf)
+                    bpdf = jnp.where(scatter, ph, bpdf_srf)
+                else:
+                    f = f_srf
+                    bpdf = bpdf_srf
+                light_pdf = lsmp.pdf * sel_pdf
+                w = predivided_power_heuristic(light_pdf, bpdf)
+
+                shadow_surf = shapes.offset_ray(
+                    frag.p,
+                    jnp.where(
+                        vm.dot(lsmp.wi, frag.geo_n)[..., None] >= 0.0,
+                        frag.geo_n, -frag.geo_n,
+                    ),
+                )
+                shadow_o = (
+                    jnp.where(scatter[..., None], p_scatter, shadow_surf)
+                    if has_media
+                    else shadow_surf
+                )
+                # finite lights: aim at the (offset) sampled point
+                lp_off = shapes.offset_ray(lsmp.light_p, lsmp.light_n)
+                shadow_axis = jnp.where(
+                    lsmp.infinite[..., None], lsmp.wi, lp_off - shadow_o
+                )
+                slen = jnp.where(lsmp.infinite, jnp.float32(RAY_MAX_T), vm.length(shadow_axis))
+                sdir = jnp.where(
+                    lsmp.infinite[..., None],
+                    lsmp.wi,
+                    shadow_axis / jnp.maximum(slen, 1e-20)[..., None],
+                )
+                nee_active = (
+                    can_nee & (light_idx >= 0) & (sel_pdf > 0.0)
+                    & (lsmp.pdf > 0.0) & (jnp.max(f, axis=-1) > 0.0)
+                )
+                shadow_tmax = jnp.where(lsmp.infinite, jnp.float32(RAY_MAX_T) * 0.9, slen)
+                blocked = shapes.occluded(
+                    scene, shadow_o, sdir, jnp.float32(0.0), shadow_tmax, time=s.time
+                )
+                # participating media attenuate (not block) the shadow ray
+                # (ref scene.zig visibility -> propTransmittance)
+                if has_media:
+                    shadow_tr = vol_mod.transmittance(
+                        scene, shadow_o, sdir, shadow_tmax,
+                        hash_u32(s.vol_key ^ jnp.uint32(0x1B873593)),
+                    )
+                else:
+                    shadow_tr = jnp.float32(1.0)
+                contrib = jnp.where(
+                    (nee_active & ~blocked)[..., None],
+                    throughput * radiance * f * w[..., None] * shadow_tr,
+                    0.0,
+                )
+                return contrib, nee_active
+
+            if settings.light_split_depth > 0 and scene.light_tree is not None:
+                # adaptive NEE splitting: static 2^S finite picks (+1
+                # infinite), threshold decayed after the 4th path vertex
+                # (ref helper.zig splitThreshold)
+                st = jnp.float32(settings.light_split_threshold)
+                thr = jnp.where(
+                    s.depth + s.vol_depth < 4,
+                    st,
+                    jnp.float32(min(_SPLIT_LOW_THRESHOLD, settings.light_split_threshold)),
+                )
+                picks_l, picks_pdf = ls_mod.select_lights_split(
+                    scene, u_sel, nee_p, frag.n, scatter, thr,
+                    settings.light_split_depth,
+                )
+                nee = jnp.zeros_like(throughput)
+                for k in range(picks_l.shape[-1]):
+                    # Cranley-Patterson rotation decorrelates picks sharing
+                    # the single sampled 2D point
+                    xi_k = jnp.mod(xi_l + jnp.asarray(_cp_offset(k), jnp.float32), 1.0) if k else xi_l
+                    c_k, a_k = nee_pick(picks_l[..., k], picks_pdf[..., k], xi_k)
+                    nee = nee + c_k
+                    rays = rays + jnp.sum(a_k, dtype=jnp.int32)
+                new_nee_thr = thr
             else:
-                shadow_tr = jnp.float32(1.0)
-            rays = rays + jnp.sum(nee_active, dtype=jnp.int32)
-            nee = jnp.where(
-                (nee_active & ~blocked)[..., None],
-                throughput * radiance * f * w[..., None] * shadow_tr,
-                0.0,
-            )
+                light_idx, sel_pdf = ls_mod.select_light(
+                    scene, u_sel, p=nee_p, n=frag.n, total_sphere=scatter
+                )
+                nee, nee_active = nee_pick(light_idx, sel_pdf, xi_l)
+                rays = rays + jnp.sum(nee_active, dtype=jnp.int32)
+                new_nee_thr = jnp.zeros(u_sel.shape, jnp.float32)
             result = result.add(nee, s.depth, 1, jnp.zeros_like(cont), jnp.zeros_like(cont))
         else:
             _ = smp.sample_1d()
             _ = smp.sample_2d()
+            new_nee_thr = jnp.zeros(s.depth.shape, jnp.float32)
 
         # ---- BSDF / phase sample
         s3 = smp.sample_3d()
@@ -387,6 +550,12 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
             new_from_volume = jnp.zeros_like(s.alive)
         cont = cont & (bs.valid | scatter)
         throughput = throughput * bsdf_weight
+        # next vertex's regularization driver: volume scatters count as
+        # fully rough, null interfaces keep the previous value
+        # (ref pathtracer_mis.zig:147 — only non-Straight events update)
+        new_reg_alpha = jnp.where(
+            scatter, 1.0, jnp.where(passthrough, s.reg_alpha, bs.reg_alpha)
+        )
 
         surf_o = shapes.offset_ray(
             frag.p,
@@ -443,6 +612,9 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
             from_volume=new_from_volume,
             primary_chain=s.primary_chain & (new_singular | passthrough) & ~scatter,
             time=s.time,
+            nee_thr=jnp.where(passthrough, s.nee_thr, new_nee_thr),
+            reg_alpha=new_reg_alpha,
+            aov=aov,
         )
 
     return body
@@ -506,6 +678,9 @@ def integrate_persistent(
         from_volume=jnp.zeros((n,), bool),
         primary_chain=jnp.ones((n,), bool),
         time=jnp.zeros((n,), jnp.float32),
+        nee_thr=jnp.zeros((n,), jnp.float32),
+        reg_alpha=jnp.zeros((n,), jnp.float32),
+        aov=aov_init(settings.collect_aovs, n),
     )
     state = PersistentState(path=path0, acc=zero3, done=jnp.zeros((n,), jnp.int32))
 
@@ -562,6 +737,9 @@ def integrate_persistent(
             from_volume=jnp.where(regen, False, s.from_volume),
             primary_chain=jnp.where(regen, True, s.primary_chain),
             time=jnp.where(regen, _time, s.time),
+            nee_thr=jnp.where(regen, 0.0, s.nee_thr),
+            reg_alpha=jnp.where(regen, 0.0, s.reg_alpha),
+            aov=s.aov,  # accumulators persist across regenerated samples
         )
         done = ps.done + regen.astype(jnp.int32)
 
@@ -570,8 +748,19 @@ def integrate_persistent(
 
         # ---- flush samples that finished THIS iteration (clamped once)
         finished = was_alive & ~s.alive
-        acc_add = jnp.where(finished[..., None], clamp_cur(s.result), 0.0)
+        fin_m = finished[..., None]
+        acc_add = jnp.where(fin_m, clamp_cur(s.result), 0.0)
+        if settings.collect_aovs:
+            aov = dict(s.aov)
+            for name, field in (
+                ("emission", s.result.emission),
+                ("direct", s.result.direct),
+                ("indirect", s.result.indirect),
+            ):
+                if name in aov:
+                    aov[name] = aov[name] + jnp.where(fin_m, field, 0.0)
+            s = s._replace(aov=aov)
         return PersistentState(path=s, acc=ps.acc + acc_add, done=done)
 
     final = jax.lax.while_loop(cond, step, state)
-    return final.acc, final.path.rays
+    return final.acc, final.path.rays, final.path.aov

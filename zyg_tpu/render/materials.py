@@ -103,6 +103,9 @@ class BsdfSample(NamedTuple):
     transmission: jax.Array  # bool[N] crossed the surface
     passthrough: jax.Array  # bool[N] null interface (volume boundary): the
     # ray continues straight and the PREVIOUS vertex's MIS state must be kept
+    reg_alpha: jax.Array  # [N] alpha of the SAMPLED lobe (ref bxdf.zig
+    # Path.reg_alpha: diffuse 1, glossy alpha, specular 0) — feeds
+    # path-space regularization of the next vertex
 
 
 def ior_to_f0(ior, ior_outside):
@@ -189,6 +192,26 @@ def gather(materials: Materials, mat_id, medium_ior=None, textures=None, uv=None
         "coat_f0": ior_to_f0(small_gather(materials.coating_ior, m), ior_out),
         "coat_alpha": coat_rough * coat_rough,
     }
+
+
+def regularize_alpha(params, reg_alpha_prev, weight: float, caustics: bool):
+    """Path-space regularization (ref renderstate.zig regularizeAlpha +
+    take.zig regularize_roughness): after a rough bounce (reg_alpha_prev),
+    widen this vertex's glossy/specular lobes toward 1 by
+    ``1 - (1-a) * (1 - weight*reg_alpha_prev)``. Lobes already smoother than
+    the specular threshold are left alone unless caustics are enabled.
+    Returns updated params (alpha + coat_alpha)."""
+
+    def reg(a):
+        a_r = 1.0 - (1.0 - a) * (1.0 - weight * reg_alpha_prev)
+        if caustics:
+            return a_r
+        return jnp.where(a <= MIN_ALPHA * 1.001, a, a_r)
+
+    out = dict(params)
+    out["alpha"] = reg(params["alpha"])
+    out["coat_alpha"] = reg(params["coat_alpha"])
+    return out
 
 
 def apply_normal_map(materials: Materials, textures, mat_id, uv, n, t, b):
@@ -450,16 +473,23 @@ def _substitute_sample(params, wo, n, geo_n, p, xi):
             jnp.where(take_diffuse[..., None], wi_diffuse, wi_gloss),
         ),
     )
+    # sampled-lobe alpha for path regularization (ref bxdf.zig Path:
+    # diffuse/translucent lobes count as fully rough)
+    reg_a = jnp.where(
+        take_trans | take_diffuse,
+        1.0,
+        jnp.where(take_coat, params["coat_alpha"], params["alpha"]),
+    )
     if not feats:
         # fast path: plain substitute — evaluate base lobes only
         f, pdf, _ = _substitute_lobes(params, wo, wi, ns)
         ok = (vm.dot(wi, ns) > 0.0) & (pdf > 1e-10)
         weight = jnp.where(ok[..., None], f / jnp.maximum(pdf, 1e-10)[..., None], 0.0)
-        return wi, weight, pdf, ok
+        return wi, weight, pdf, ok, reg_a
     f, pdf = _substitute_eval(params, wo, wi, n, geo_n)
     ok = pdf > 1e-10
     weight = jnp.where(ok[..., None], f / jnp.maximum(pdf, 1e-10)[..., None], 0.0)
-    return wi, weight, pdf, ok
+    return wi, weight, pdf, ok, reg_a
 
 
 def _smith_g1(mu, a2):
@@ -648,7 +678,7 @@ def sample_bsdf(params, wo, n, geo_n, s3) -> BsdfSample:
     p = s3[..., 0]
     xi = s3[..., 1:3]
 
-    wi, weight, pdf, sub_ok = _substitute_sample(params, wo, n, geo_n, p, xi)
+    wi, weight, pdf, sub_ok, reg_a = _substitute_sample(params, wo, n, geo_n, p, xi)
     is_sub = kind == int(MaterialKind.SUBSTITUTE)
     valid = sub_ok & is_sub
     falses = jnp.zeros(valid.shape, bool)
@@ -672,6 +702,8 @@ def sample_bsdf(params, wo, n, geo_n, s3) -> BsdfSample:
         valid = valid | is_glass
         singular = is_glass & ~rough  # rough glass participates in MIS
         transmission = is_glass & gl_trans
+        # singular glass: reg_alpha 0; rough glass: its alpha
+        reg_a = jnp.where(is_glass, jnp.where(rough, params["alpha"], 0.0), reg_a)
 
     if "volumetric" in feats:
         # volumetric materials are null interfaces: pass straight through,
@@ -693,6 +725,7 @@ def sample_bsdf(params, wo, n, geo_n, s3) -> BsdfSample:
         singular=singular,
         transmission=transmission,
         passthrough=passthrough,
+        reg_alpha=reg_a,
     )
 
 

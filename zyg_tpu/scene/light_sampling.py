@@ -59,16 +59,40 @@ def select_light(scene: SceneData, u, p=None, n=None, total_sphere=False):
     return idx.astype(jnp.int32), pdf
 
 
-def light_select_pdf(scene: SceneData, light_idx, p=None, n=None, total_sphere=False):
+def light_select_pdf(
+    scene: SceneData, light_idx, p=None, n=None, total_sphere=False,
+    split_threshold=None, split_depth: int = 0,
+):
     """Selection pdf of `light_idx` — must MATCH select_light's strategy
-    (ref scene.zig lightPdfSpatial)."""
+    (ref scene.zig lightPdfSpatial). With `split_depth > 0` the pdf is
+    computed under adaptive splitting (ref light_tree.zig Tree.pdf with a
+    positive split threshold)."""
     if scene.light_tree is not None and p is not None:
         from . import light_tree as lt_mod
 
+        if split_depth > 0 and split_threshold is not None:
+            return lt_mod.pdf_split(
+                scene.light_tree, p, n, total_sphere, light_idx,
+                split_threshold, split_depth,
+            )
         return lt_mod.pdf(scene.light_tree, p, n, total_sphere, light_idx)
     cdf = scene.lights.cdf
     i = jnp.clip(light_idx, 0, scene.lights.count - 1)
     return cdf[i + 1] - cdf[i]
+
+
+def select_lights_split(
+    scene: SceneData, u, p, n, total_sphere, split_threshold, split_depth: int
+):
+    """Adaptive-split selection: (lights int32[N,P], pdfs float32[N,P]) with
+    P = 2^split_depth (+1 infinite pick when the scene has infinite lights).
+    Requires a light tree (the driver only enables splitting when one
+    exists). Inactive picks have light = -1, pdf = 0."""
+    from . import light_tree as lt_mod
+
+    return lt_mod.select_split(
+        scene.light_tree, p, n, total_sphere, u, split_threshold, split_depth
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -157,17 +157,35 @@ def _read_color(v) -> np.ndarray:
     return np.array([float(x) for x in v[:3]], np.float32)
 
 
-def parse_material(value: dict, builder: "SceneBuilder | None" = None, base_dir: str = "") -> MaterialDesc:
+def parse_material(
+    value: dict,
+    builder: "SceneBuilder | None" = None,
+    base_dir: str = "",
+    image_provider=None,
+) -> MaterialDesc:
     """Parse one material JSON node (ref: material_provider.zig loadMaterial).
 
     Texture-valued parameters ({"file": ...} nodes) are packed into the
-    builder's texture arena when a builder is provided."""
+    builder's texture arena when a builder is provided. {"id": N} nodes
+    resolve through `image_provider` (the C API's su_image_create store,
+    ref capi.zig materialRefersToImage / capi-test/test.py:120); the
+    texture slot remembers the image id so su_image_update propagates."""
     rendering = value.get("rendering", value)
     desc = MaterialDesc()
 
     def tex(v, srgb):
         if builder is not None and isinstance(v, dict) and "file" in v:
             return builder.load_texture(os.path.join(base_dir, v["file"]), srgb=srgb)
+        if (
+            builder is not None
+            and image_provider is not None
+            and isinstance(v, dict)
+            and "id" in v
+        ):
+            img = image_provider(int(v["id"]))
+            if img is None:
+                return -1
+            return builder.add_capi_image_ref(int(v["id"]), img, srgb=srgb)
         return -1
     for kind_name, body in rendering.items():
         if kind_name == "Substitute":
@@ -499,6 +517,31 @@ class SceneBuilder:
 
     def add_texture_image(self, image: np.ndarray, srgb: bool = False) -> int:
         return self.textures.add(image, srgb=srgb)
+
+    def add_capi_image_ref(self, image_id: int, image: np.ndarray, srgb: bool = False) -> int:
+        """Texture slot backed by a C-API image id: su_image_update replaces
+        the slot's pixels via refresh_capi_image (ref capi.zig image store)."""
+        img = np.asarray(image)
+        if img.ndim == 4:  # [D,H,W,C] from su_image_create — 2D slice
+            img = img[0]
+        tid = self.textures.add(img, srgb=srgb)
+        if not hasattr(self, "_capi_tex_refs"):
+            self._capi_tex_refs = {}
+        self._capi_tex_refs[tid] = (int(image_id), bool(srgb))
+        return tid
+
+    def refresh_capi_image(self, image_id: int, image: np.ndarray) -> bool:
+        """Propagate su_image_update into every texture slot referencing
+        `image_id`. Returns True when any slot changed."""
+        changed = False
+        for tid, (iid, srgb) in getattr(self, "_capi_tex_refs", {}).items():
+            if iid == int(image_id):
+                img = np.asarray(image)
+                if img.ndim == 4:
+                    img = img[0]
+                self.textures.replace(tid, img, srgb=srgb)
+                changed = True
+        return changed
 
     def add_density_grid(self, grid: np.ndarray) -> int:
         self.density_grids.append(np.asarray(grid, np.float32))

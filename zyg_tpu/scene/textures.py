@@ -36,8 +36,9 @@ class TextureBuilder:
     def __init__(self):
         self._images: list[np.ndarray] = []
 
-    def add(self, image: np.ndarray, srgb: bool = False) -> int:
-        """image: [H,W,C] uint8/uint16/float32 -> texture id."""
+    @staticmethod
+    def _convert(image: np.ndarray, srgb: bool) -> np.ndarray:
+        """[H,W,C] uint8/uint16/float32 -> packed [H,W,4] float32."""
         img = np.asarray(image)
         if img.ndim == 2:
             img = img[..., None]
@@ -60,8 +61,16 @@ class TextureBuilder:
         if c == 1:
             rgba[..., 1] = rgba[..., 2] = rgba[..., 0]
             rgba[..., 3] = 1.0
-        self._images.append(rgba)
+        return rgba
+
+    def add(self, image: np.ndarray, srgb: bool = False) -> int:
+        """image: [H,W,C] uint8/uint16/float32 -> texture id."""
+        self._images.append(self._convert(image, srgb))
         return len(self._images) - 1
+
+    def replace(self, tex_id: int, image: np.ndarray, srgb: bool = False) -> None:
+        """Swap a slot's pixels in place (C-API live image updates)."""
+        self._images[tex_id] = self._convert(image, srgb)
 
     def build(self) -> TextureArena | None:
         if not self._images:
