@@ -120,3 +120,29 @@ def load_mesh_file(path: str) -> HostMesh | None:
 
         logging.getLogger(__name__).warning("mesh load failed %s: %s", path, e)
     return None
+
+
+def load_point_cloud_file(path: str):
+    """JSON geometry with point_list topology -> HostPoints
+    (ref shape_provider.zig PointList branch; sow writes these)."""
+    from ..scene.points import HostPoints
+
+    with open(path) as f:
+        root = json.load(f)
+    geo = root.get("geometry", root)
+    pos = np.asarray(geo.get("positions", geo.get("vertices")), np.float32).reshape(-1, 3)
+    r = geo.get("radii")
+    radius = float(geo.get("point_radius", 0.01))
+    radii = (
+        np.asarray(r, np.float32).reshape(-1)
+        if r is not None
+        else np.full(len(pos), radius, np.float32)
+    )
+    pe = geo.get("positions_end")
+    return HostPoints(
+        positions=pos,
+        radii=radii,
+        positions_end=(
+            np.asarray(pe, np.float32).reshape(-1, 3) if pe is not None else None
+        ),
+    )

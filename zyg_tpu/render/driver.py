@@ -217,6 +217,8 @@ class Driver:
         # fused dispatches have crashed the remote TPU worker
         self._heavy_loops = (
             self.scene.meshes is not None
+            or self.scene.curves is not None
+            or self.scene.points is not None
             or self.scene.grids is not None
             or self.take.photon.num_photons > 0
         )

@@ -210,8 +210,9 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
             "reflection", primary=primary, time=s.time,
         )
         has_tex = scene.textures is not None
+        has_hair = scene.mat_features is None or "hair" in (scene.mat_features or {})
         frag = shapes.build_fragment(
-            scene, hit, s.o, s.d, need_tangents=has_tex, time=s.time
+            scene, hit, s.o, s.d, need_tangents=has_tex or has_hair, time=s.time
         )
         if has_tex:
             frag = frag._replace(
@@ -418,7 +419,9 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
                 radiance = ls_mod.light_radiance(
                     scene, light_idx, lsmp.wi, lsmp.light_n, lsmp.uv
                 )
-                f_srf, bpdf_srf = mat.eval_bsdf(params, wo, lsmp.wi, frag.n, frag.geo_n)
+                f_srf, bpdf_srf = mat.eval_bsdf(
+                    params, wo, lsmp.wi, frag.n, frag.geo_n, t=frag.t, b=frag.b
+                )
                 if has_media:
                     ph = mat.hg_phase(vm.dot(s.d, lsmp.wi), g_med)
                     f = jnp.where(scatter[..., None], ph[..., None], f_srf)
@@ -514,7 +517,7 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
 
         # ---- BSDF / phase sample
         s3 = smp.sample_3d()
-        bs = mat.sample_bsdf(params, wo, frag.n, frag.geo_n, s3)
+        bs = mat.sample_bsdf(params, wo, frag.n, frag.geo_n, s3, t=frag.t, b=frag.b)
         if has_media:
             # false interfaces override the BSDF with a straight-through
             # null event (the enclosing medium owns this boundary)

@@ -171,6 +171,12 @@ def gather(materials: Materials, mat_id, medium_ior=None, textures=None, uv=None
     out_extra = {}
     if "ies" in feats and materials.ies is not None:
         out_extra["ies"] = small_gather(materials.ies, m)
+    if "hair" in feats and materials.hair is not None:
+        out_extra["hair"] = small_gather(materials.hair, m)
+        # azimuthal offset h = 2v-1 from the curve fragment's uv
+        # (ref hair_sample.zig: h = 2*(rs.uvw[1]-0.5))
+        if uv is not None:
+            out_extra["hair_h"] = jnp.clip(2.0 * (uv[..., 1] - 0.5), -1.0, 1.0)
     return {
         "_features": feats,
         **out_extra,
@@ -667,7 +673,7 @@ def _glass_sample(params, wo, n, geo_n, p):
     return wi, weight, transmission
 
 
-def sample_bsdf(params, wo, n, geo_n, s3) -> BsdfSample:
+def sample_bsdf(params, wo, n, geo_n, s3, t=None, b=None) -> BsdfSample:
     """Sample the BSDF. s3: float[N,3] uniforms (lobe select + 2D).
 
     Scene-absent material kinds compile to nothing: glass sampling (two VNDF
@@ -705,6 +711,18 @@ def sample_bsdf(params, wo, n, geo_n, s3) -> BsdfSample:
         # singular glass: reg_alpha 0; rough glass: its alpha
         reg_a = jnp.where(is_glass, jnp.where(rough, params["alpha"], 0.0), reg_a)
 
+    if "hair" in feats and t is not None:
+        is_hair = kind == int(MaterialKind.HAIR)
+        h_wi, h_w, h_pdf, h_ok = hair_sample(params, wo, t, b, n, s3)
+        wi = jnp.where(is_hair[..., None], h_wi, wi)
+        weight = jnp.where(is_hair[..., None], h_w, weight)
+        pdf = jnp.where(is_hair, h_pdf, pdf)
+        valid = jnp.where(is_hair, h_ok, valid)
+        # hair scatters through the fiber: mark transmission when wi
+        # crosses to the far side so the offset goes the right way
+        transmission = jnp.where(is_hair, vm.dot(h_wi, geo_n) < 0.0, transmission)
+        reg_a = jnp.where(is_hair, 1.0, reg_a)
+
     if "volumetric" in feats:
         # volumetric materials are null interfaces: pass straight through,
         # the medium interior does the work (ref volumetric_material.zig)
@@ -729,7 +747,7 @@ def sample_bsdf(params, wo, n, geo_n, s3) -> BsdfSample:
     )
 
 
-def eval_bsdf(params, wo, wi, n, geo_n):
+def eval_bsdf(params, wo, wi, n, geo_n, t=None, b=None):
     """Evaluate f(wo,wi)*|cos| and pdf for NEE/MIS."""
     kind = params["kind"]
     f, pdf = _substitute_eval(params, wo, wi, n, geo_n)
@@ -741,18 +759,25 @@ def eval_bsdf(params, wo, wi, n, geo_n):
         f_gl, pdf_gl = _glass_rough_eval(params, wo, wi, n, geo_n)
         f = jnp.where(gl[..., None], f_gl, f)
         pdf = jnp.where(gl, pdf_gl, pdf)
+    if "hair" in params["_features"] and t is not None:
+        is_hair = kind == int(MaterialKind.HAIR)
+        f_h, pdf_h = hair_eval(params, wo, wi, t, b, n)
+        f = jnp.where(is_hair[..., None], f_h, f)
+        pdf = jnp.where(is_hair, pdf_h, pdf)
     return f, pdf
 
 
 def can_evaluate(params):
     """Delta-only materials (smooth glass) and emitters can't do NEE; rough
-    dielectrics can (ref glass_sample.zig:51)."""
+    dielectrics and hair can (ref glass_sample.zig:51, hair_sample.zig)."""
     ok = params["kind"] == int(MaterialKind.SUBSTITUTE)
     if "rough_glass" in params["_features"]:
         ok = ok | (
             (params["kind"] == int(MaterialKind.GLASS))
             & (params["alpha"] > MIN_ALPHA * 1.001)
         )
+    if "hair" in params["_features"]:
+        ok = ok | (params["kind"] == int(MaterialKind.HAIR))
     return ok
 
 
@@ -841,3 +866,265 @@ def russian_roulette(throughput, r):
     scale = jnp.where(p < 1.0, 1.0 / jnp.maximum(p, 1e-12), 1.0)
     throughput = throughput * jnp.where(kill, 0.0, scale)[..., None]
     return throughput, kill
+
+
+# ---------------------------------------------------------------------------
+# Hair BSDF — Chiang et al. 2016 "A Practical and Controllable Hair and Fur
+# Model for Production Path Tracing" (ref material/hair/hair_sample.zig).
+# Fully vectorized: fixed p = 0..3 ports (R, TT, TRT, residual), logistic
+# azimuthal lobes, von-Mises-like longitudinal lobes.
+# The local frame is (t, b, n) with the TANGENT on x (hair axis).
+# ---------------------------------------------------------------------------
+
+_HAIR_MAX_P = 3
+
+
+def _hair_i0(x):
+    """Modified Bessel I0, 10-term series (ref hair_sample.zig I0)."""
+    val = jnp.zeros_like(x)
+    x2i = jnp.ones_like(x)
+    ifact = 1.0
+    ifour = 1.0
+    for i in range(10):
+        if i > 1:
+            ifact *= i
+        val = val + x2i / (ifour * ifact * ifact)
+        x2i = x2i * x * x
+        ifour *= 4.0
+    return val
+
+
+def _hair_log_i0(x):
+    return jnp.where(
+        x > 12.0,
+        x + 0.5 * (-jnp.log(2.0 * jnp.pi) + jnp.log(1.0 / jnp.maximum(x, 1e-9)) + 1.0 / (8.0 * jnp.maximum(x, 1e-9))),
+        jnp.log(jnp.maximum(_hair_i0(x), 1e-30)),
+    )
+
+
+def _hair_mp(cos_i, cos_o, sin_i, sin_o, v):
+    """Longitudinal scattering lobe (ref mp)."""
+    v = jnp.maximum(v, 1e-5)
+    a = cos_i * cos_o / v
+    b = sin_i * sin_o / v
+    small = v <= 0.1
+    lo = jnp.exp(_hair_log_i0(a) - b - 1.0 / v + 0.6931 + jnp.log(1.0 / (2.0 * v)))
+    hi = jnp.exp(-b) * _hair_i0(a) / (jnp.sinh(1.0 / v) * 2.0 * v)
+    return jnp.where(small, lo, hi)
+
+
+def _hair_logistic(x, s):
+    ax = jnp.abs(x)
+    e = jnp.exp(-ax / s)
+    return e / (s * (1.0 + e) ** 2)
+
+
+def _hair_logistic_cdf(x, s):
+    return 1.0 / (1.0 + jnp.exp(-x / s))
+
+
+def _hair_trimmed_logistic(x, s, a, b):
+    return _hair_logistic(x, s) / (_hair_logistic_cdf(b, s) - _hair_logistic_cdf(a, s))
+
+
+def _hair_sample_trimmed_logistic(u, s, a, b):
+    ka = _hair_logistic_cdf(a, s)
+    kb = _hair_logistic_cdf(b, s)
+    lu = ka + u * (kb - ka)
+    x = -s * jnp.log(1.0 / jnp.clip(lu, 1e-6, 1.0 - 1e-6) - 1.0)
+    return jnp.clip(x, a, b)
+
+
+def _hair_fresnel(cos_theta, eta):
+    """Dielectric Fresnel with orientation flip (ref hair fresnel)."""
+    flip = cos_theta < 0.0
+    eta_e = jnp.where(flip, 1.0 / eta, eta)
+    ci = jnp.abs(cos_theta)
+    s2i = 1.0 - ci * ci
+    s2t = s2i / (eta_e * eta_e)
+    tir = s2t >= 1.0
+    ct = jnp.sqrt(jnp.maximum(1.0 - s2t, 0.0))
+    r_par = (eta_e * ci - ct) / jnp.maximum(eta_e * ci + ct, 1e-9)
+    r_per = (ci - eta_e * ct) / jnp.maximum(ci + eta_e * ct, 1e-9)
+    return jnp.where(tir, 1.0, 0.5 * (r_par * r_par + r_per * r_per))
+
+
+def _hair_phi_fn(p, gamma_o, gamma_t):
+    return 2.0 * p * gamma_t - 2.0 * gamma_o + p * jnp.pi
+
+
+def _hair_np(phi, p, s, gamma_o, gamma_t):
+    dphi = phi - _hair_phi_fn(p, gamma_o, gamma_t)
+    # wrap to [-pi, pi] (bounded phi values: mod instead of the ref's loop)
+    dphi = jnp.mod(dphi + jnp.pi, 2.0 * jnp.pi) - jnp.pi
+    return _hair_trimmed_logistic(dphi, s, -jnp.pi, jnp.pi)
+
+
+def _hair_setup(params, wo, t, b, n):
+    """Per-lane hair state (ref hair_sample.zig Sample.init)."""
+    hc = params["hair"]  # [N,6] mu_a(3), v0, s, alpha
+    mu_a = hc[..., 0:3]
+    v0 = hc[..., 3]
+    s = jnp.maximum(hc[..., 4], 1e-4)
+    alpha = hc[..., 5]
+    eta = params["ior"]
+
+    wo_x = vm.dot(wo, t)
+    wo_y = vm.dot(wo, b)
+    wo_z = vm.dot(wo, n)
+    sin_theta_o = jnp.clip(wo_x, -1.0, 1.0)
+    cos_theta_o = jnp.sqrt(jnp.maximum(1.0 - sin_theta_o**2, 1e-9))
+    phi_o = jnp.arctan2(wo_z, wo_y)
+
+    h = jnp.clip(params.get("hair_h", jnp.zeros_like(eta)), -1.0, 1.0)
+    etap = jnp.sqrt(jnp.maximum(eta * eta - sin_theta_o**2, 1e-9)) / cos_theta_o
+    sin_gamma_t = jnp.clip(h / etap, -1.0, 1.0)
+    cos_gamma_t = jnp.sqrt(jnp.maximum(1.0 - sin_gamma_t**2, 0.0))
+    gamma_t = jnp.arcsin(sin_gamma_t)
+    gamma_o = jnp.arcsin(h)
+
+    sin_theta_t = sin_theta_o / eta
+    cos_theta_t = jnp.sqrt(jnp.maximum(1.0 - sin_theta_t**2, 1e-9))
+    tr = jnp.exp(-mu_a * (2.0 * cos_gamma_t / cos_theta_t)[..., None])
+
+    # attenuation ports ap[p] (ref apFunc)
+    cos_gamma_o = jnp.sqrt(jnp.maximum(1.0 - h * h, 0.0))
+    f = _hair_fresnel(cos_theta_o * cos_gamma_o, eta)
+    refl = [jnp.broadcast_to(f[..., None], tr.shape)]
+    refl.append(((1.0 - f) ** 2)[..., None] * tr)
+    ftr = f[..., None] * tr
+    for p in range(2, _HAIR_MAX_P):
+        refl.append(refl[p - 1] * ftr)
+    refl.append(refl[_HAIR_MAX_P - 1] * ftr / jnp.maximum(1.0 - ftr, 1.0 - 0.999))
+    asum = sum(jnp.mean(r, axis=-1) for r in refl)
+    pdfs = [jnp.mean(r, axis=-1) / jnp.maximum(asum, 1e-20) for r in refl]
+
+    # angle-doubling series for the scale tilt (ref commit())
+    s0, c0 = jnp.sin(alpha), jnp.cos(alpha)
+    s1, c1 = 2.0 * c0 * s0, c0 * c0 - s0 * s0
+    s2, c2 = 2.0 * c1 * s1, c1 * c1 - s1 * s1
+
+    return {
+        "mu_a": mu_a, "eta": eta, "h": h,
+        "v": (v0, 0.25 * v0, 4.0 * v0),
+        "s": s,
+        "sin_theta_o": sin_theta_o, "cos_theta_o": cos_theta_o,
+        "phi_o": phi_o, "gamma_o": gamma_o, "gamma_t": gamma_t,
+        "sin2k": (s0, s1, s2), "cos2k": (c0, c1, c2),
+        "ap_refl": refl, "ap_pdf": pdfs,
+    }
+
+
+def _hair_thetap_o(st, p):
+    """Tilted outgoing angles per port (ref eval's per-p rotation)."""
+    sin_o, cos_o = st["sin_theta_o"], st["cos_theta_o"]
+    s2k, c2k = st["sin2k"], st["cos2k"]
+    if p == 0:
+        sp = sin_o * c2k[1] - cos_o * s2k[1]
+        cp = cos_o * c2k[1] + sin_o * s2k[1]
+    elif p == 1:
+        sp = sin_o * c2k[0] + cos_o * s2k[0]
+        cp = cos_o * c2k[0] - sin_o * s2k[0]
+    elif p == 2:
+        sp = sin_o * c2k[2] + cos_o * s2k[2]
+        cp = cos_o * c2k[2] - sin_o * s2k[2]
+    else:
+        sp, cp = sin_o, cos_o
+    return sp, jnp.abs(cp)
+
+
+def _hair_eval_angles(st, cos_theta_i, sin_theta_i, phi):
+    fsum = jnp.zeros(st["ap_refl"][0].shape, jnp.float32)
+    pdf_sum = jnp.zeros(cos_theta_i.shape, jnp.float32)
+    v = st["v"]
+    for p in range(_HAIR_MAX_P):
+        sp, cp = _hair_thetap_o(st, p)
+        tmp = _hair_mp(cos_theta_i, cp, sin_theta_i, sp, v[min(p, 2)])
+        tnp_ = _hair_np(phi, float(p), st["s"], st["gamma_o"], st["gamma_t"])
+        mnp = tmp * tnp_
+        fsum = fsum + mnp[..., None] * st["ap_refl"][p]
+        pdf_sum = pdf_sum + mnp * st["ap_pdf"][p]
+    # residual port: isotropic azimuth
+    tmp = _hair_mp(cos_theta_i, st["cos_theta_o"], sin_theta_i, st["sin_theta_o"], v[2])
+    fsum = fsum + (tmp / (2.0 * jnp.pi))[..., None] * st["ap_refl"][_HAIR_MAX_P]
+    pdf_sum = pdf_sum + tmp * st["ap_pdf"][_HAIR_MAX_P] / (2.0 * jnp.pi)
+    return fsum, pdf_sum
+
+
+def hair_eval(params, wo, wi, t, b, n):
+    """f (radiance response, no extra cos — hair convention) and pdf."""
+    st = _hair_setup(params, wo, t, b, n)
+    sin_theta_i = jnp.clip(vm.dot(wi, t), -1.0, 1.0)
+    cos_theta_i = jnp.sqrt(jnp.maximum(1.0 - sin_theta_i**2, 1e-9))
+    phi_i = jnp.arctan2(vm.dot(wi, n), vm.dot(wi, b))
+    phi = phi_i - st["phi_o"]
+    return _hair_eval_angles(st, cos_theta_i, sin_theta_i, phi)
+
+
+def hair_sample(params, wo, t, b, n, s3):
+    """Sample the hair BSDF (ref Sample.sample). s3: 3 uniforms — the first
+    selects the port and is RESCALED for the longitudinal sample (the
+    reference draws a 4th number; rescaling keeps it unbiased)."""
+    st = _hair_setup(params, wo, t, b, n)
+    r = s3[..., 0]
+    u1 = s3[..., 1]
+    u2 = s3[..., 2]
+
+    # port selection by ap pdf CDF + conditional rescale of r
+    pdfs = st["ap_pdf"]
+    cdf0 = jnp.zeros_like(r)
+    p_sel = jnp.full(r.shape, _HAIR_MAX_P, jnp.int32)
+    u0 = jnp.zeros_like(r)
+    acc = jnp.zeros_like(r)
+    chosen = jnp.zeros(r.shape, bool)
+    for p in range(_HAIR_MAX_P + 1):
+        pd = pdfs[p]
+        take = (~chosen) & (acc + pd >= r)
+        p_sel = jnp.where(take, p, p_sel)
+        u0 = jnp.where(take, jnp.clip((r - acc) / jnp.maximum(pd, 1e-9), 0.0, 1.0), u0)
+        chosen = chosen | take
+        acc = acc + pd
+    u0 = jnp.where(chosen, u0, u1)  # degenerate: fall back
+
+    # tilted angles for the chosen port
+    sps, cps = [], []
+    for p in range(_HAIR_MAX_P + 1):
+        sp, cp = _hair_thetap_o(st, p)
+        sps.append(sp)
+        cps.append(cp)
+    sp = jnp.select([p_sel == k for k in range(_HAIR_MAX_P + 1)], sps)
+    cp = jnp.select([p_sel == k for k in range(_HAIR_MAX_P + 1)], cps)
+    vs = st["v"]
+    vp = jnp.select(
+        [p_sel == k for k in range(_HAIR_MAX_P + 1)],
+        [vs[0], vs[1], vs[2], vs[2]],
+    )
+
+    # longitudinal (ref: cos_theta sampled from the lobe)
+    cos_t = 1.0 + vp * jnp.log(
+        jnp.maximum(u0, 1e-5) + (1.0 - u0) * jnp.exp(-2.0 / jnp.maximum(vp, 1e-5))
+    )
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    cos_phi_l = jnp.cos(2.0 * jnp.pi * u1)
+    sin_theta_i = jnp.clip(-cos_t * sp + sin_t * cos_phi_l * cp, -1.0, 1.0)
+    cos_theta_i = jnp.sqrt(jnp.maximum(1.0 - sin_theta_i**2, 1e-9))
+
+    # azimuthal
+    dphi_logistic = _hair_sample_trimmed_logistic(u2, st["s"], -jnp.pi, jnp.pi)
+    phi_p = _hair_phi_fn(p_sel.astype(jnp.float32), st["gamma_o"], st["gamma_t"])
+    phi = jnp.where(
+        p_sel < _HAIR_MAX_P, phi_p + dphi_logistic, 2.0 * jnp.pi * u2
+    )
+
+    phi_i = st["phi_o"] + phi
+    wi = (
+        sin_theta_i[..., None] * t
+        + (cos_theta_i * jnp.cos(phi_i))[..., None] * b
+        + (cos_theta_i * jnp.sin(phi_i))[..., None] * n
+    )
+    wi = vm.safe_normalize(wi)
+
+    f, pdf = _hair_eval_angles(st, cos_theta_i, sin_theta_i, phi)
+    ok = pdf > 1e-9
+    weight = jnp.where(ok[..., None], f / jnp.maximum(pdf, 1e-9)[..., None], 0.0)
+    return wi, weight, pdf, ok

@@ -141,6 +141,29 @@ class MaterialDesc:
     coating_ior: float = 1.5
     coating_roughness: float = 0.2
     priority: int = 0  # nested-dielectric priority (ref medium.zig)
+    # hair material (ref hair_material.zig): beta_n azimuthal roughness
+    # (roughness doubles as beta_m), explicit absorption from melanin
+    hair_beta_n: float = 0.3
+    hair_mu_a: "np.ndarray | None" = None
+
+
+# ref material/metal_presets.zig iorAndAbsorption: complex IoR (eta, k)
+METAL_PRESETS = {
+    "Aluminium": ((1.50694, 0.926041, 0.68251), (7.6307, 6.3849, 5.6230)),
+    "Gold": ((0.18267, 0.49447, 1.3761), (3.1178, 2.3515, 1.8324)),
+    "Silver": ((0.13708, 0.12945, 0.14075), (4.0625, 3.1692, 2.6034)),
+    "Iron": ((2.9038, 2.8857, 2.6420), (3.0798, 2.9157, 2.8025)),
+}
+
+
+def metal_preset_f0(name: str) -> np.ndarray:
+    """Conductor reflectance at normal incidence from the preset's complex
+    IoR (ref fresnel.conductor with cos=1, ior_outside=1)."""
+    eta, k = METAL_PRESETS.get(name, ((1.5, 1.5, 1.5), (1.0, 1.0, 1.0)))
+    eta = np.asarray(eta, np.float64)
+    k = np.asarray(k, np.float64)
+    f0 = ((eta - 1.0) ** 2 + k * k) / ((eta + 1.0) ** 2 + k * k)
+    return f0.astype(np.float32)
 
 
 def _read_color(v) -> np.ndarray:
@@ -203,6 +226,8 @@ def parse_material(
             desc.kind = int(MaterialKind.VOLUMETRIC)
         elif kind_name == "Hair":
             desc.kind = int(MaterialKind.HAIR)
+            desc.roughness = 0.3  # beta_m default (ref hair_material.zig)
+            desc.color = np.full(3, 0.5, np.float32)
         elif kind_name == "Sky":
             desc.kind = int(MaterialKind.SKY)
         else:
@@ -222,14 +247,34 @@ def parse_material(
             elif key == "normal":
                 desc.normal_tex = tex(v, srgb=False)
             elif key == "roughness":
+                if kind_name == "Hair" and isinstance(v, (list, tuple)):
+                    # vec2: (beta_m longitudinal, beta_n azimuthal)
+                    desc.roughness = float(v[0])
+                    desc.hair_beta_n = float(v[1] if len(v) > 1 else v[0])
+                    continue
                 t = tex(v, srgb=False)
                 if t >= 0:
                     desc.roughness_tex = t
                     desc.roughness = 1.0
                 elif isinstance(v, (int, float)):
                     desc.roughness = float(v)
+                    if kind_name == "Hair":
+                        desc.hair_beta_n = float(v)
+            elif key == "eumelanin" and kind_name == "Hair":
+                ce = float(v)
+                cp = float(body.get("pheomelanin", 0.0))
+                # ref hair_material.zig absorptionFromMelanin
+                desc.hair_mu_a = (
+                    ce * np.array([0.419, 0.697, 1.37], np.float32)
+                    + cp * np.array([0.187, 0.4, 1.05], np.float32)
+                )
             elif key == "metallic":
                 desc.metallic = float(v)
+            elif key == "metal_preset":
+                # ref material_provider.zig:277: color <- conductor
+                # reflectance, fully metallic
+                desc.color = metal_preset_f0(str(v))
+                desc.metallic = 1.0
             elif key == "ior":
                 desc.ior = float(v)
             elif key == "specular":
@@ -348,7 +393,29 @@ def materials_to_table(descs: list[MaterialDesc]) -> Materials:
         coating_ior=jnp.asarray([d.coating_ior for d in descs], jnp.float32),
         coating_roughness=jnp.asarray([d.coating_roughness for d in descs], jnp.float32),
         priority=jnp.asarray([d.priority for d in descs], jnp.int32),
+        hair=jnp.asarray(np.stack([_hair_constants(d) for d in descs]), jnp.float32),
     )
+
+
+def _hair_constants(d: MaterialDesc) -> np.ndarray:
+    """[mu_a(3), v0, s, alpha] (ref hair_material.zig commit())."""
+    if d.kind != int(MaterialKind.HAIR):
+        return np.zeros(6, np.float32)
+    bm = float(np.clip(d.roughness, 1e-3, 1.0))
+    bn = float(np.clip(d.hair_beta_n, 1e-3, 1.0))
+    v0 = (0.726 * bm + 0.812 * bm * bm + 3.7 * bm**20) ** 2
+    s = 0.626657069 * (0.265 * bn + 1.194 * bn * bn + 5.372 * bn**22)
+    if d.hair_mu_a is not None:
+        mu_a = np.asarray(d.hair_mu_a, np.float64)
+    else:
+        denom = (
+            5.969 - 0.215 * bn + 2.532 * bn**2 - 10.73 * bn**3
+            + 5.574 * bn**4 + 0.245 * bn**5
+        )
+        sq = np.log(np.clip(np.asarray(d.color, np.float64), 1e-5, 1.0)) / denom
+        mu_a = sq * sq
+    alpha = np.deg2rad(2.0)
+    return np.concatenate([mu_a, [v0, s, alpha]]).astype(np.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -366,6 +433,8 @@ class PropDesc:
     visible_shadow: bool = True
     is_light: bool = False
     mesh_id: int = -1
+    curve_id: int = -1  # curve-shape arena id (ref shape/curve/)
+    cloud_id: int = -1  # point-cloud arena id (ref shape/point/)
     # keyframed motion: [(time_seconds, Transformation), ...] or None
     # (ref util/animation_loader.zig / scene/space.zig setFrames)
     animation: "list | None" = None
@@ -499,6 +568,10 @@ class SceneBuilder:
         self.density_grids: list[np.ndarray] = []
         self._mesh_by_name: dict[str, int] = {}
         self._mat_by_name: dict[str, int] = {}
+        self.curve_shapes: list = []
+        self._curves_by_name: dict[str, int] = {}
+        self.point_clouds: list = []
+        self._points_by_name: dict[str, int] = {}
         # fallback material id 0
         self._fallback = self.add_material(MaterialDesc(color=np.array([1.0, 0.0, 0.6], np.float32)))
 
@@ -575,6 +648,50 @@ class SceneBuilder:
         if name:
             self._mesh_by_name[name] = mid
         return mid
+
+    def add_curves(self, curves, name: str | None = None) -> int:
+        """Register a HostCurves set (hair strands); returns curve id."""
+        if name and name in self._curves_by_name:
+            return self._curves_by_name[name]
+        if not hasattr(self, "curve_shapes"):
+            self.curve_shapes = []
+        self.curve_shapes.append(curves)
+        cid = len(self.curve_shapes) - 1
+        if name:
+            self._curves_by_name[name] = cid
+        return cid
+
+    def add_curve_prop(self, curve_id: int, trafo: Transformation, material: int, **kw) -> int:
+        return self.add_prop(
+            PropDesc(
+                shape=int(ShapeType.CURVES),
+                trafo=trafo,
+                material=material,
+                curve_id=curve_id,
+                **kw,
+            )
+        )
+
+    def add_points(self, cloud, name: str | None = None) -> int:
+        """Register a HostPoints cloud; returns cloud id."""
+        if name and name in self._points_by_name:
+            return self._points_by_name[name]
+        self.point_clouds.append(cloud)
+        pid = len(self.point_clouds) - 1
+        if name:
+            self._points_by_name[name] = pid
+        return pid
+
+    def add_point_prop(self, cloud_id: int, trafo: Transformation, material: int, **kw) -> int:
+        return self.add_prop(
+            PropDesc(
+                shape=int(ShapeType.POINTS),
+                trafo=trafo,
+                material=material,
+                cloud_id=cloud_id,
+                **kw,
+            )
+        )
 
     def add_mesh_prop(self, mesh_id: int, trafo: Transformation, material: int, **kw) -> int:
         return self.add_prop(
@@ -702,6 +819,18 @@ class SceneBuilder:
         else:
             meshes, mesh_host_info = None, []
         mesh_props = [i for i, p in enumerate(props) if p.mesh_id >= 0]
+        curve_arena = None
+        curve_props = [i for i, p in enumerate(props) if p.curve_id >= 0]
+        if getattr(self, "curve_shapes", None) and curve_props:
+            from .curves import build_arena as build_curve_arena
+
+            curve_arena = build_curve_arena(self.curve_shapes)
+        point_arena = None
+        point_props = [i for i, p in enumerate(props) if p.cloud_id >= 0]
+        if getattr(self, "point_clouds", None) and point_props:
+            from .points import build_arena as build_point_arena
+
+            point_arena = build_point_arena(self.point_clouds)
         texture_arena = self.textures.build()
 
         # participating media: volumetric-material props never binary-block
@@ -737,6 +866,8 @@ class SceneBuilder:
             mat_features["glass"] = True
         if any(d.kind == int(MaterialKind.VOLUMETRIC) for d in self.materials):
             mat_features["volumetric"] = True
+        if any(d.kind == int(MaterialKind.HAIR) for d in self.materials):
+            mat_features["hair"] = True
         # rough dielectrics do NEE too (ref glass_sample.zig:51 canEvaluate
         # is true for the rough path) — only compile the microfacet-dielectric
         # eval when such a material exists
@@ -805,7 +936,7 @@ class SceneBuilder:
         animated_ids = {i for i, _ in animated_props}
         groups: dict[int, list[int]] = {}
         for i, p in enumerate(props):
-            if p.mesh_id < 0 and i not in animated_ids:
+            if p.mesh_id < 0 and p.curve_id < 0 and p.cloud_id < 0 and i not in animated_ids:
                 groups.setdefault(p.shape, []).append(i)
         prop_groups = {k: jnp.asarray(v, jnp.int32) for k, v in sorted(groups.items())}
 
@@ -882,6 +1013,12 @@ class SceneBuilder:
             meshes=meshes,
             mesh_props=jnp.asarray(mesh_props, jnp.int32) if meshes is not None else None,
             prop_mesh=jnp.asarray([p.mesh_id for p in props], jnp.int32) if meshes is not None else None,
+            curves=curve_arena,
+            curve_props=jnp.asarray(curve_props, jnp.int32) if curve_arena is not None else None,
+            prop_curve=jnp.asarray([p.curve_id for p in props], jnp.int32) if curve_arena is not None else None,
+            points=point_arena,
+            point_props=jnp.asarray(point_props, jnp.int32) if point_arena is not None else None,
+            prop_cloud=jnp.asarray([p.cloud_id for p in props], jnp.int32) if point_arena is not None else None,
             textures=texture_arena,
             prop_groups=prop_groups,
             light_shapes=light_shapes,
@@ -941,6 +1078,18 @@ def load_scene_dict(
     return builder.build(time0, time1)
 
 
+def _is_point_cloud_file(path: str) -> bool:
+    """Cheap sniff: JSON geometry with point_list topology (sow output)."""
+    if not path.endswith((".json", ".mesh")):
+        return False
+    try:
+        with open(path, "rb") as f:
+            head = f.read(4096)
+        return b"point_list" in head
+    except OSError:
+        return False
+
+
 def _load_entities(entities, parent: Transformation, local_materials, builder: SceneBuilder, base_dir: str):
     builder.base_dir = base_dir
     for e in entities:
@@ -965,8 +1114,36 @@ def _load_entities(entities, parent: Transformation, local_materials, builder: S
             shape_node = e.get("shape", {})
             stype = shape_node.get("type")
             mesh_id = -1
+            curve_id = -1
+            cloud_id = -1
             if stype in _SHAPE_NAMES:
                 shape = int(_SHAPE_NAMES[stype])
+            elif "file" in shape_node and _is_point_cloud_file(
+                os.path.join(base_dir, shape_node["file"])
+            ):
+                # point-list geometry (ref shape_provider.zig PointList
+                # branch; sow writes these)
+                from ..io.mesh import load_point_cloud_file
+
+                fname = shape_node["file"]
+                if fname in builder._points_by_name:
+                    cloud_id = builder._points_by_name[fname]
+                else:
+                    cloud = load_point_cloud_file(os.path.join(base_dir, fname))
+                    cloud_id = builder.add_points(cloud, fname)
+                shape = int(ShapeType.POINTS)
+            elif "file" in shape_node and shape_node["file"].endswith(".hair"):
+                # hair strands (ref shape_provider.zig HAIR branch)
+                from ..io.hair import read_hair
+                from ..io.fs import open_stream
+
+                fname = shape_node["file"]
+                if fname in builder._curves_by_name:
+                    curve_id = builder._curves_by_name[fname]
+                else:
+                    with open_stream(os.path.join(base_dir, fname)) as f:
+                        curve_id = builder.add_curves(read_hair(f), fname)
+                shape = int(ShapeType.CURVES)
             elif "file" in shape_node:
                 from ..io.mesh import load_mesh_file
 
@@ -1011,6 +1188,8 @@ def _load_entities(entities, parent: Transformation, local_materials, builder: S
                         visible_shadow=occluding and bool(vis.get("in_shadow", True)),
                         is_light=is_light,
                         mesh_id=mesh_id,
+                        curve_id=curve_id,
+                        cloud_id=cloud_id,
                         animation=anim,
                     )
                 )

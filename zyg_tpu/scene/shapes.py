@@ -278,6 +278,14 @@ def intersect_scene(scene: SceneData, o, d, tmin, tmax, ray_class: str = "reflec
         t_b, p_b, u_b, v_b, prim = _intersect_meshes(
             scene, o, d, tmin, tmax, vis, primary, t_b, p_b, u_b, v_b, prim
         )
+    if scene.curves is not None:
+        t_b, p_b, u_b, v_b, prim = _intersect_curves(
+            scene, o, d, tmin, tmax, vis, primary, t_b, p_b, u_b, v_b, prim
+        )
+    if scene.points is not None:
+        t_b, p_b, u_b, v_b, prim = _intersect_points(
+            scene, o, d, tmin, tmax, vis, primary, t_b, p_b, u_b, v_b, prim, time
+        )
     return Hit(t_b, p_b, u_b, v_b, prim)
 
 
@@ -310,6 +318,75 @@ def _intersect_meshes(scene: SceneData, o, d, tmin, tmax, vis, primary, t_b, p_b
 
     (t_b, p_b, u_b, v_b, prim_b), _ = jax.lax.scan(
         body, (t_b, p_b, u_b, v_b, prim_b), scene.mesh_props
+    )
+    return t_b, p_b, u_b, v_b, prim_b
+
+
+def _intersect_curves(scene: SceneData, o, d, tmin, tmax, vis, primary, t_b, p_b, u_b, v_b, prim_b):
+    """Closest-hit over curve (hair) props: rounded-cone segment BVHs
+    (ref shape/curve/curve_tree.zig; TPU flattening in scene/curves.py).
+    Hit.u carries the axial segment parameter; Hit.prim the arena segment."""
+    from . import curves as cv
+
+    def body(carry, prop_idx):
+        t_b, p_b, u_b, v_b, prim_b = carry
+        rot = scene.prop_rot[prop_idx]
+        pos = scene.prop_pos[prop_idx]
+        scale = scene.prop_scale[prop_idx]
+        lane_vis = vis[prop_idx]
+        if primary is not None:
+            lane_vis = jnp.where(primary, scene.prop_visible_camera[prop_idx], lane_vis)
+        o_l = vm.world_to_object_point(rot, scale, pos, o)
+        d_l = vm.world_to_object_vector(rot, scale, d)
+        root = jnp.broadcast_to(
+            scene.curves.curve_root[scene.prop_curve[prop_idx]], o.shape[:-1]
+        )
+        ch = cv.traverse(scene.curves, root, o_l, d_l, tmin, jnp.minimum(tmax, t_b))
+        closer = (ch.prim >= 0) & (ch.t < t_b) & lane_vis
+        t_b = jnp.where(closer, ch.t, t_b)
+        p_b = jnp.where(closer, prop_idx, p_b)
+        u_b = jnp.where(closer, ch.s, u_b)
+        v_b = jnp.where(closer, 0.0, v_b)
+        prim_b = jnp.where(closer, ch.prim, prim_b)
+        return (t_b, p_b, u_b, v_b, prim_b), None
+
+    (t_b, p_b, u_b, v_b, prim_b), _ = jax.lax.scan(
+        body, (t_b, p_b, u_b, v_b, prim_b), scene.curve_props
+    )
+    return t_b, p_b, u_b, v_b, prim_b
+
+
+def _intersect_points(scene: SceneData, o, d, tmin, tmax, vis, primary, t_b, p_b, u_b, v_b, prim_b, time=None):
+    """Closest-hit over point-cloud props (ref shape/point/): sphere
+    particles, optionally lerped over the shutter (motion clouds)."""
+    from . import points as pt_mod
+
+    tl = jnp.zeros(o.shape[:-1], jnp.float32) if time is None else time
+
+    def body(carry, prop_idx):
+        t_b, p_b, u_b, v_b, prim_b = carry
+        rot = scene.prop_rot[prop_idx]
+        pos = scene.prop_pos[prop_idx]
+        scale = scene.prop_scale[prop_idx]
+        lane_vis = vis[prop_idx]
+        if primary is not None:
+            lane_vis = jnp.where(primary, scene.prop_visible_camera[prop_idx], lane_vis)
+        o_l = vm.world_to_object_point(rot, scale, pos, o)
+        d_l = vm.world_to_object_vector(rot, scale, d)
+        root = jnp.broadcast_to(
+            scene.points.cloud_root[scene.prop_cloud[prop_idx]], o.shape[:-1]
+        )
+        ph = pt_mod.traverse(scene.points, root, o_l, d_l, tmin, jnp.minimum(tmax, t_b), time=tl)
+        closer = (ph.prim >= 0) & (ph.t < t_b) & lane_vis
+        t_b = jnp.where(closer, ph.t, t_b)
+        p_b = jnp.where(closer, prop_idx, p_b)
+        u_b = jnp.where(closer, 0.0, u_b)
+        v_b = jnp.where(closer, 0.0, v_b)
+        prim_b = jnp.where(closer, ph.prim, prim_b)
+        return (t_b, p_b, u_b, v_b, prim_b), None
+
+    (t_b, p_b, u_b, v_b, prim_b), _ = jax.lax.scan(
+        body, (t_b, p_b, u_b, v_b, prim_b), scene.point_props
     )
     return t_b, p_b, u_b, v_b, prim_b
 
@@ -355,6 +432,44 @@ def occluded(scene: SceneData, o, d, tmin, tmax, time=None) -> jax.Array:
             return blocked | ((mh.prim >= 0) & scene.prop_visible_shadow[prop_idx]), None
 
         blocked, _ = jax.lax.scan(mesh_body, blocked, scene.mesh_props)
+
+    if scene.curves is not None:
+        from . import curves as cv
+
+        def curve_body(blocked, prop_idx):
+            rot = scene.prop_rot[prop_idx]
+            pos = scene.prop_pos[prop_idx]
+            scale = scene.prop_scale[prop_idx]
+            o_l = vm.world_to_object_point(rot, scale, pos, o)
+            d_l = vm.world_to_object_vector(rot, scale, d)
+            root = jnp.broadcast_to(
+                scene.curves.curve_root[scene.prop_curve[prop_idx]], o.shape[:-1]
+            )
+            root = jnp.where(blocked, -1, root)
+            ch = cv.traverse(scene.curves, root, o_l, d_l, tmin, tmax, any_hit=True)
+            return blocked | ((ch.prim >= 0) & scene.prop_visible_shadow[prop_idx]), None
+
+        blocked, _ = jax.lax.scan(curve_body, blocked, scene.curve_props)
+
+    if scene.points is not None:
+        from . import points as pt_mod
+
+        tl = jnp.zeros(o.shape[:-1], jnp.float32) if time is None else time
+
+        def point_body(blocked, prop_idx):
+            rot = scene.prop_rot[prop_idx]
+            pos = scene.prop_pos[prop_idx]
+            scale = scene.prop_scale[prop_idx]
+            o_l = vm.world_to_object_point(rot, scale, pos, o)
+            d_l = vm.world_to_object_vector(rot, scale, d)
+            root = jnp.broadcast_to(
+                scene.points.cloud_root[scene.prop_cloud[prop_idx]], o.shape[:-1]
+            )
+            root = jnp.where(blocked, -1, root)
+            ph = pt_mod.traverse(scene.points, root, o_l, d_l, tmin, tmax, time=tl, any_hit=True)
+            return blocked | ((ph.prim >= 0) & scene.prop_visible_shadow[prop_idx]), None
+
+        blocked, _ = jax.lax.scan(point_body, blocked, scene.point_props)
     return blocked
 
 
@@ -544,6 +659,57 @@ def build_fragment(scene: SceneData, hit: Hit, o, d, need_uv: bool | None = None
         tangent = jnp.where(mask, mt, tangent)
         bitangent = jnp.where(mask, mb, bitangent)
         uv = jnp.where(mask, uv_m, uv)
+
+    if scene.curves is not None:
+        # curve fragment (ref curve_data.zig interpolateData): shading
+        # frame is (tangent along the strand, bitangent toward the viewer
+        # plane, cylinder normal); uv = (strand parameter, azimuthal v)
+        # with h = 2v-1 feeding the hair BSDF (hair_sample.zig rs.uvw[1]).
+        from . import curves as cv
+
+        is_curve = (shape == int(ShapeType.CURVES)) & (hit.prim >= 0)
+        seg = cv.segment_fields(scene.curves, jnp.maximum(hit.prim, 0))
+        s_ax = hit.u
+        o_l = vm.world_to_object_point(rot, scale, pos, o)
+        d_l = vm.world_to_object_vector(rot, scale, d)
+        p_l = o_l + hit.t[..., None] * d_l
+        c_l = seg["pa"] + s_ax[..., None] * (seg["pb"] - seg["pa"])
+        r_l = jnp.maximum(seg["ra"] + s_ax * (seg["rb"] - seg["ra"]), 1e-9)
+        t_l = vm.safe_normalize(seg["pb"] - seg["pa"])
+        n_l = vm.safe_normalize(p_l - c_l)
+        # azimuthal offset in the view-perpendicular direction
+        b_view = vm.safe_normalize(vm.cross(t_l, -d_l))
+        hh = jnp.clip(vm.dot(p_l - c_l, b_view) / r_l, -1.0, 1.0)
+        cu = seg["u0"] + s_ax * (seg["u1"] - seg["u0"])
+        cn_w = vm.safe_normalize(vm.object_to_world_normal(rot, n_l))
+        ct_w = vm.safe_normalize(vm.object_to_world_normal(rot, t_l))
+        cb_w = vm.safe_normalize(vm.cross(cn_w, ct_w))
+        cuv = jnp.stack([cu, 0.5 * (hh + 1.0)], axis=-1)
+        mask = is_curve[..., None]
+        geo_n = jnp.where(mask, cn_w, geo_n)
+        n = jnp.where(mask, cn_w, n)
+        tangent = jnp.where(mask, ct_w, tangent)
+        bitangent = jnp.where(mask, cb_w, bitangent)
+        uv = jnp.where(mask, cuv, uv)
+
+    if scene.points is not None:
+        # point fragment: sphere normal at the (possibly moving) center
+        from . import points as pt_mod
+
+        is_point = (shape == int(ShapeType.POINTS)) & (hit.prim >= 0)
+        tlp = jnp.zeros(hit.t.shape, jnp.float32) if time is None else time
+        pc, pr = pt_mod.point_center(scene.points, jnp.maximum(hit.prim, 0), tlp)
+        o_l = vm.world_to_object_point(rot, scale, pos, o)
+        d_l = vm.world_to_object_vector(rot, scale, d)
+        p_l = o_l + hit.t[..., None] * d_l
+        pn_l = vm.safe_normalize(p_l - pc)
+        pn_w = vm.safe_normalize(vm.object_to_world_normal(rot, pn_l))
+        pt_t, pt_b = vm.orthonormal_basis(pn_w)
+        mask = is_point[..., None]
+        geo_n = jnp.where(mask, pn_w, geo_n)
+        n = jnp.where(mask, pn_w, n)
+        tangent = jnp.where(mask, pt_t, tangent)
+        bitangent = jnp.where(mask, pt_b, bitangent)
 
     return Fragment(p=p, geo_n=geo_n, n=n, t=tangent, b=bitangent, uv=uv, prop=hit.prop, material=material)
 

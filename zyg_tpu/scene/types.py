@@ -30,6 +30,8 @@ class ShapeType(enum.IntEnum):
     RECTANGLE = 5
     SPHERE = 6
     TRIANGLE_MESH = 7  # + mesh_id selects which mesh
+    CURVES = 8  # + curve_id: hair/fur segment arenas (ref shape/curve/)
+    POINTS = 9  # + cloud_id: sphere-particle clouds (ref shape/point/)
 
 
 INFINITE_SHAPES = (ShapeType.CANOPY, ShapeType.DISTANT, ShapeType.DOME)
@@ -80,6 +82,9 @@ class Materials(NamedTuple):
     # nested-dielectric priority (ref prop/medium.zig Medium.priority i8):
     # at an interface, the higher-priority medium wins; ties -> newest entry
     priority: jax.Array = None  # int32[M]
+    # hair BSDF constants (ref hair_material.zig commit()): packed
+    # [mu_a(3), v0, s, alpha_rad] per material; zeros for non-hair rows
+    hair: jax.Array = None  # float32[M,6]
 
     @property
     def count(self) -> int:
@@ -124,6 +129,14 @@ class SceneData(NamedTuple):
     meshes: "object" = None  # trimesh.MeshArena | None
     mesh_props: jax.Array = None  # int32[Pm] prop indices with mesh shapes
     prop_mesh: jax.Array = None  # int32[P] mesh id (-1 = analytic)
+    # curve (hair) shapes: rounded-cone segment arena (ref shape/curve/)
+    curves: "object" = None  # curves.CurveArena | None
+    curve_props: jax.Array = None  # int32[Pc] prop indices with curve shapes
+    prop_curve: jax.Array = None  # int32[P] curve shape id (-1 = none)
+    # point clouds: sphere-particle arena (ref shape/point/)
+    points: "object" = None  # points.PointArena | None
+    point_props: jax.Array = None  # int32[Pp] prop indices with point shapes
+    prop_cloud: jax.Array = None  # int32[P] cloud id (-1 = none)
     # texture arena (None when the scene has no image textures)
     textures: "object" = None  # textures.TextureArena | None
     # props grouped by shape type for batched intersection: static dict

@@ -90,12 +90,17 @@ def write_instancer(path: str, prototype: str, points, rots, scales) -> None:
 
 
 def write_point_cloud(path: str, points, radius: float = 0.01) -> None:
+    """Reference-format point-list geometry (ref shape_provider.zig
+    loadGeometry primitive_topology == point_list; renderable by the
+    Points shape)."""
     with open(path, "w") as f:
         json.dump(
             {
-                "type": "point_cloud",
-                "radius": radius,
-                "positions": [float(x) for x in np.asarray(points).ravel()],
+                "geometry": {
+                    "primitive_topology": "point_list",
+                    "point_radius": radius,
+                    "positions": [float(x) for x in np.asarray(points).ravel()],
+                }
             },
             f,
         )
