@@ -191,3 +191,45 @@ class TestLaneRngFloatTrick:
         bits = jnp.asarray([0, 0xFFFFFFFF, 0x80000000], dtype=jnp.uint32)
         f = np.asarray(u32_to_float(bits))
         assert f[0] == 0.0 and f[1] < 1.0 and abs(f[2] - 0.5) < 1e-6
+
+
+class TestDistribution3D:
+    """ref base/math/distribution_3d.zig + summed_area_table.zig."""
+
+    def test_sample_histogram_matches_pdf(self):
+        from zyg_tpu.core.distribution import Distribution3D
+
+        rng = np.random.default_rng(3)
+        grid = rng.uniform(0.1, 2.0, (4, 6, 8)).astype(np.float32)
+        dist = Distribution3D.build(grid)
+        n = 200_000
+        uvw = jnp.asarray(rng.random((n, 3)), jnp.float32)
+        xyz, pdf = dist.sample_continuous(uvw)
+        xyz = np.asarray(xyz)
+        assert ((xyz >= 0) & (xyz < 1)).all()
+        # pdf consistency: sampled pdf == pdf at the sampled location
+        np.testing.assert_allclose(
+            np.asarray(pdf), np.asarray(dist.pdf(jnp.asarray(xyz))), rtol=1e-5
+        )
+        # histogram over slices matches slice masses
+        k = (xyz[:, 2] * 4).astype(int)
+        mass = grid.sum(axis=(1, 2)) / grid.sum()
+        for s in range(4):
+            assert abs((k == s).mean() - mass[s]) < 0.01
+        # MC integral of 1/pdf over samples ~= 1 (unit cube volume)
+        est = (1.0 / np.asarray(pdf)).mean()
+        assert abs(est - 1.0) < 0.02
+
+    def test_summed_area_table(self):
+        from zyg_tpu.core.distribution import SummedAreaTable
+
+        rng = np.random.default_rng(5)
+        g = rng.uniform(0, 1, (10, 14)).astype(np.float32)
+        sat = SummedAreaTable.build(g)
+        np.testing.assert_allclose(float(sat.total), g.sum(), rtol=1e-5)
+        for _ in range(10):
+            x0, x1 = sorted(rng.integers(0, 15, 2))
+            y0, y1 = sorted(rng.integers(0, 11, 2))
+            want = g[y0:y1, x0:x1].sum()
+            got = float(sat.integral(x0, y0, x1, y1))
+            np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

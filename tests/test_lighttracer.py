@@ -69,3 +69,82 @@ class TestLighttracer:
         d = make_driver(scene, spp=8, ppp=8)
         img = d.render_frame()
         assert np.isfinite(img).all() and img.max() > 0
+
+
+def mesh_light_scene():
+    """Emissive CUBE MESH as the only light (exercises triangle-CDF
+    sampleFrom, ref triangle_mesh sampleFrom)."""
+    return load_scene_dict(
+        {
+            "materials": [
+                {"name": "white", "rendering": {"Substitute": {"color": [0.6, 0.6, 0.6], "roughness": 1.0}}},
+                {"name": "lamp", "rendering": {"Light": {"emittance": {"value": 12.0}}}},
+            ],
+            "entities": [
+                {
+                    "type": "Prop",
+                    "shape": {"type": "Rectangle"},
+                    "materials": ["white"],
+                    "transformation": {"position": [0, -1, 0], "rotation": [90, 0, 0], "scale": [4, 4, 1]},
+                },
+                {
+                    "type": "Prop",
+                    "shape": {"type": "Rectangle"},
+                    "materials": ["white"],
+                    "transformation": {"position": [0, 0, 2], "rotation": [0, 180, 0], "scale": [4, 4, 1]},
+                },
+                {
+                    "type": "Light",
+                    "shape": {"file": "proc:cube"},
+                    "materials": ["lamp"],
+                    "transformation": {"position": [0, 1.5, 0.5], "scale": [0.6, 0.6, 0.6]},
+                },
+            ],
+        }
+    )
+
+
+class TestLighttracerMeshDistant:
+    def test_mesh_light_backward_matches_forward(self):
+        """VERDICT weak #8: light-traced caustics from an emissive mesh."""
+        scene = mesh_light_scene()
+        fwd = make_driver(scene, spp=64, ppp=0).render_frame()
+        bwd = make_driver(scene, spp=0, ppp=256).render_frame()
+        assert np.isfinite(bwd).all()
+        assert bwd.max() > 0.0
+        ratio = bwd[16:].mean() / fwd[16:].mean()
+        assert abs(ratio - 1.0) < 0.12, f"mesh-light backward/forward {ratio}"
+
+    def test_distant_light_emits(self):
+        """Sun (Distant) emission: light paths land on the floor."""
+        scene = load_scene_dict(
+            {
+                "materials": [
+                    {"name": "white", "rendering": {"Substitute": {"color": [0.6, 0.6, 0.6], "roughness": 1.0}}},
+                    {"name": "sun", "rendering": {"Light": {"emittance": {"value": 5.0}}}},
+                ],
+                "entities": [
+                    {
+                        "type": "Prop",
+                        "shape": {"type": "Rectangle"},
+                        "materials": ["white"],
+                        "transformation": {"position": [0, -1, 0], "rotation": [90, 0, 0], "scale": [4, 4, 1]},
+                    },
+                    {
+                        "type": "Light",
+                        "shape": {"type": "Distant"},
+                        "materials": ["sun"],
+                        "transformation": {"rotation": [-50, 20, 0]},  # sun above: r2 points down
+                    },
+                ],
+            }
+        )
+        fwd = make_driver(scene, spp=48, ppp=0).render_frame()
+        bwd = make_driver(scene, spp=0, ppp=192).render_frame()
+        assert np.isfinite(bwd).all()
+        assert bwd.max() > 0.0
+        # the lit floor region agrees within MC noise
+        lit = fwd[16:] > 0.01
+        if lit.any():
+            ratio = bwd[16:][lit].mean() / fwd[16:][lit].mean()
+            assert abs(ratio - 1.0) < 0.2, f"distant backward/forward {ratio}"

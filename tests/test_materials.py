@@ -353,3 +353,175 @@ class TestPathRegularization:
         bs = mat.sample_bsdf(params, wo, nrm, nrm, s3)
         # fully metallic: every sample is the glossy lobe -> alpha = 0.25
         np.testing.assert_allclose(np.asarray(bs.reg_alpha), 0.25, rtol=1e-5)
+
+
+class TestAnisotropicGGX:
+    """Anisotropic GGX (ref ggx.zig Aniso + substitute anisotropicAlpha)."""
+
+    def _params(self, n, roughness=0.4, aniso=0.6, rot=0.0):
+        from zyg_tpu.render import materials as mat
+        from zyg_tpu.scene.types import MaterialKind
+
+        r = max(roughness, mat.MIN_ROUGHNESS)
+        rv = max(r * (1.0 - aniso), mat.MIN_ROUGHNESS)
+        base = {
+            "_features": {"aniso": True},
+            "kind": jnp.full((n,), int(MaterialKind.SUBSTITUTE), jnp.int32),
+            "color": jnp.full((n, 3), 0.8, jnp.float32),
+            "albedo": jnp.zeros((n, 3), jnp.float32),  # metallic: spec only
+            "f0": jnp.full((n, 3), 0.9, jnp.float32),
+            "alpha": jnp.full((n,), r * r, jnp.float32),
+            "alpha_v": jnp.full((n,), rv * rv, jnp.float32),
+            "aniso_rot": jnp.full((n,), rot * 2.0 * np.pi, jnp.float32),
+            "metallic": jnp.ones((n,), jnp.float32),
+            "ior": jnp.full((n,), 1.5, jnp.float32),
+            "ior_outside": jnp.ones((n,), jnp.float32),
+            "specular": jnp.ones((n,), jnp.float32),
+            "emission": jnp.zeros((n, 3), jnp.float32),
+            "two_sided": jnp.zeros((n,), bool),
+            "attenuation_distance": jnp.zeros((n,), jnp.float32),
+            "translucency": jnp.zeros((n,), jnp.float32),
+            "coat_on": jnp.zeros((n,), bool),
+            "coat_f0": jnp.full((n,), 0.04, jnp.float32),
+            "coat_alpha": jnp.full((n,), 0.04, jnp.float32),
+        }
+        return base
+
+    def test_zero_anisotropy_matches_isotropic(self):
+        """ax == ay must reproduce the isotropic lobe bit-for-bit in both
+        value and pdf (the formulas reduce exactly)."""
+        from zyg_tpu.render import materials as mat
+
+        n = 1024
+        rng = np.random.default_rng(7)
+        params_a = self._params(n, roughness=0.4, aniso=0.0)
+        params_i = dict(params_a)
+        params_i["_features"] = {}
+        nn = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32), (n, 1))
+        t = jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32), (n, 1))
+        b = jnp.tile(jnp.asarray([[0.0, 1.0, 0.0]], jnp.float32), (n, 1))
+        wo = rng.normal(size=(n, 3))
+        wo[:, 2] = np.abs(wo[:, 2]) + 0.1
+        wo /= np.linalg.norm(wo, axis=-1, keepdims=True)
+        wi = rng.normal(size=(n, 3))
+        wi[:, 2] = np.abs(wi[:, 2]) + 0.1
+        wi /= np.linalg.norm(wi, axis=-1, keepdims=True)
+        wo = jnp.asarray(wo.astype(np.float32))
+        wi = jnp.asarray(wi.astype(np.float32))
+        f_a, pdf_a = mat.eval_bsdf(params_a, wo, wi, nn, nn, t=t, b=b)
+        f_i, pdf_i = mat.eval_bsdf(params_i, wo, wi, nn, nn)
+        np.testing.assert_allclose(np.asarray(f_a), np.asarray(f_i), rtol=2e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(pdf_a), np.asarray(pdf_i), rtol=2e-4, atol=1e-7)
+
+    def test_sample_eval_consistency(self):
+        from zyg_tpu.render import materials as mat
+
+        n = 4096
+        rng = np.random.default_rng(3)
+        params = self._params(n, aniso=0.7)
+        nn = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32), (n, 1))
+        t = jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32), (n, 1))
+        b = jnp.tile(jnp.asarray([[0.0, 1.0, 0.0]], jnp.float32), (n, 1))
+        wo = np.tile(np.asarray([[0.3, -0.2, 0.93]], np.float32), (n, 1))
+        wo /= np.linalg.norm(wo, axis=-1, keepdims=True)
+        wo = jnp.asarray(wo)
+        s3 = jnp.asarray(rng.random((n, 3)), jnp.float32)
+        bs = mat.sample_bsdf(params, wo, nn, nn, s3, t=t, b=b)
+        ok = np.asarray(bs.valid)
+        assert ok.mean() > 0.9
+        f_e, pdf_e = mat.eval_bsdf(params, wo, bs.wi, nn, nn, t=t, b=b)
+        np.testing.assert_allclose(
+            np.asarray(bs.pdf)[ok], np.asarray(pdf_e)[ok], rtol=2e-3
+        )
+
+    def test_highlight_elongated_along_bitangent(self):
+        """aniso > 0 smooths along the tangent: sampled half-vectors spread
+        MORE along t than along b (ax > ay)."""
+        from zyg_tpu.render import materials as mat
+
+        n = 8192
+        rng = np.random.default_rng(5)
+        params = self._params(n, roughness=0.5, aniso=0.8)
+        nn = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32), (n, 1))
+        t = jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32), (n, 1))
+        b = jnp.tile(jnp.asarray([[0.0, 1.0, 0.0]], jnp.float32), (n, 1))
+        wo = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32), (n, 1))
+        s3 = jnp.asarray(rng.random((n, 3)), jnp.float32)
+        bs = mat.sample_bsdf(params, wo, nn, nn, s3, t=t, b=b)
+        h = np.asarray(bs.wi) + np.asarray(wo)
+        h /= np.linalg.norm(h, axis=-1, keepdims=True)
+        ok = np.asarray(bs.valid)
+        var_t = h[ok, 0].var()
+        var_b = h[ok, 1].var()
+        assert var_t > 4.0 * var_b, f"t-var {var_t} vs b-var {var_b}"
+        # rotation by a quarter turn swaps the axes
+        params_r = dict(params)
+        params_r["aniso_rot"] = jnp.full((n,), 0.5 * np.pi, jnp.float32)
+        bs2 = mat.sample_bsdf(params_r, wo, nn, nn, s3, t=t, b=b)
+        h2 = np.asarray(bs2.wi) + np.asarray(wo)
+        h2 /= np.linalg.norm(h2, axis=-1, keepdims=True)
+        ok2 = np.asarray(bs2.valid)
+        assert h2[ok2, 1].var() > 4.0 * h2[ok2, 0].var()
+
+
+class TestDispersion:
+    """Hero-wavelength glass dispersion (ref glass_sample.zig:154-177)."""
+
+    def _glass_params(self, n, abbe=30.0):
+        from zyg_tpu.scene.types import MaterialKind
+        from zyg_tpu.render import materials as mat
+
+        return {
+            "_features": {"glass": True, "dispersion": True},
+            "kind": jnp.full((n,), int(MaterialKind.GLASS), jnp.int32),
+            "color": jnp.ones((n, 3), jnp.float32),
+            "albedo": jnp.zeros((n, 3), jnp.float32),
+            "f0": jnp.full((n, 3), 0.04, jnp.float32),
+            "alpha": jnp.full((n,), mat.MIN_ALPHA, jnp.float32),
+            "abbe": jnp.full((n,), abbe, jnp.float32),
+            "metallic": jnp.zeros((n,), jnp.float32),
+            "ior": jnp.full((n,), 1.5, jnp.float32),
+            "ior_outside": jnp.ones((n,), jnp.float32),
+            "specular": jnp.ones((n,), jnp.float32),
+            "emission": jnp.zeros((n, 3), jnp.float32),
+            "two_sided": jnp.zeros((n,), bool),
+            "attenuation_distance": jnp.zeros((n,), jnp.float32),
+            "translucency": jnp.zeros((n,), jnp.float32),
+            "coat_on": jnp.zeros((n,), bool),
+            "coat_f0": jnp.full((n,), 0.04, jnp.float32),
+            "coat_alpha": jnp.full((n,), 0.04, jnp.float32),
+        }
+
+    def test_wavelength_pinned_and_energy_neutral(self):
+        from zyg_tpu.render import materials as mat
+
+        n = 50_000
+        rng = np.random.default_rng(1)
+        params = self._glass_params(n)
+        nn = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32), (n, 1))
+        wo = jnp.tile(jnp.asarray([[0.3, 0.0, 0.954]], jnp.float32), (n, 1))
+        wo = wo / jnp.linalg.norm(wo, axis=-1, keepdims=True)
+        s3 = jnp.asarray(rng.random((n, 3)), jnp.float32)
+        bs = mat.sample_bsdf(params, wo, nn, nn, s3)
+        wl = np.asarray(bs.wavelength)
+        assert ((wl >= mat.WL_START) & (wl <= mat.WL_END)).all()
+        # spectral tint averages to white (weight*3 normalization)
+        w = np.asarray(bs.weight)[np.asarray(bs.valid)]
+        mean = w.mean(axis=0)
+        assert np.abs(mean - mean.mean()).max() < 0.05 * mean.mean(), mean
+        # an already-pinned wavelength must persist, no double tint
+        wl_fixed = jnp.full((n,), 550.0, jnp.float32)
+        bs2 = mat.sample_bsdf(params, wo, nn, nn, s3, wavelength=wl_fixed)
+        np.testing.assert_allclose(np.asarray(bs2.wavelength), 550.0)
+        w2 = np.asarray(bs2.weight)[np.asarray(bs2.valid)]
+        assert np.abs(w2 - w2[:, :1]).max() < 1e-5  # untinted (grey)
+
+    def test_blue_bends_more(self):
+        from zyg_tpu.render import materials as mat
+
+        ior = jnp.full((2,), 1.5, jnp.float32)
+        abbe = jnp.full((2,), 30.0, jnp.float32)
+        wl = jnp.asarray([420.0, 680.0], jnp.float32)
+        iors = np.asarray(mat.dispersive_ior(ior, abbe, wl))
+        assert iors[0] > iors[1], iors
+        assert abs(iors.mean() - 1.5) < 0.05

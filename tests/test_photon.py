@@ -46,14 +46,18 @@ class TestPhotonGather:
             ph.gather(pmap, params, qj, wo, ns, ns, jnp.ones((Q,), bool))
         )
 
-        # brute force with the same estimator (diffuse albedo/pi form)
-        f = np.asarray(diffuse_params(1)["albedo"])[0] / np.pi
+        # brute force with the same estimator: FULL BSDF response per
+        # photon (gather now matches ref photon_grid.zig:575), f = eval/cos
+        from zyg_tpu.render import materials as mat
+
+        f_cos, _ = mat.eval_bsdf(params[0:1] if isinstance(params, tuple) else params, wo, wo, ns, ns)
+        f = np.asarray(f_cos)[0] / 1.0  # cos(ns, wi)=1 for these photons
         expect = np.zeros((Q, 3), np.float32)
         for i in range(Q):
             d2 = ((p - q[i]) ** 2).sum(-1)
             m_ = d2 < R * R
             k = (1.0 - d2[m_] / (R * R)) ** 2
-            expect[i] = (k[:, None] * alpha[m_] * f[None, :]).sum(0)
+            expect[i] = (k[:, None] * alpha[m_] * np.asarray(f_cos)[i][None, :]).sum(0)
         expect /= (np.pi / 3.0) * 1000 * R * R
         np.testing.assert_allclose(got, expect, rtol=2e-3, atol=1e-5)
 

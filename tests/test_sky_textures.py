@@ -112,3 +112,77 @@ class TestTextures:
         img = Driver(take=take, scene=scene).render_frame()
         reds = (img[..., 0] > img[..., 2]).mean()
         assert 0.2 < reds < 0.8, f"checker not visible: red fraction {reds}"
+
+
+class TestProceduralTextures:
+    """Baked procedural node graphs (ref texture/procedural*.zig)."""
+
+    def test_checker_bakes_and_renders(self):
+        from zyg_tpu.scene.loader import load_scene_dict
+
+        scene = load_scene_dict(
+            {
+                "materials": [
+                    {
+                        "name": "check",
+                        "rendering": {
+                            "Substitute": {
+                                "color": {
+                                    "Checker": {
+                                        "scale": 4,
+                                        "colors": [[0.9, 0.1, 0.1], [0.1, 0.1, 0.9]],
+                                    }
+                                }
+                            }
+                        },
+                    }
+                ],
+                "entities": [
+                    {"type": "Prop", "shape": {"type": "Rectangle"}, "materials": ["check"]},
+                ],
+            }
+        )
+        assert scene.textures is not None
+        # arena holds the baked checker: red and blue texels both present
+        data = np.asarray(scene.textures.data)
+        assert (np.abs(data[:, 0] - 0.9) < 1e-4).any()
+        assert (np.abs(data[:, 2] - 0.9) < 1e-4).any()
+
+    def test_noise_statistics(self):
+        from zyg_tpu.scene.procedural import noise_eval, perlin2d, worley2d
+
+        ys, xs = np.mgrid[0:256, 0:256]
+        u = (xs + 0.5) / 256.0
+        v = (ys + 0.5) / 256.0
+        # gradient noise: zero-mean-ish before remap, remapped to [0,1]
+        n = noise_eval({"levels": 3, "scale": [8, 8, 8], "transition": 0.5}, u, v)
+        assert n.min() >= 0.0 and n.max() <= 1.0
+        assert 0.3 < n.mean() < 0.7
+        assert n.std() > 0.05  # actual structure, not constant
+        # perlin is zero-mean in [-1,1]
+        p = perlin2d(u * 16, v * 16)
+        assert abs(p.mean()) < 0.05 and p.min() < -0.3 and p.max() > 0.3
+        # worley F1 is nonnegative
+        w = worley2d(u * 16, v * 16)
+        assert w.min() >= 0.0 and 0.1 < w.mean() < 0.8
+
+    def test_mix_mul_nodes(self):
+        from zyg_tpu.scene.procedural import bake
+
+        img = bake(
+            {"Mix": {"a": [1.0, 0.0, 0.0], "b": [0.0, 1.0, 0.0], "weight": 0.25}},
+            res=8,
+        )
+        np.testing.assert_allclose(img[0, 0], [0.75, 0.25, 0.0], rtol=1e-6)
+        img = bake({"Mul": {"a": [0.5, 0.5, 0.5], "b": [0.5, 1.0, 0.0]}}, res=8)
+        np.testing.assert_allclose(img[0, 0], [0.25, 0.5, 0.0], rtol=1e-6)
+        img = bake(
+            {"Max": {"a": [0.2, 0.8, 0.1], "b": [0.5, 0.1, 0.1]}}, res=8
+        )
+        np.testing.assert_allclose(img[0, 0], [0.5, 0.8, 0.1], rtol=1e-6)
+        img = bake(
+            {"ChannelMix": {"source": [1.0, 2.0, 3.0],
+                            "channels": [[0, 0, 1], [0, 1, 0], [1, 0, 0]]}},
+            res=8,
+        )
+        np.testing.assert_allclose(img[0, 0], [3.0, 2.0, 1.0], rtol=1e-6)

@@ -141,3 +141,107 @@ def build_distribution_1d_np(weights: np.ndarray):
     cdf = np.concatenate([[0.0], np.cumsum(w) / safe]).astype(np.float32)
     cdf[-1] = 1.0
     return cdf, total
+
+
+class Distribution3D(NamedTuple):
+    """Piecewise-constant 3D distribution over a [D,H,W] grid
+    (ref base/math/distribution_3d.zig: a marginal over slices, each slice a
+    Distribution2D). Vectorized: all slice tables stacked so sampling stays
+    one fused gather chain per lane — used for emissive-volume sampling."""
+
+    # marginal over the slice (w) axis
+    slice_cdf: jax.Array  # [D+1]
+    # per-slice 2D machinery, stacked (ref distribution_2d conditional)
+    row_cdf: jax.Array  # [D, H+1] marginal over rows per slice
+    col_cdf: jax.Array  # [D, H, W+1] conditional over columns
+    pdf_grid: jax.Array  # [D, H, W] normalized density (integrates to 1
+    # over the unit cube)
+
+    @staticmethod
+    def build(grid) -> "Distribution3D":
+        """grid: [D,H,W] nonnegative weights."""
+        g = jnp.maximum(jnp.asarray(grid, jnp.float32), 0.0)
+        d, h, w = g.shape
+        slice_sum = g.sum(axis=(1, 2))  # [D]
+        total = jnp.maximum(slice_sum.sum(), 1e-20)
+        slice_cdf = jnp.concatenate(
+            [jnp.zeros((1,)), jnp.cumsum(slice_sum) / total]
+        )
+        row_sum = g.sum(axis=2)  # [D,H]
+        row_tot = jnp.maximum(row_sum.sum(axis=1, keepdims=True), 1e-20)
+        row_cdf = jnp.concatenate(
+            [jnp.zeros((d, 1)), jnp.cumsum(row_sum / row_tot, axis=1)], axis=1
+        )
+        col_tot = jnp.maximum(row_sum[..., None], 1e-20)
+        col_cdf = jnp.concatenate(
+            [jnp.zeros((d, h, 1)), jnp.cumsum(g / col_tot, axis=2)], axis=2
+        )
+        pdf = g / total * (d * h * w)
+        return Distribution3D(slice_cdf, row_cdf, col_cdf, pdf)
+
+    def sample_continuous(self, uvw):
+        """uvw: [...,3] uniforms -> (xyz [...,3] in [0,1)^3, pdf [...])."""
+        u, v, w = uvw[..., 0], uvw[..., 1], uvw[..., 2]
+        d, h, wd = self.pdf_grid.shape
+        k = jnp.clip(jnp.searchsorted(self.slice_cdf, w, side="right") - 1, 0, d - 1)
+        # row within slice
+        rc = self.row_cdf[k]  # [...,H+1]
+        j = jnp.clip(
+            jnp.sum((rc <= v[..., None]).astype(jnp.int32), axis=-1) - 1, 0, h - 1
+        )
+        cc = self.col_cdf[k, j]  # [...,W+1]
+        i = jnp.clip(
+            jnp.sum((cc <= u[..., None]).astype(jnp.int32), axis=-1) - 1, 0, wd - 1
+        )
+        # continuous offsets within the chosen cells
+        s0 = self.slice_cdf[k]
+        s1 = self.slice_cdf[k + 1]
+        fz = (w - s0) / jnp.maximum(s1 - s0, 1e-20)
+        r0 = jnp.take_along_axis(rc, j[..., None], axis=-1)[..., 0]
+        r1 = jnp.take_along_axis(rc, j[..., None] + 1, axis=-1)[..., 0]
+        fy = (v - r0) / jnp.maximum(r1 - r0, 1e-20)
+        c0 = jnp.take_along_axis(cc, i[..., None], axis=-1)[..., 0]
+        c1 = jnp.take_along_axis(cc, i[..., None] + 1, axis=-1)[..., 0]
+        fx = (u - c0) / jnp.maximum(c1 - c0, 1e-20)
+        xyz = jnp.stack(
+            [(i + fx) / wd, (j + fy) / h, (k + fz) / d], axis=-1
+        )
+        return xyz, self.pdf_grid[k, j, i]
+
+    def pdf(self, xyz):
+        d, h, w = self.pdf_grid.shape
+        i = jnp.clip((xyz[..., 0] * w).astype(jnp.int32), 0, w - 1)
+        j = jnp.clip((xyz[..., 1] * h).astype(jnp.int32), 0, h - 1)
+        k = jnp.clip((xyz[..., 2] * d).astype(jnp.int32), 0, d - 1)
+        return self.pdf_grid[k, j, i]
+
+
+class SummedAreaTable(NamedTuple):
+    """2D prefix-sum table with box-integral queries
+    (ref base/math/summed_area_table.zig): integral over any sub-rectangle
+    in O(1) — the reference's windowed environment-map sampling uses it."""
+
+    table: jax.Array  # [H+1, W+1] inclusive prefix sums
+    width: int
+    height: int
+
+    @staticmethod
+    def build(grid) -> "SummedAreaTable":
+        g = jnp.asarray(grid, jnp.float32)
+        h, w = g.shape
+        t = jnp.cumsum(jnp.cumsum(g, axis=0), axis=1)
+        t = jnp.pad(t, ((1, 0), (1, 0)))
+        return SummedAreaTable(t, int(w), int(h))
+
+    def integral(self, x0, y0, x1, y1):
+        """Sum over texels [x0,x1) x [y0,y1) (integer texel coords)."""
+        t = self.table
+        x0 = jnp.clip(x0, 0, self.width)
+        x1 = jnp.clip(x1, 0, self.width)
+        y0 = jnp.clip(y0, 0, self.height)
+        y1 = jnp.clip(y1, 0, self.height)
+        return t[y1, x1] - t[y0, x1] - t[y1, x0] + t[y0, x0]
+
+    @property
+    def total(self):
+        return self.table[self.height, self.width]

@@ -195,12 +195,27 @@ def quat_slerp(a, b, t):
 # ---------------------------------------------------------------------------
 
 
+# The 3x3 products are written as explicit component arithmetic instead of
+# einsum/matmul: XLA:TPU lowers tiny batched einsums onto the MXU, which is
+# both slower for [N,3]x[3,3] shapes and (at default precision) bf16 —
+# explicit mul/add stays on the VPU at exact f32.
+
+
+def _rows(rot):
+    return rot[..., 0, :], rot[..., 1, :], rot[..., 2, :]
+
+
 def object_to_world_vector(rot, scale, v):
-    return (v * scale) @ rot if rot.ndim == 2 else jnp.einsum("...i,...ij->...j", v * scale, rot)
+    r0, r1, r2 = _rows(rot)
+    vs = v * scale
+    return (
+        vs[..., 0:1] * r0 + vs[..., 1:2] * r1 + vs[..., 2:3] * r2
+    )
 
 
 def object_to_world_normal(rot, v):
-    return v @ rot if rot.ndim == 2 else jnp.einsum("...i,...ij->...j", v, rot)
+    r0, r1, r2 = _rows(rot)
+    return v[..., 0:1] * r0 + v[..., 1:2] * r1 + v[..., 2:3] * r2
 
 
 def object_to_world_point(rot, scale, pos, p):
@@ -208,12 +223,28 @@ def object_to_world_point(rot, scale, pos, p):
 
 
 def world_to_object_vector(rot, scale, v):
-    o = v @ rot.T if rot.ndim == 2 else jnp.einsum("...j,...ij->...i", v, rot)
+    r0, r1, r2 = _rows(rot)
+    o = jnp.stack(
+        [
+            jnp.sum(v * r0, axis=-1),
+            jnp.sum(v * r1, axis=-1),
+            jnp.sum(v * r2, axis=-1),
+        ],
+        axis=-1,
+    )
     return o / scale
 
 
 def world_to_object_normal(rot, v):
-    return v @ rot.T if rot.ndim == 2 else jnp.einsum("...j,...ij->...i", v, rot)
+    r0, r1, r2 = _rows(rot)
+    return jnp.stack(
+        [
+            jnp.sum(v * r0, axis=-1),
+            jnp.sum(v * r1, axis=-1),
+            jnp.sum(v * r2, axis=-1),
+        ],
+        axis=-1,
+    )
 
 
 def world_to_object_point(rot, scale, pos, p):

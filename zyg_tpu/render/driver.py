@@ -82,6 +82,13 @@ def _render_samples(
             clamp_max,
             photon_map=photon_map,
             photon_max_per_cell=photon_max_per_cell,
+            # lane->pixel shuffling is DISABLED pending an XLA perf cliff:
+            # the scatter-free [3K,N] accumulator costs ~590ms/iteration at
+            # 2M lanes on v5e (scatter-add ~80ms; plain add 18ms) — the
+            # occupancy win (145 vs 174 iterations) can't pay for either.
+            # The machinery + tests stay for when the accumulator is fixed
+            # (a pallas kernel for the one-hot add is the likely answer).
+            frame_width=0,
         )
         return Framebuffer(fb.value + acc, fb.weight + num_samples), rays, aov_sums
 

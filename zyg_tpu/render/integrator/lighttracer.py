@@ -71,12 +71,51 @@ def sample_light_from(scene: SceneData, light_idx, xi4, u_side=None):
 
     is_sphere = shape == int(ShapeType.SPHERE)
     is_disk = shape == int(ShapeType.DISK)
+    is_mesh = shape == int(ShapeType.TRIANGLE_MESH)
     finite = (
-        (shape == int(ShapeType.RECTANGLE)) | is_sphere | is_disk
+        (shape == int(ShapeType.RECTANGLE)) | is_sphere | is_disk | is_mesh
     )
     p = jnp.where(is_sphere[..., None], sph_p, jnp.where(is_disk[..., None], dk_p, rect_p))
     geo_n = jnp.where(is_sphere[..., None], sph_n, rect_n)
     area = jnp.where(is_sphere, sph_area, jnp.where(is_disk, dk_area, rect_area))
+
+    if scene.meshes is not None and scene.lights.tri_offset is not None:
+        # emissive meshes: area-uniform triangle point (ref triangle_mesh
+        # sampleFrom; reuses the NEE per-light triangle CDFs)
+        li = jnp.clip(light_idx, 0, scene.lights.count - 1)
+        t_off = small_gather(scene.lights.tri_offset, li)
+        t_cnt = small_gather(scene.lights.tri_count, li)
+        u_tri = xi4[..., 0]
+        lo = jnp.maximum(t_off, 0)
+        hi = lo + jnp.maximum(t_cnt, 1)
+
+        def bs_step(_, lh):
+            lo, hi = lh
+            mid = (lo + hi) // 2
+            below = (
+                scene.lights.tri_cdf[
+                    jnp.clip(mid, 0, scene.lights.tri_cdf.shape[0] - 1)
+                ]
+                < u_tri
+            )
+            return jnp.where(below, mid + 1, lo), jnp.where(below, hi, mid)
+
+        lo, hi = jax.lax.fori_loop(0, 24, bs_step, (lo, hi))
+        tri = scene.lights.tri_idx[jnp.clip(lo, 0, scene.lights.tri_idx.shape[0] - 1)]
+        p0 = vm.object_to_world_point(rot, scale, pos, scene.meshes.tri_p0[tri])
+        e1 = vm.object_to_world_vector(rot, scale, scene.meshes.tri_e1[tri])
+        e2 = vm.object_to_world_vector(rot, scale, scene.meshes.tri_e2[tri])
+        # fresh 2D point: the CDF pick consumed xi4[0], remap it
+        bx = jnp.mod(u_tri * 64.0, 1.0)
+        bc = vm.sample_triangle_uniform(
+            jnp.stack([bx, xi4[..., 1]], axis=-1)
+        )
+        mesh_p = p0 + bc[..., 0:1] * e1 + bc[..., 1:2] * e2
+        mesh_n = vm.safe_normalize(vm.cross(e1, e2))
+        mesh_area = small_gather(scene.lights.area, li)
+        p = jnp.where(is_mesh[..., None], mesh_p, p)
+        geo_n = jnp.where(is_mesh[..., None], mesh_n, geo_n)
+        area = jnp.where(is_mesh, mesh_area, area)
 
     m = small_gather(scene.prop_material, prop)
     radiance = small_gather(scene.materials.emission, m)
@@ -105,6 +144,57 @@ def sample_light_from(scene: SceneData, light_idx, xi4, u_side=None):
         profile = small_gather(scene.materials.ies, m)
         weight = weight * mat.eval_ies(profile, vm.dot(d, geo_n))[..., None]
     weight = jnp.where(finite[..., None], weight, 0.0)
+
+    # ---- infinite emitters (ref light.zig sampleFrom for Distant/Dome):
+    # emit from a disk on the world bounding sphere toward the scene
+    is_distant = shape == int(ShapeType.DISTANT)
+    is_env = (shape == int(ShapeType.DOME)) | (shape == int(ShapeType.CANOPY))
+    if True:
+        wc = jnp.asarray(scene.world_center, jnp.float32)
+        wr = jnp.float32(scene.world_radius)
+        # distant: light TRAVELS along +r2 (the NEE direction to the light
+        # is ~-r2, light_sampling.py DISTANT); emit from the upstream disk.
+        # Le is radiance over the sun cone (solid angle
+        # 2pi(1 - 1/sqrt(r^2+1)), same formula as the forward pdf), so the
+        # flux through the scene disk is Le * Omega * pi R^2.
+        dxy2 = vm.sample_disk_concentric(xi4[..., 2:4])
+        dk_t, dk_b = vm.orthonormal_basis(r2)
+        disk_off = wr[..., None] * (
+            dxy2[..., 0:1] * dk_t + dxy2[..., 1:2] * dk_b
+        )
+        dist_p = wc - wr[..., None] * r2 + disk_off
+        dist_d = r2
+        ds_radius = scale[..., 0]
+        omega = (2.0 * jnp.pi) * (
+            1.0 - jnp.sqrt(1.0 / (ds_radius * ds_radius + 1.0))
+        )
+        dist_w = radiance * (omega * jnp.pi * wr * wr)[..., None]
+
+        # dome/canopy: uniform direction toward the scene; weight folds the
+        # direction pdf 1/(2pi) (canopy) or 1/(4pi)->2pi-hemisphere approx
+        env_dir, _pdf_sph = vm.sample_sphere_uniform(xi4[..., 0:2])
+        # emit inward from the bounding sphere along -env_dir
+        env_p = wc + wr[..., None] * env_dir + wr[..., None] * (
+            dxy2[..., 0:1] * vm.orthonormal_basis(env_dir)[0]
+            + dxy2[..., 1:2] * vm.orthonormal_basis(env_dir)[1]
+        )
+        env_d = -env_dir
+        # radiance of the env in that direction (emission maps apply)
+        from ...scene import light_sampling as _ls
+
+        env_rad = _ls.light_radiance(
+            scene, light_idx, env_dir, -env_dir,
+            jnp.zeros(env_dir.shape[:-1] + (2,), jnp.float32),
+        )
+        env_w = env_rad * (4.0 * jnp.pi * jnp.pi * wr * wr)[..., None]
+
+        p = jnp.where(is_distant[..., None], dist_p, jnp.where(is_env[..., None], env_p, p))
+        d = jnp.where(is_distant[..., None], dist_d, jnp.where(is_env[..., None], env_d, d))
+        n = jnp.where((is_distant | is_env)[..., None], d, n)
+        weight = jnp.where(
+            is_distant[..., None], dist_w, jnp.where(is_env[..., None], env_w, weight)
+        )
+        finite = finite | is_distant | is_env
     return p, n, d, weight, finite
 
 

@@ -230,24 +230,24 @@ def gather(pmap: PhotonMap, params, pos, wo, ns, geo_n, active, max_per_cell: in
         start = pmap.cell_start[cell_id]
         end = pmap.cell_start[cell_id + 1]
 
-        # Inside the bounded scan the BSDF is evaluated in its DIFFUSE form
-        # (f/cos = albedo/pi): photon gathers happen at canEvaluate vertices
-        # and a full microfacet eval per photon (8 cells x 64 photons) blows
-        # the dispatch budget on the remote TPU worker. The reference's
-        # li() evaluates the full BSDF per photon (photon_grid.zig:575);
-        # glossy response of the gather is a planned refinement.
-        diffuse = params["albedo"] * (1.0 / jnp.pi)
-
         def one(k, acc):
             idx = jnp.minimum(start + k, pmap.p.shape[0] - 1)
             ok = (start + k < end) & active
             php = pmap.p[idx]
             d2 = vm.dot(php - pos, php - pos)
             phwi = pmap.wi[idx]
-            front = vm.dot(ns, phwi) > 0.0
+            cosw = vm.dot(ns, phwi)
+            front = cosw > 0.0
             ok = ok & (d2 < r2) & front
             kcone = jnp.square(1.0 - d2 * inv_r2)
-            contrib = kcone[..., None] * pmap.alpha[idx] * diffuse
+            # FULL BSDF response per photon (ref photon_grid.zig:575 li()
+            # evaluates the material sample at the photon direction) —
+            # glossy floors now pick up caustic photons correctly. The
+            # density estimate uses f (no cos): eval_bsdf returns f*cos,
+            # divide it back out.
+            f_cos, _ = mat.eval_bsdf(params, wo, phwi, ns, geo_n)
+            f = f_cos / jnp.maximum(cosw, 1e-5)[..., None]
+            contrib = kcone[..., None] * pmap.alpha[idx] * f
             return acc + jnp.where(ok[..., None], contrib, 0.0)
 
         return jax.lax.fori_loop(0, min(max_per_cell, MAX_PER_CELL), one, result)

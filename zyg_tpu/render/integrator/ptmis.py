@@ -139,6 +139,12 @@ class PathState(NamedTuple):
     # glossy = alpha, specular = 0; drives path-space regularization
     aov: dict  # STATIC-keyed dict of sensor AOV accumulators [N,C]
     # (ref sensor/aov/aov_buffer.zig); {} when collect_aovs is empty
+    wavelength: jax.Array  # float32[N] hero wavelength (nm; 0 = unpinned,
+    # ref probe.zig wavelength — set at the first dispersive glass hit)
+    pid: jax.Array  # uint32[N] LOCAL pixel index of the lane's current
+    # sample — the persistent wavefront shuffles lane->pixel per sample
+    # (work balancing, see integrate_persistent), so accumulators scatter
+    # by pid instead of lane
 
 
 def _cp_offset(k: int):
@@ -183,6 +189,8 @@ def integrate(scene: SceneData, o, d, sobol: SobolSampler, settings: PtmisSettin
         nee_thr=jnp.zeros((n,), jnp.float32),
         reg_alpha=jnp.zeros((n,), jnp.float32),
         aov=aov_init(settings.collect_aovs, n),
+        wavelength=jnp.zeros((n,), jnp.float32),
+        pid=jnp.arange(n, dtype=jnp.uint32),
     )
 
     def cond(s: PathState):
@@ -288,43 +296,49 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
         # ---- sensor AOV capture at the primary hit (ref sensor/aov):
         # every sample passes depth==0 && vol_depth==0 exactly once
         if settings.collect_aovs:
+            # accumulators are PIXEL-indexed: scatter by the lane's pid
+            # (identity without the persistent shuffle)
             fh = s.alive & (s.depth == 0) & (s.vol_depth == 0) & ~scatter
             finite0 = hit.valid() & (hit.t < RAY_MAX_T)
             fin_m = (fh & finite0)[..., None]
+            pid = s.pid
             aov = dict(s.aov)
             if "albedo" in aov:
-                aov["albedo"] = aov["albedo"] + jnp.where(fin_m, params["color"], 0.0)
+                aov["albedo"] = aov["albedo"].at[pid].add(
+                    jnp.where(fin_m, params["color"], 0.0)
+                )
             if "depth" in aov:
-                aov["depth"] = jnp.where(
-                    fin_m, jnp.minimum(aov["depth"], hit.t[..., None]), aov["depth"]
+                aov["depth"] = aov["depth"].at[pid].min(
+                    jnp.where(fin_m, hit.t[..., None], jnp.float32(RAY_MAX_T))
                 )
             if "material_id" in aov:
-                aov["material_id"] = jnp.where(
-                    fin_m,
-                    jnp.maximum(
-                        aov["material_id"],
-                        frag.material.astype(jnp.float32)[..., None],
-                    ),
-                    aov["material_id"],
+                aov["material_id"] = aov["material_id"].at[pid].max(
+                    jnp.where(
+                        fin_m, frag.material.astype(jnp.float32)[..., None], -1.0
+                    )
                 )
             if "geometric_normal" in aov:
-                aov["geometric_normal"] = aov["geometric_normal"] + jnp.where(
-                    fin_m, frag.geo_n, 0.0
+                aov["geometric_normal"] = aov["geometric_normal"].at[pid].add(
+                    jnp.where(fin_m, frag.geo_n, 0.0)
                 )
             if "shading_normal" in aov:
-                aov["shading_normal"] = aov["shading_normal"] + jnp.where(
-                    fin_m, frag.n, 0.0
+                aov["shading_normal"] = aov["shading_normal"].at[pid].add(
+                    jnp.where(fin_m, frag.n, 0.0)
                 )
             if "roughness" in aov:
-                aov["roughness"] = aov["roughness"] + jnp.where(
-                    fin_m, jnp.sqrt(jnp.maximum(params["alpha"], 0.0))[..., None], 0.0
+                aov["roughness"] = aov["roughness"].at[pid].add(
+                    jnp.where(
+                        fin_m,
+                        jnp.sqrt(jnp.maximum(params["alpha"], 0.0))[..., None],
+                        0.0,
+                    )
                 )
             if "alpha" in aov:
                 # coverage: 1 where the primary ray lands on geometry
                 # (transparent-buffer semantics; transmission chains that
                 # escape still count as covered — simplification vs ref
                 # buffer_transparent.zig weight tracking)
-                aov["alpha"] = aov["alpha"] + jnp.where(fin_m, 1.0, 0.0)
+                aov["alpha"] = aov["alpha"].at[pid].add(jnp.where(fin_m, 1.0, 0.0))
         else:
             aov = s.aov
 
@@ -517,7 +531,10 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
 
         # ---- BSDF / phase sample
         s3 = smp.sample_3d()
-        bs = mat.sample_bsdf(params, wo, frag.n, frag.geo_n, s3, t=frag.t, b=frag.b)
+        bs = mat.sample_bsdf(
+            params, wo, frag.n, frag.geo_n, s3, t=frag.t, b=frag.b,
+            wavelength=s.wavelength,
+        )
         if has_media:
             # false interfaces override the BSDF with a straight-through
             # null event (the enclosing medium owns this boundary)
@@ -618,6 +635,10 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
             nee_thr=jnp.where(passthrough, s.nee_thr, new_nee_thr),
             reg_alpha=new_reg_alpha,
             aov=aov,
+            wavelength=(
+                bs.wavelength if bs.wavelength is not None else s.wavelength
+            ),
+            pid=s.pid,
         )
 
     return body
@@ -633,8 +654,22 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
 
 class PersistentState(NamedTuple):
     path: PathState  # path.result holds the CURRENT sample's IValue sums
-    acc: jax.Array  # [N,3] clamped, accumulated finished samples
+    acc: jax.Array  # [N,3] clamped, accumulated finished samples (by PIXEL)
     done: jax.Array  # int32[N] samples finished per lane
+
+
+def _coprime_stride(n: int) -> int:
+    """Golden-ratio stride coprime with n: the lane->pixel shuffle
+    (lane + iteration*stride) mod n is a bijection per iteration and
+    spreads each lane's samples across the frame."""
+    import math as _math
+
+    if n <= 2:
+        return 1
+    s = max(1, int(0.6180339887498949 * n))
+    while _math.gcd(s, n) != 1:
+        s += 1
+    return s
 
 
 def integrate_persistent(
@@ -649,16 +684,45 @@ def integrate_persistent(
     clamp_max=(float("inf"), float("inf"), float("inf")),
     photon_map=None,
     photon_max_per_cell=64,
+    frame_width: int = 0,
 ):
-    """Render `num_samples` samples/pixel with lane regeneration.
+    """Render `num_samples` samples/pixel with lane regeneration AND
+    per-sample lane->pixel shuffling.
 
-    Returns (acc_radiance[N,3] summed over samples, num_rays)."""
+    Work balancing: a lane that always renders ONE pixel inherits that
+    pixel's path-length statistics, and the while_loop runs until the
+    SLOWEST lane's total finishes — measured 35% mean occupancy on the
+    Cornell bench (174 iterations where perfect packing needs ~61).
+    Shuffling sample k of lane i onto pixel (i + k*stride) mod n is a
+    bijection per k, so every pixel still receives exactly its samples
+    0..spp-1 with the reference seeding law, while each lane's total work
+    becomes an average over n pixels — the loop length concentrates near
+    the mean. Accumulation scatters by the sample's pixel id.
+
+    CONTRACT: pixel_ids must be a contiguous ascending range (the driver's
+    full frames and tiles are) — the pixel id is computed as
+    pixel_ids[0] + shuffled_local_index. frame_width recovers x/y for the
+    camera; 0 falls back to the un-shuffled identity mapping.
+
+    Returns (acc_radiance[N,3] summed over samples BY PIXEL, num_rays,
+    aov_sums).
+
+    Accumulation: a per-iteration scatter-add by pixel id costs ~80ms at 2M
+    lanes on v5e (XLA TPU scatter). Instead each lane accumulates its
+    samples into a private [N, num_samples, 3] buffer (per-lane one-hot
+    column add — pure sequential traffic), and ONE unpermute pass after the
+    loop gathers column k from lane (pid - (first_it+k)*stride) mod n.
+    num_samples is capped by the driver's chunking so the buffer stays
+    a few hundred MB."""
     from ..camera import generate_rays
     from .. import sensor as sensor_mod
 
     n = pixel_ids.shape[0]
     zero3 = jnp.zeros((n, 3), jnp.float32)
     body = _make_body(scene, settings, photon_map, photon_max_per_cell)
+    stride = jnp.uint32(_coprime_stride(n) if frame_width > 0 else 0)
+    lanes = jnp.arange(n, dtype=jnp.uint32)
+    shuffled = frame_width > 0
 
     path0 = PathState(
         o=zero3,
@@ -684,8 +748,15 @@ def integrate_persistent(
         nee_thr=jnp.zeros((n,), jnp.float32),
         reg_alpha=jnp.zeros((n,), jnp.float32),
         aov=aov_init(settings.collect_aovs, n),
+        wavelength=jnp.zeros((n,), jnp.float32),
+        pid=lanes,
     )
-    state = PersistentState(path=path0, acc=zero3, done=jnp.zeros((n,), jnp.int32))
+    # [3*num_samples, n]: lane dim LAST — an [n, K, 3] layout pads 42x
+    # under TPU tiling (T(8,128) on the trailing dims) and OOMs at 1080p
+    acc0 = (
+        jnp.zeros((3 * num_samples, n), jnp.float32) if shuffled else zero3
+    )
+    state = PersistentState(path=path0, acc=acc0, done=jnp.zeros((n,), jnp.int32))
 
     def clamp_cur(cur: IValue):
         return (
@@ -699,10 +770,20 @@ def integrate_persistent(
 
     def step(ps: PersistentState):
         s = ps.path
-        # ---- regenerate finished lanes with their pixel's next sample
+        # ---- regenerate finished lanes with the NEXT sample, shuffled
+        # onto pixel (lane + iteration*stride) mod n
         regen = (~s.alive) & (ps.done < num_samples)
         iteration = (first_iteration + ps.done).astype(jnp.uint32)
-        sample_index = pixel_ids * jnp.uint32(num_expected_samples) + iteration
+        pid_new = (lanes + iteration * stride) % jnp.uint32(n)
+        gpid = pixel_ids[0] + pid_new  # contiguous-range contract
+        if frame_width > 0:
+            w = jnp.uint32(frame_width)
+            xy_new = jnp.stack([(gpid % w), (gpid // w)], axis=-1).astype(jnp.int32)
+        else:
+            pid_new = lanes
+            gpid = pixel_ids
+            xy_new = pixel_xy
+        sample_index = gpid * jnp.uint32(num_expected_samples) + iteration
         seed = (iteration // jnp.uint32(num_expected_samples))
         fresh = SobolSampler.start_pixel(sample_index, seed).arrays
         sob = jax.tree.map(
@@ -715,7 +796,7 @@ def integrate_persistent(
         s4 = smp.sample_4d()
         _time = smp.sample_1d()
         smp.increment_padding()
-        o_cam, d_cam = generate_rays(cam_arrays, pixel_xy, s4[..., 0:2], s4[..., 2:4])
+        o_cam, d_cam = generate_rays(cam_arrays, xy_new, s4[..., 0:2], s4[..., 2:4])
 
         rm = regen[..., None]
         s = PathState(
@@ -743,6 +824,8 @@ def integrate_persistent(
             nee_thr=jnp.where(regen, 0.0, s.nee_thr),
             reg_alpha=jnp.where(regen, 0.0, s.reg_alpha),
             aov=s.aov,  # accumulators persist across regenerated samples
+            wavelength=jnp.where(regen, 0.0, s.wavelength),
+            pid=jnp.where(regen, pid_new, s.pid),
         )
         done = ps.done + regen.astype(jnp.int32)
 
@@ -753,6 +836,19 @@ def integrate_persistent(
         finished = was_alive & ~s.alive
         fin_m = finished[..., None]
         acc_add = jnp.where(fin_m, clamp_cur(s.result), 0.0)
+        if shuffled:
+            # lane-local buffer row-block = the finished sample's index; the
+            # one-hot add is sequential HBM traffic (scatter-free). Stay
+            # strictly 2D in the buffer's [3K, n] layout: a [K,3,n]
+            # intermediate + reshape forces a physical relayout under TPU
+            # tiling (measured ~600ms/iteration at 2M lanes).
+            col = jnp.clip(done - 1, 0, num_samples - 1)
+            rows = jnp.arange(3 * num_samples)
+            oh3 = ((rows // 3)[:, None] == col[None, :]) & finished[None, :]
+            val_rows = acc_add.T[rows % 3]  # [3K, n] from 3 source rows
+            acc = ps.acc + jnp.where(oh3, val_rows, 0.0)
+        else:
+            acc = ps.acc + acc_add
         if settings.collect_aovs:
             aov = dict(s.aov)
             for name, field in (
@@ -761,9 +857,21 @@ def integrate_persistent(
                 ("indirect", s.result.indirect),
             ):
                 if name in aov:
-                    aov[name] = aov[name] + jnp.where(fin_m, field, 0.0)
+                    aov[name] = aov[name].at[s.pid].add(jnp.where(fin_m, field, 0.0))
             s = s._replace(aov=aov)
-        return PersistentState(path=s, acc=ps.acc + acc_add, done=done)
+        return PersistentState(path=s, acc=acc, done=done)
 
     final = jax.lax.while_loop(cond, step, state)
-    return final.acc, final.path.rays, final.path.aov
+    acc = final.acc
+    if shuffled:
+        # unpermute: pixel p's sample k lives in lane (p - (first_it+k)*S)
+        # mod n — num_samples gathers, once per dispatch
+        out = jnp.zeros((n, 3), jnp.float32)
+        nn = jnp.uint32(n)
+        for k in range(num_samples):
+            it_g = (first_iteration + k).astype(jnp.uint32)
+            off = (it_g * stride) % nn
+            lane = (lanes + (nn - off)) % nn
+            out = out + acc[3 * k : 3 * k + 3, lane].T
+        acc = out
+    return acc, final.path.rays, final.path.aov

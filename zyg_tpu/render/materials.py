@@ -106,6 +106,8 @@ class BsdfSample(NamedTuple):
     reg_alpha: jax.Array  # [N] alpha of the SAMPLED lobe (ref bxdf.zig
     # Path.reg_alpha: diffuse 1, glossy alpha, specular 0) — feeds
     # path-space regularization of the next vertex
+    wavelength: jax.Array = None  # [N] hero wavelength in nm (0 = spectral
+    # path not yet pinned; ref probe.zig wavelength, glass dispersion)
 
 
 def ior_to_f0(ior, ior_outside):
@@ -171,6 +173,17 @@ def gather(materials: Materials, mat_id, medium_ior=None, textures=None, uv=None
     out_extra = {}
     if "ies" in feats and materials.ies is not None:
         out_extra["ies"] = small_gather(materials.ies, m)
+    if "dispersion" in feats and materials.abbe is not None:
+        out_extra["abbe"] = small_gather(materials.abbe, m)
+    if "aniso" in feats:
+        a = small_gather(materials.anisotropy, m)
+        rv = jnp.maximum(roughness * (1.0 - jnp.maximum(a, 0.0)), MIN_ROUGHNESS)
+        out_extra["alpha_v"] = rv * rv
+        out_extra["aniso_rot"] = (
+            small_gather(materials.anisotropy_rotation, m) * (2.0 * jnp.pi)
+            if materials.anisotropy_rotation is not None
+            else jnp.zeros_like(a)
+        )
     if "hair" in feats and materials.hair is not None:
         out_extra["hair"] = small_gather(materials.hair, m)
         # azimuthal offset h = 2v-1 from the curve fragment's uv
@@ -282,6 +295,65 @@ def _visibility_and_g1wo(n_dot_wi, n_dot_wo, a2):
     return vis, t_wo + n_dot_wo
 
 
+def _aniso_frame(ns, t, b, rot):
+    """Shading tangent frame for anisotropy: geometry tangent projected
+    into the shading plane, rotated by anisotropy_rotation (ref
+    substitute_material.zig rotation texture)."""
+    t_s = vm.safe_normalize(t - ns * vm.dot(t, ns)[..., None])
+    c, s = jnp.cos(rot), jnp.sin(rot)
+    b_s = vm.cross(ns, t_s)
+    t_r = c[..., None] * t_s + s[..., None] * b_s
+    return t_r, vm.cross(ns, t_r)
+
+
+def _aniso_lambda(wt, wb, wn, ax, ay):
+    """Smith Lambda for anisotropic GGX (Heitz 2014)."""
+    wn2 = jnp.maximum(wn * wn, 1e-9)
+    return 0.5 * (-1.0 + jnp.sqrt(1.0 + (ax * ax * wt * wt + ay * ay * wb * wb) / wn2))
+
+
+def _aniso_spec_terms(params, wo, wi, ns, t_r, b_r):
+    """Anisotropic GGX D, height-correlated visibility, VNDF pdf
+    (ref ggx.zig Aniso reflect/reflectNoFresnel)."""
+    ax = params["alpha"]
+    ay = params["alpha_v"]
+    h = vm.safe_normalize(wo + wi)
+    ht = vm.dot(h, t_r)
+    hb = vm.dot(h, b_r)
+    hn = jnp.clip(vm.dot(h, ns), 0.0, 1.0)
+    q = ht * ht / jnp.maximum(ax * ax, 1e-12) + hb * hb / jnp.maximum(ay * ay, 1e-12) + hn * hn
+    d = 1.0 / jnp.maximum(jnp.pi * ax * ay * q * q, 1e-20)
+
+    def comps(w):
+        return vm.dot(w, t_r), vm.dot(w, b_r), jnp.abs(vm.dot(w, ns))
+
+    ot, ob, on = comps(wo)
+    it, ib, inn = comps(wi)
+    lo = _aniso_lambda(ot, ob, on, ax, ay)
+    li = _aniso_lambda(it, ib, inn, ax, ay)
+    n_i = _clamp(inn)
+    n_o = _clamp(on)
+    g2 = 1.0 / jnp.maximum(1.0 + lo + li, 1e-9)
+    g1o = 1.0 / jnp.maximum(1.0 + lo, 1e-9)
+    vis = g2 / jnp.maximum(4.0 * n_i * n_o, 1e-12)
+    pdf = d * g1o / jnp.maximum(4.0 * n_o, 1e-12)
+    return d, vis, pdf
+
+
+def _aniso_vndf_sample(wo_l, ax, ay, xi):
+    """Anisotropic spherical-cap VNDF sample (local frame)."""
+    v = vm.safe_normalize(
+        jnp.stack([ax * wo_l[..., 0], ay * wo_l[..., 1], wo_l[..., 2]], -1)
+    )
+    phi = (2.0 * jnp.pi) * xi[..., 0]
+    z = (1.0 - xi[..., 1]) * (1.0 + v[..., 2]) - v[..., 2]
+    st = jnp.sqrt(jnp.clip(1.0 - z * z, 0.0, 1.0))
+    h = jnp.stack([st * jnp.cos(phi), st * jnp.sin(phi), z], -1) + v
+    return vm.safe_normalize(
+        jnp.stack([ax * h[..., 0], ay * h[..., 1], h[..., 2]], -1)
+    )
+
+
 def _schlick(f0, cos):
     return f0 + (1.0 - f0) * jnp.power(jnp.maximum(1.0 - cos, 0.0), 5.0)[..., None]
 
@@ -316,10 +388,13 @@ def _clamp(x, lo=1e-5):
     return jnp.maximum(x, lo)
 
 
-def _substitute_lobes(params, wo, wi, ns):
+def _substitute_lobes(params, wo, wi, ns, t=None, b=None):
     """Shared math: returns (f*cos [N,3], pdf [N]) of the substitute BSDF at wi.
 
-    Mirrors ref substitute_sample.zig baseEvaluate (iso path, no coating)."""
+    Mirrors ref substitute_sample.zig baseEvaluate; with the static "aniso"
+    feature and a tangent frame, the specular lobe switches to anisotropic
+    GGX (ref ggx.zig Aniso; energy-compensation fits keep the isotropic
+    alpha — a standard approximation, exact at anisotropy 0)."""
     alpha = params["alpha"]
     a2 = alpha * alpha
     f0 = params["f0"]
@@ -346,11 +421,17 @@ def _substitute_lobes(params, wo, wi, ns):
     dw = jnp.where(params["metallic"] >= 1.0, 0.0, dw)
 
     # GGX specular + Schlick + multi-scatter compensation
-    d_ggx = _ggx_distribution(n_dot_h, a2)
-    vis, g1_denom = _visibility_and_g1wo(n_dot_wi, n_dot_wo, a2)
     fr = _schlick(f0, wo_dot_h)
-    gg_refl = (d_ggx * vis)[..., None] * fr
-    gg_pdf = (0.5 * d_ggx) / jnp.maximum(g1_denom, 1e-20)
+    if "aniso" in params["_features"] and t is not None:
+        t_r, b_r = _aniso_frame(ns, t, b, params["aniso_rot"])
+        d_a, vis_a, pdf_a = _aniso_spec_terms(params, wo, wi, ns, t_r, b_r)
+        gg_refl = (d_a * vis_a)[..., None] * fr
+        gg_pdf = pdf_a
+    else:
+        d_ggx = _ggx_distribution(n_dot_h, a2)
+        vis, g1_denom = _visibility_and_g1wo(n_dot_wi, n_dot_wo, a2)
+        gg_refl = (d_ggx * vis)[..., None] * fr
+        gg_pdf = (0.5 * d_ggx) / jnp.maximum(g1_denom, 1e-20)
     mms = _dspbr_micro_ec(f0, n_dot_wi, n_dot_wo, alpha)
 
     s = params["specular"][..., None]
@@ -391,14 +472,14 @@ def _coating_lobe(params, wo, wi, ns):
     return f, pdf, fc_wo, atten
 
 
-def _substitute_eval(params, wo, wi, n, geo_n):
+def _substitute_eval(params, wo, wi, n, geo_n, t=None, b=None):
     same_side = vm.dot(wo, geo_n) > 0.0
     ns = jnp.where(same_side[..., None], n, -n)
     refl_side = vm.dot(wi, ns) > 0.0
     tl = params["translucency"]
 
     feats = params["_features"]
-    f, pdf, _ = _substitute_lobes(params, wo, wi, ns)
+    f, pdf, _ = _substitute_lobes(params, wo, wi, ns, t, b)
     if "coating" in feats:
         fc, cpdf, fc_wo, atten = _coating_lobe(params, wo, wi, ns)
         f = atten[..., None] * f + fc
@@ -420,10 +501,15 @@ def _substitute_eval(params, wo, wi, n, geo_n):
     return f_out, pdf_out
 
 
-def _substitute_sample(params, wo, n, geo_n, p, xi):
+def _substitute_sample(params, wo, n, geo_n, p, xi, t_in=None, b_in=None):
     same_side = vm.dot(wo, geo_n) > 0.0
     ns = jnp.where(same_side[..., None], n, -n)
-    t, b = vm.orthonormal_basis(ns)
+    aniso = "aniso" in params["_features"] and t_in is not None
+    if aniso:
+        # anisotropy needs the geometry's uv tangent frame (rotated)
+        t, b = _aniso_frame(ns, t_in, b_in, params["aniso_rot"])
+    else:
+        t, b = vm.orthonormal_basis(ns)
 
     # candidate directions for every lobe
     d_local, _ = vm.sample_hemisphere_cosine(xi)
@@ -431,7 +517,10 @@ def _substitute_sample(params, wo, n, geo_n, p, xi):
     wi_trans = -wi_diffuse  # thin diffuse transmission (far hemisphere)
 
     wo_l = vm.world_to_frame(t, b, ns, wo)
-    m_l = _vndf_sample(wo_l, params["alpha"], xi)
+    if aniso:
+        m_l = _aniso_vndf_sample(wo_l, params["alpha"], params["alpha_v"], xi)
+    else:
+        m_l = _vndf_sample(wo_l, params["alpha"], xi)
     h = vm.frame_to_world(t, b, ns, m_l)
     wo_dot_h = _clamp(vm.dot(wo, h))
     wi_gloss = vm.safe_normalize(2.0 * wo_dot_h[..., None] * h - wo)
@@ -488,11 +577,11 @@ def _substitute_sample(params, wo, n, geo_n, p, xi):
     )
     if not feats:
         # fast path: plain substitute — evaluate base lobes only
-        f, pdf, _ = _substitute_lobes(params, wo, wi, ns)
+        f, pdf, _ = _substitute_lobes(params, wo, wi, ns, t_in, b_in)
         ok = (vm.dot(wi, ns) > 0.0) & (pdf > 1e-10)
         weight = jnp.where(ok[..., None], f / jnp.maximum(pdf, 1e-10)[..., None], 0.0)
         return wi, weight, pdf, ok, reg_a
-    f, pdf = _substitute_eval(params, wo, wi, n, geo_n)
+    f, pdf = _substitute_eval(params, wo, wi, n, geo_n, t_in, b_in)
     ok = pdf > 1e-10
     weight = jnp.where(ok[..., None], f / jnp.maximum(pdf, 1e-10)[..., None], 0.0)
     return wi, weight, pdf, ok, reg_a
@@ -673,7 +762,7 @@ def _glass_sample(params, wo, n, geo_n, p):
     return wi, weight, transmission
 
 
-def sample_bsdf(params, wo, n, geo_n, s3, t=None, b=None) -> BsdfSample:
+def sample_bsdf(params, wo, n, geo_n, s3, t=None, b=None, wavelength=None) -> BsdfSample:
     """Sample the BSDF. s3: float[N,3] uniforms (lobe select + 2D).
 
     Scene-absent material kinds compile to nothing: glass sampling (two VNDF
@@ -684,7 +773,7 @@ def sample_bsdf(params, wo, n, geo_n, s3, t=None, b=None) -> BsdfSample:
     p = s3[..., 0]
     xi = s3[..., 1:3]
 
-    wi, weight, pdf, sub_ok, reg_a = _substitute_sample(params, wo, n, geo_n, p, xi)
+    wi, weight, pdf, sub_ok, reg_a = _substitute_sample(params, wo, n, geo_n, p, xi, t, b)
     is_sub = kind == int(MaterialKind.SUBSTITUTE)
     valid = sub_ok & is_sub
     falses = jnp.zeros(valid.shape, bool)
@@ -692,9 +781,43 @@ def sample_bsdf(params, wo, n, geo_n, s3, t=None, b=None) -> BsdfSample:
     transmission = falses
     passthrough = falses
 
+    wl_out = (
+        wavelength
+        if wavelength is not None
+        else jnp.zeros(wo.shape[:-1], jnp.float32)
+    )
     if "glass" in feats:
-        gl_wi, gl_w, gl_trans = _glass_sample(params, wo, n, geo_n, p)
-        gr_wi, gr_w, gr_pdf, gr_trans = _glass_rough_sample(params, wo, n, geo_n, p, xi)
+        gparams = params
+        spec_w = None
+        if "dispersion" in feats:
+            # hero-wavelength dispersion (ref glass_sample.zig:154-177):
+            # pin the path's wavelength at the first dispersive interaction
+            # and bend the IoR with the abbe number
+            ab = params["abbe"]
+            dispersive = (kind == int(MaterialKind.GLASS)) & (ab > 0.0)
+            fresh = dispersive & (wl_out <= 0.0)
+            # decorrelated uniform from the lobe/2D draws (the reference
+            # draws a dedicated 1D; rescaling keeps it unbiased per lane)
+            r_wl = jnp.mod(s3[..., 1] * 61.8034 + s3[..., 0] * 0.618034, 1.0)
+            wl_new = jnp.where(
+                fresh, WL_START + (WL_END - WL_START) * r_wl, wl_out
+            )
+            spec_w = jnp.where(
+                fresh[..., None], spectrum_at_wavelength(wl_new) * 3.0, 1.0
+            )
+            ior_eff = jnp.where(
+                dispersive & (wl_new > 0.0),
+                dispersive_ior(params["ior"], ab, wl_new),
+                params["ior"],
+            )
+            gparams = dict(params)
+            gparams["ior"] = ior_eff
+            wl_out = jnp.where(dispersive, wl_new, wl_out)
+        gl_wi, gl_w, gl_trans = _glass_sample(gparams, wo, n, geo_n, p)
+        gr_wi, gr_w, gr_pdf, gr_trans = _glass_rough_sample(gparams, wo, n, geo_n, p, xi)
+        if spec_w is not None:
+            gl_w = gl_w * spec_w
+            gr_w = gr_w * spec_w
         is_glass = kind == int(MaterialKind.GLASS)
         rough = params["alpha"] > MIN_ALPHA * 1.001
         gl_wi = jnp.where(rough[..., None], gr_wi, gl_wi)
@@ -744,13 +867,14 @@ def sample_bsdf(params, wo, n, geo_n, s3, t=None, b=None) -> BsdfSample:
         transmission=transmission,
         passthrough=passthrough,
         reg_alpha=reg_a,
+        wavelength=wl_out,
     )
 
 
 def eval_bsdf(params, wo, wi, n, geo_n, t=None, b=None):
     """Evaluate f(wo,wi)*|cos| and pdf for NEE/MIS."""
     kind = params["kind"]
-    f, pdf = _substitute_eval(params, wo, wi, n, geo_n)
+    f, pdf = _substitute_eval(params, wo, wi, n, geo_n, t, b)
     is_sub = kind == int(MaterialKind.SUBSTITUTE)
     f = jnp.where(is_sub[..., None], f, 0.0)
     pdf = jnp.where(is_sub, pdf, 0.0)
@@ -1128,3 +1252,54 @@ def hair_sample(params, wo, t, b, n, s3):
     ok = pdf > 1e-9
     weight = jnp.where(ok[..., None], f / jnp.maximum(pdf, 1e-9)[..., None], 0.0)
     return wi, weight, pdf, ok
+
+
+# ---------------------------------------------------------------------------
+# Spectral dispersion (ref glass_sample.zig:154-177 + material_base.zig
+# spectrumAtWavelength): hero-wavelength tracking through dispersive glass.
+# A 32-band rainbow table (CIE response -> linear sRGB, normalized so a
+# uniform wavelength expectation is white) is generated at import — the
+# reference bakes the same kind of table offline (rainbow_integrate.zig).
+# ---------------------------------------------------------------------------
+
+WL_START = 380.0
+WL_END = 720.0
+
+
+def _build_rainbow(bands: int = 32) -> np.ndarray:
+    from ..core.cie import CIE_WAVELENGTHS, CIE_X, CIE_Y, CIE_Z
+    from ..core.spectrum import _XYZ_TO_SRGB
+
+    wls = np.linspace(WL_START, WL_END, bands + 1)
+    out = np.zeros((bands, 3), np.float64)
+    for i in range(bands):
+        sel = (CIE_WAVELENGTHS >= wls[i]) & (CIE_WAVELENGTHS < wls[i + 1])
+        xyz = np.stack([CIE_X[sel].mean(), CIE_Y[sel].mean(), CIE_Z[sel].mean()])
+        rgb = _XYZ_TO_SRGB @ xyz
+        out[i] = np.clip(rgb, 0.0, None)
+    # normalize: mean over bands == (1/3, 1/3, 1/3) so weight*3 keeps a
+    # white path white in expectation (ref rainbow hack-normalize)
+    out *= 1.0 / (3.0 * out.mean(axis=0, keepdims=True) * 3.0)
+    return np.clip(out * 3.0, 0.0, None).astype(np.float32)
+
+
+_RAINBOW = _build_rainbow()
+
+
+def spectrum_at_wavelength(wl):
+    """Linear-sRGB response of wavelength wl [nm] (bilinear over bands)."""
+    table = jnp.asarray(_RAINBOW)
+    nb = _RAINBOW.shape[0]
+    u = (wl - WL_START) / (WL_END - WL_START) * nb
+    i0 = jnp.clip(u.astype(jnp.int32), 0, nb - 1)
+    i1 = jnp.clip(i0 + 1, 0, nb - 1)
+    f = jnp.clip(u - i0.astype(jnp.float32), 0.0, 1.0)
+    return table[i0] * (1.0 - f)[..., None] + table[i1] * f[..., None]
+
+
+def dispersive_ior(ior, abbe, wl):
+    """Cauchy-style ior shift (ref glass_sample.zig:192):
+    ior + ((ior-1)/abbe) * (523655/wl^2 - 1.5168)."""
+    return ior + ((ior - 1.0) / jnp.maximum(abbe, 1e-3)) * (
+        523655.0 / jnp.maximum(wl * wl, 1.0) - 1.5168
+    )

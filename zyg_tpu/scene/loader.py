@@ -145,6 +145,8 @@ class MaterialDesc:
     # (roughness doubles as beta_m), explicit absorption from melanin
     hair_beta_n: float = 0.3
     hair_mu_a: "np.ndarray | None" = None
+    anisotropy_rotation: float = 0.0  # turns (ref anisotropy_rotation key)
+    abbe: float = 0.0  # glass dispersion (ref material_provider.zig:193)
 
 
 # ref material/metal_presets.zig iorAndAbsorption: complex IoR (eta, k)
@@ -197,6 +199,17 @@ def parse_material(
     desc = MaterialDesc()
 
     def tex(v, srgb):
+        if builder is not None and isinstance(v, dict):
+            from . import procedural as prcd
+
+            if prcd.is_procedural(v):
+                # procedural node graphs bake to the arena at compile
+                # (ref texture/procedural*.zig; see procedural.py)
+                def _load(name):
+                    return load_image(os.path.join(base_dir, name))
+
+                img = prcd.bake(v, load_image=_load)
+                return builder.add_texture_image(img, srgb=False)
         if builder is not None and isinstance(v, dict) and "file" in v:
             return builder.load_texture(os.path.join(base_dir, v["file"]), srgb=srgb)
         if (
@@ -277,8 +290,13 @@ def parse_material(
                 desc.metallic = 1.0
             elif key == "ior":
                 desc.ior = float(v)
+            elif key == "abbe":
+                desc.abbe = float(v)
             elif key == "specular":
                 desc.specular = float(v)
+            elif key == "anisotropy_rotation":
+                if isinstance(v, (int, float)):
+                    desc.anisotropy_rotation = float(v)
             elif key == "anisotropy":
                 # surface materials: GGX anisotropy; volumetric: HG g
                 if kind_name == "Volumetric":
@@ -394,6 +412,8 @@ def materials_to_table(descs: list[MaterialDesc]) -> Materials:
         coating_roughness=jnp.asarray([d.coating_roughness for d in descs], jnp.float32),
         priority=jnp.asarray([d.priority for d in descs], jnp.int32),
         hair=jnp.asarray(np.stack([_hair_constants(d) for d in descs]), jnp.float32),
+        anisotropy_rotation=jnp.asarray([d.anisotropy_rotation for d in descs], jnp.float32),
+        abbe=jnp.asarray([d.abbe for d in descs], jnp.float32),
     )
 
 
@@ -814,6 +834,22 @@ class SceneBuilder:
         for li, pi in enumerate(light_props):
             prop_light[pi] = li
 
+        # world bounding sphere over finite props (emission sampling of
+        # infinite lights; conservative prop-sphere union)
+        wmin = np.full(3, np.inf)
+        wmax = np.full(3, -np.inf)
+        for p in props:
+            if p.shape in (int(ShapeType.CANOPY), int(ShapeType.DOME), int(ShapeType.DISTANT)):
+                continue
+            r = float(np.linalg.norm(np.asarray(p.trafo.scale, np.float64)))
+            c = np.asarray(p.trafo.position, np.float64)
+            wmin = np.minimum(wmin, c - r)
+            wmax = np.maximum(wmax, c + r)
+        if not np.isfinite(wmin).all():
+            wmin, wmax = np.full(3, -1.0), np.full(3, 1.0)
+        world_center = tuple(float(x) for x in 0.5 * (wmin + wmax))
+        world_radius = float(max(np.linalg.norm(wmax - wmin) * 0.5, 1e-3))
+
         if self.meshes:
             meshes, mesh_host_info = build_arena(self.meshes, return_host_info=True)
         else:
@@ -868,6 +904,17 @@ class SceneBuilder:
             mat_features["volumetric"] = True
         if any(d.kind == int(MaterialKind.HAIR) for d in self.materials):
             mat_features["hair"] = True
+        if any(
+            d.kind == int(MaterialKind.GLASS) and d.abbe > 0.0
+            for d in self.materials
+        ):
+            mat_features["dispersion"] = True
+        # anisotropic GGX only compiles when a surface material asks for it
+        if any(
+            d.kind == int(MaterialKind.SUBSTITUTE) and d.anisotropy > 0.0
+            for d in self.materials
+        ):
+            mat_features["aniso"] = True
         # rough dielectrics do NEE too (ref glass_sample.zig:51 canEvaluate
         # is true for the rough path) — only compile the microfacet-dielectric
         # eval when such a material exists
@@ -1028,6 +1075,8 @@ class SceneBuilder:
             mat_features=mat_features,
             env=env_sampler,
             animated_props=animated_props or None,
+            world_center=world_center,
+            world_radius=world_radius,
             prop_pos_end=pos_end,
             prop_scale_end=scale_end,
             prop_quat0=quat0,

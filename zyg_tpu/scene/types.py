@@ -85,6 +85,10 @@ class Materials(NamedTuple):
     # hair BSDF constants (ref hair_material.zig commit()): packed
     # [mu_a(3), v0, s, alpha_rad] per material; zeros for non-hair rows
     hair: jax.Array = None  # float32[M,6]
+    # anisotropy rotation in turns (ref substitute rotation texture)
+    anisotropy_rotation: jax.Array = None  # float32[M]
+    # glass dispersion (ref glass_material.zig abbe; 0 = none)
+    abbe: jax.Array = None  # float32[M]
 
     @property
     def count(self) -> int:
@@ -165,6 +169,10 @@ class SceneData(NamedTuple):
     # STATIC dict {prop_index: shape_type} — scenes without motion compile
     # all of this away. None fields when no prop moves.
     animated_props: dict = None
+    # world bounding sphere (host floats): emission sampling of infinite
+    # lights needs a finite aperture (ref scene.zig caustic_aabb / sampleFrom)
+    world_center: tuple = (0.0, 0.0, 0.0)
+    world_radius: float = 1.0
     prop_pos_end: jax.Array = None  # float32[P,3]
     prop_scale_end: jax.Array = None  # float32[P,3]
     prop_quat0: jax.Array = None  # float32[P,4] shutter-start rotations
