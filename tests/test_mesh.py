@@ -225,3 +225,59 @@ class TestMeshLight:
         mis = render("PTMIS", 16)
         ratio = mis.mean() / pt.mean()
         assert abs(ratio - 1.0) < 0.06, f"mesh light NEE biased: ratio {ratio}"
+
+
+class TestSubMesh:
+    """SUB binary mesh container (ref shape_provider.zig loadBinary)."""
+
+    def test_roundtrip(self, tmp_path):
+        from zyg_tpu.io.sub_mesh import read_sub_mesh, write_sub_mesh
+        from zyg_tpu.scene.trimesh import make_sphere_mesh
+
+        mesh = make_sphere_mesh(n_theta=6, n_phi=8)
+        p = str(tmp_path / "sphere.sub")
+        write_sub_mesh(p, mesh)
+        with open(p, "rb") as f:
+            back = read_sub_mesh(f)
+        np.testing.assert_allclose(back.positions, mesh.positions, rtol=1e-6)
+        np.testing.assert_allclose(back.normals, mesh.normals, rtol=1e-6)
+        np.testing.assert_allclose(back.uvs, mesh.uvs, rtol=1e-6)
+        np.testing.assert_array_equal(back.indices, mesh.indices)
+
+    def test_loads_as_shape_file(self, tmp_path):
+        from zyg_tpu.io.sub_mesh import write_sub_mesh
+        from zyg_tpu.io.mesh import load_mesh_file
+        from zyg_tpu.scene.trimesh import make_cube_mesh
+
+        p = str(tmp_path / "cube.sub")
+        write_sub_mesh(p, make_cube_mesh())
+        mesh = load_mesh_file(p)
+        assert mesh is not None
+        assert len(mesh.indices) == 12
+
+    def test_delta_indices_decode(self, tmp_path):
+        """Int32 encoding: index values are deltas (cumsum decode)."""
+        import json, struct
+        from zyg_tpu.io.sub_mesh import read_sub_mesh
+
+        pos = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], "<f4")
+        nrm = np.tile(np.array([0, 0, 1], "<f4"), (3, 1))
+        idx_abs = np.array([0, 1, 2], np.int64)
+        deltas = np.diff(np.concatenate([[0], idx_abs]))  # cumsum(deltas) == idx_abs
+        v_blob = pos.tobytes() + nrm.tobytes()
+        i_blob = deltas.astype("<i4").tobytes()
+        header = {"geometry": {
+            "vertices": {"binary": {"offset": 0, "size": len(v_blob)},
+                         "num_vertices": 3,
+                         "layout": [{"semantic_name": "Position"},
+                                    {"semantic_name": "Normal"}]},
+            "indices": {"binary": {"offset": len(v_blob), "size": len(i_blob)},
+                        "num_indices": 3, "encoding": "Int32"}}}
+        js = json.dumps(header).encode()
+        p = str(tmp_path / "delta.sub")
+        with open(p, "wb") as f:
+            f.write(b"SUB\x00"); f.write(struct.pack("<Q", len(js)))
+            f.write(js); f.write(v_blob); f.write(i_blob)
+        with open(p, "rb") as f:
+            mesh = read_sub_mesh(f)
+        np.testing.assert_array_equal(mesh.indices, [[0, 1, 2]])

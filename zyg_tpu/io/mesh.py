@@ -113,6 +113,12 @@ def load_mesh_file(path: str) -> HostMesh | None:
     try:
         if ext == ".obj":
             return load_obj(path)
+        if ext == ".sub":
+            from .sub_mesh import read_sub_mesh
+            from .fs import open_stream
+
+            with open_stream(path) as f:
+                return read_sub_mesh(f)
         if ext in (".json", ".mesh"):
             return load_json_mesh(path)
     except (OSError, ValueError, KeyError) as e:
