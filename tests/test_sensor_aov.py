@@ -180,3 +180,62 @@ class TestSensorAovs:
 
         ch = read_exr(str(tmp_path / "img_albedo.exr"))
         assert "R" in ch or "Y" in ch
+
+
+class TestShadowCatcher:
+    """Shadow catcher (ref vertex.zig shadow_catcher_*): the beauty keeps
+    the occluded lighting; the alpha channel records shadow DENSITY at
+    catcher primaries (compositing workflow)."""
+
+    def test_alpha_is_shadow_density(self):
+        from zyg_tpu.scene.loader import load_scene_dict
+        from zyg_tpu.io.take import Take
+        from zyg_tpu.render.camera import PerspectiveCamera
+        from zyg_tpu.render.driver import Driver
+
+        scene = load_scene_dict(
+            {
+                "materials": [
+                    {"name": "g", "rendering": {"Substitute": {"color": [0.5, 0.5, 0.5], "roughness": 1.0}}},
+                    {"name": "b", "rendering": {"Substitute": {"color": [0.4, 0.4, 0.4]}}},
+                    {"name": "sun", "rendering": {"Light": {"emittance": {"value": 8.0}}}},
+                ],
+                "entities": [
+                    # catcher ground plane
+                    {"type": "Prop", "shape": {"type": "Rectangle"}, "materials": ["g"],
+                     "shadow_catcher": True,
+                     "transformation": {"position": [0, 0, 0], "rotation": [90, 0, 0], "scale": [6, 6, 1]}},
+                    # occluder sphere above the ground
+                    {"type": "Prop", "shape": {"type": "Sphere"}, "materials": ["b"],
+                     "transformation": {"position": [0, 0.8, 0], "scale": [0.8, 0.8, 0.8]}},
+                    # small light high above: crisp downward shadow
+                    {"type": "Light", "shape": {"type": "Rectangle"}, "materials": ["sun"],
+                     "transformation": {"position": [0, 6, 0], "rotation": [-90, 0, 0], "scale": [1.5, 1.5, 1]}},
+                ],
+            }
+        )
+        assert "shadow_catchers" in scene.mat_features
+        take = Take()
+        take.num_samples_per_pixel = 16
+        take.integrator.kind = "PTMIS"
+        take.integrator.max_depth_surface = 3
+        take.sensor.alpha_transparency = True
+        cam = PerspectiveCamera(resolution=(32, 32), fov=np.deg2rad(50))
+        cam.position = np.array([0, 3.2, -3.2], np.float32)
+        cam.rotation = np.array(
+            [[1, 0, 0], [0, 0.7071, 0.7071], [0, -0.7071, 0.7071]], np.float32
+        )
+        take.cameras = [cam]
+        d = Driver(take=take, scene=scene)
+        img = d.render_frame()
+        alpha = d.resolve_alpha()
+        assert alpha is not None
+        assert np.isfinite(img).all()
+        # center of frame looks at the shadowed ground under the sphere...
+        # find the darkest vs brightest ground alphas: shadowed pixels have
+        # HIGH density, unshadowed catcher pixels ~0
+        assert alpha.max() > 0.5, f"no shadow recorded, max {alpha.max()}"
+        lit = alpha < 0.1
+        assert lit.mean() > 0.2, "catcher should be mostly unshadowed"
+        # beauty still renders the occluded lighting (not black)
+        assert img.mean() > 1e-3

@@ -486,12 +486,13 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
                     )
                 else:
                     shadow_tr = jnp.float32(1.0)
-                contrib = jnp.where(
-                    (nee_active & ~blocked)[..., None],
-                    throughput * radiance * f * w[..., None] * shadow_tr,
-                    0.0,
-                )
-                return contrib, nee_active
+                base = throughput * radiance * f * w[..., None] * shadow_tr
+                contrib = jnp.where((nee_active & ~blocked)[..., None], base, 0.0)
+                # unoccluded variant for shadow catchers (ref sampleLights
+                # occluded/unoccluded duals); same estimator minus the
+                # occlusion test
+                unocc = jnp.where(nee_active[..., None], base, 0.0)
+                return contrib, nee_active, unocc
 
             if settings.light_split_depth > 0 and scene.light_tree is not None:
                 # adaptive NEE splitting: static 2^S finite picks (+1
@@ -508,22 +509,56 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
                     settings.light_split_depth,
                 )
                 nee = jnp.zeros_like(throughput)
+                nee_unocc = jnp.zeros_like(throughput)
                 for k in range(picks_l.shape[-1]):
                     # Cranley-Patterson rotation decorrelates picks sharing
                     # the single sampled 2D point
                     xi_k = jnp.mod(xi_l + jnp.asarray(_cp_offset(k), jnp.float32), 1.0) if k else xi_l
-                    c_k, a_k = nee_pick(picks_l[..., k], picks_pdf[..., k], xi_k)
+                    c_k, a_k, u_k = nee_pick(picks_l[..., k], picks_pdf[..., k], xi_k)
                     nee = nee + c_k
+                    nee_unocc = nee_unocc + u_k
                     rays = rays + jnp.sum(a_k, dtype=jnp.int32)
                 new_nee_thr = thr
             else:
                 light_idx, sel_pdf = ls_mod.select_light(
                     scene, u_sel, p=nee_p, n=frag.n, total_sphere=scatter
                 )
-                nee, nee_active = nee_pick(light_idx, sel_pdf, xi_l)
+                nee, nee_active, nee_unocc = nee_pick(light_idx, sel_pdf, xi_l)
                 rays = rays + jnp.sum(nee_active, dtype=jnp.int32)
                 new_nee_thr = jnp.zeros(u_sel.shape, jnp.float32)
             result = result.add(nee, s.depth, 1, jnp.zeros_like(cont), jnp.zeros_like(cont))
+
+            if (
+                scene.mat_features is not None
+                and "shadow_catchers" in scene.mat_features
+                and settings.collect_aovs
+                and "alpha" in settings.collect_aovs
+            ):
+                # shadow catcher (ref vertex.zig flush: alpha +=
+                # 1 - avg(occluded/unoccluded)): the beauty keeps the
+                # normal occluded lighting; the alpha AOV records shadow
+                # DENSITY at catcher primaries instead of coverage
+                catcher = small_gather(
+                    scene.prop_shadow_catcher, jnp.maximum(hit.prop, 0)
+                )
+                fh_c = (
+                    s.alive & (s.depth == 0) & (s.vol_depth == 0) & ~scatter
+                    & hit.valid() & (hit.t < RAY_MAX_T) & catcher
+                )
+                # no light reaches the catcher at all -> ratio 1 (no
+                # shadow to record; ref: occluded < unoccluded select)
+                ratio = jnp.where(
+                    nee_unocc > 1e-12,
+                    jnp.clip(nee / jnp.maximum(nee_unocc, 1e-20), 0.0, 1.0),
+                    1.0,
+                ).mean(axis=-1)
+                density = jnp.where(fh_c, 1.0 - ratio, 0.0)
+                # the capture block already added coverage 1 for these
+                # lanes — replace it with the shadow density
+                aov = dict(aov)
+                aov["alpha"] = aov["alpha"].at[s.pid].add(
+                    (density - jnp.where(fh_c, 1.0, 0.0))[..., None]
+                )
         else:
             _ = smp.sample_1d()
             _ = smp.sample_2d()

@@ -455,6 +455,7 @@ class PropDesc:
     mesh_id: int = -1
     curve_id: int = -1  # curve-shape arena id (ref shape/curve/)
     cloud_id: int = -1  # point-cloud arena id (ref shape/point/)
+    shadow_catcher: bool = False  # ref scene_loader.zig:312 setShadowCatcher
     # keyframed motion: [(time_seconds, Transformation), ...] or None
     # (ref util/animation_loader.zig / scene/space.zig setFrames)
     animation: "list | None" = None
@@ -909,6 +910,10 @@ class SceneBuilder:
             for d in self.materials
         ):
             mat_features["dispersion"] = True
+        # shadow catchers (ref vertex.zig shadow_catcher_*): dual-occlusion
+        # NEE + shadow-density alpha compile only when a catcher exists
+        if any(p.shadow_catcher for p in self.props):
+            mat_features["shadow_catchers"] = True
         # anisotropic GGX only compiles when a surface material asks for it
         if any(
             d.kind == int(MaterialKind.SUBSTITUTE) and d.anisotropy > 0.0
@@ -1063,6 +1068,9 @@ class SceneBuilder:
             curves=curve_arena,
             curve_props=jnp.asarray(curve_props, jnp.int32) if curve_arena is not None else None,
             prop_curve=jnp.asarray([p.curve_id for p in props], jnp.int32) if curve_arena is not None else None,
+            prop_shadow_catcher=jnp.asarray(
+                [p.shadow_catcher for p in props], bool
+            ),
             points=point_arena,
             point_props=jnp.asarray(point_props, jnp.int32) if point_arena is not None else None,
             prop_cloud=jnp.asarray([p.cloud_id for p in props], jnp.int32) if point_arena is not None else None,
@@ -1239,6 +1247,7 @@ def _load_entities(entities, parent: Transformation, local_materials, builder: S
                         mesh_id=mesh_id,
                         curve_id=curve_id,
                         cloud_id=cloud_id,
+                        shadow_catcher=bool(e.get("shadow_catcher", False)),
                         animation=anim,
                     )
                 )

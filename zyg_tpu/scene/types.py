@@ -137,6 +137,8 @@ class SceneData(NamedTuple):
     curves: "object" = None  # curves.CurveArena | None
     curve_props: jax.Array = None  # int32[Pc] prop indices with curve shapes
     prop_curve: jax.Array = None  # int32[P] curve shape id (-1 = none)
+    # shadow catchers (ref scene.zig propIsShadowCatcher)
+    prop_shadow_catcher: jax.Array = None  # bool[P]
     # point clouds: sphere-particle arena (ref shape/point/)
     points: "object" = None  # points.PointArena | None
     point_props: jax.Array = None  # int32[Pp] prop indices with point shapes
