@@ -30,9 +30,12 @@ def load_image(path: str) -> np.ndarray:
     img = _li(path)
     if img is None:
         raise SystemExit(f"it: cannot load {path}")
-    img = np.asarray(img, np.float32)
+    img = np.asarray(img)
     if img.dtype == np.uint8:
         img = img.astype(np.float32) / 255.0
+    elif img.dtype == np.uint16:
+        img = img.astype(np.float32) / 65535.0
+    img = np.asarray(img, np.float32)
     if img.ndim == 2:
         img = img[..., None]
     return img[..., :3] if img.shape[-1] >= 3 else np.repeat(img, 3, axis=-1)
@@ -159,11 +162,21 @@ def main(argv=None) -> int:
     img = imgs[0]
 
     if args.denoise:
+        # auto-discover the renderer's AOV companion exports
+        # (<stem>_albedo.exr etc., written when the take enables AOVs)
+        stem = os.path.splitext(args.inputs[0])[0]
+
+        def companion(explicit, name):
+            if explicit:
+                return load_image(explicit)
+            cand = f"{stem}_{name}.exr"
+            return load_image(cand) if os.path.exists(cand) else None
+
         img = op_denoise(
             img,
-            albedo=load_image(args.albedo) if args.albedo else None,
-            normal=load_image(args.normal) if args.normal else None,
-            depth=load_image(args.depth) if args.depth else None,
+            albedo=companion(args.albedo, "albedo"),
+            normal=companion(args.normal, "shading_normal"),
+            depth=companion(args.depth, "depth"),
         )
     if args.down > 1:
         img = op_downsample(img, args.down)
