@@ -186,3 +186,29 @@ class TestProceduralTextures:
             res=8,
         )
         np.testing.assert_allclose(img[0, 0], [3.0, 2.0, 1.0], rtol=1e-6)
+
+
+class TestAddressModes:
+    """Per-texture clamp/repeat addressing (ref sampler_mode.zig Address)."""
+
+    def test_clamp_vs_repeat(self):
+        import jax.numpy as jnp
+        from zyg_tpu.scene.textures import TextureBuilder, sample_bilinear
+
+        grad = np.linspace(0, 1, 8, dtype=np.float32)[None, :, None].repeat(8, 0)
+        b = TextureBuilder()
+        t_rep = b.add(grad.repeat(3, -1))
+        t_clm = b.add(grad.repeat(3, -1), clamp_u=True, clamp_v=True)
+        arena = b.build()
+        # u slightly beyond 1: repeat wraps to the dark left edge, clamp
+        # sticks to the bright right edge
+        uv = jnp.asarray([[1.04, 0.5]], jnp.float32)
+        rep = float(sample_bilinear(arena, jnp.asarray([t_rep]), uv)[0, 0])
+        clm = float(sample_bilinear(arena, jnp.asarray([t_clm]), uv)[0, 0])
+        assert clm > 0.9
+        assert rep < 0.6  # wrapped into the dark side
+        # inside [0,1] both agree
+        uv2 = jnp.asarray([[0.4, 0.5]], jnp.float32)
+        r2 = float(sample_bilinear(arena, jnp.asarray([t_rep]), uv2)[0, 0])
+        c2 = float(sample_bilinear(arena, jnp.asarray([t_clm]), uv2)[0, 0])
+        np.testing.assert_allclose(r2, c2, rtol=1e-6)

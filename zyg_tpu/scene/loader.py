@@ -182,6 +182,20 @@ def _read_color(v) -> np.ndarray:
     return np.array([float(x) for x in v[:3]], np.float32)
 
 
+def _read_address(sampler) -> tuple[bool, bool]:
+    """ref material_provider.zig readTextureSampler "address": scalar or
+    [u, v] of "Clamp"/"Repeat"."""
+    if not isinstance(sampler, dict):
+        return False, False
+    adr = sampler.get("address")
+    if isinstance(adr, (list, tuple)):
+        return str(adr[0]) == "Clamp", str(adr[1 if len(adr) > 1 else 0]) == "Clamp"
+    if isinstance(adr, str):
+        c = adr == "Clamp"
+        return c, c
+    return False, False
+
+
 def parse_material(
     value: dict,
     builder: "SceneBuilder | None" = None,
@@ -211,7 +225,11 @@ def parse_material(
                 img = prcd.bake(v, load_image=_load)
                 return builder.add_texture_image(img, srgb=False)
         if builder is not None and isinstance(v, dict) and "file" in v:
-            return builder.load_texture(os.path.join(base_dir, v["file"]), srgb=srgb)
+            cu, cv2 = _read_address(v.get("sampler"))
+            return builder.load_texture(
+                os.path.join(base_dir, v["file"]), srgb=srgb,
+                clamp_u=cu, clamp_v=cv2,
+            )
         if (
             builder is not None
             and image_provider is not None
@@ -596,8 +614,11 @@ class SceneBuilder:
         # fallback material id 0
         self._fallback = self.add_material(MaterialDesc(color=np.array([1.0, 0.0, 0.6], np.float32)))
 
-    def load_texture(self, path: str, srgb: bool = False) -> int:
-        key = (path, srgb)
+    def load_texture(
+        self, path: str, srgb: bool = False,
+        clamp_u: bool = False, clamp_v: bool = False,
+    ) -> int:
+        key = (path, srgb, clamp_u, clamp_v)
         if not hasattr(self, "_tex_by_path"):
             self._tex_by_path = {}
         if key in self._tex_by_path:
@@ -605,7 +626,7 @@ class SceneBuilder:
         img = load_image(path)
         if img is None:
             return -1
-        tid = self.textures.add(img, srgb=srgb)
+        tid = self.textures.add(img, srgb=srgb, clamp_u=clamp_u, clamp_v=clamp_v)
         self._tex_by_path[key] = tid
         return tid
 

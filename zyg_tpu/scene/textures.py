@@ -8,8 +8,9 @@ arena (TPU gathers like flat arrays, and one arena = one HBM allocation):
     desc   offset/width/height int32 per texture
 
 sRGB decode and unorm conversion happen at pack time (host). Sampling is
-vectorized bilinear with wrap addressing (the reference default for most
-maps; clamp for env strips can come with the sampler-mode plumbing).
+vectorized bilinear; per-texture clamp/repeat address modes follow the
+reference's sampler_mode.zig Address (parsed from the texture node's
+"sampler" key).
 """
 
 from __future__ import annotations
@@ -26,6 +27,9 @@ class TextureArena(NamedTuple):
     offset: jax.Array  # [K] int32
     width: jax.Array  # [K] int32
     height: jax.Array  # [K] int32
+    # per-texture uv address mode (ref sampler_mode.zig Address):
+    # bit0 = clamp u, bit1 = clamp v; 0 = repeat both (the default)
+    address: jax.Array = None  # int32[K]
 
     @property
     def count(self) -> int:
@@ -35,6 +39,7 @@ class TextureArena(NamedTuple):
 class TextureBuilder:
     def __init__(self):
         self._images: list[np.ndarray] = []
+        self._address: list[int] = []
 
     @staticmethod
     def _convert(image: np.ndarray, srgb: bool) -> np.ndarray:
@@ -63,9 +68,10 @@ class TextureBuilder:
             rgba[..., 3] = 1.0
         return rgba
 
-    def add(self, image: np.ndarray, srgb: bool = False) -> int:
+    def add(self, image: np.ndarray, srgb: bool = False, clamp_u: bool = False, clamp_v: bool = False) -> int:
         """image: [H,W,C] uint8/uint16/float32 -> texture id."""
         self._images.append(self._convert(image, srgb))
+        self._address.append((1 if clamp_u else 0) | (2 if clamp_v else 0))
         return len(self._images) - 1
 
     def replace(self, tex_id: int, image: np.ndarray, srgb: bool = False) -> None:
@@ -86,6 +92,7 @@ class TextureBuilder:
             offset=jnp.asarray(offsets, jnp.int32),
             width=jnp.asarray([i.shape[1] for i in self._images], jnp.int32),
             height=jnp.asarray([i.shape[0] for i in self._images], jnp.int32),
+            address=jnp.asarray(self._address, jnp.int32),
         )
 
 
@@ -105,9 +112,21 @@ def sample_bilinear(arena: TextureArena, tex_id, uv):
     tx = x - x0.astype(jnp.float32)
     ty = y - y0.astype(jnp.float32)
 
+    if arena.address is not None:
+        adr = arena.address[tid]
+        clamp_u = (adr & 1) != 0
+        clamp_v = (adr & 2) != 0
+    else:
+        clamp_u = clamp_v = None
+
     def texel(xi, yi):
-        xi = jnp.mod(xi, w)
-        yi = jnp.mod(yi, h)
+        # per-texture address mode (ref sampler_mode.zig Address.coord)
+        if clamp_u is not None:
+            xi = jnp.where(clamp_u, jnp.clip(xi, 0, w - 1), jnp.mod(xi, w))
+            yi = jnp.where(clamp_v, jnp.clip(yi, 0, h - 1), jnp.mod(yi, h))
+        else:
+            xi = jnp.mod(xi, w)
+            yi = jnp.mod(yi, h)
         return arena.data[off + yi * w + xi]
 
     c00 = texel(x0, y0)
