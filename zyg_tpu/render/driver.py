@@ -51,6 +51,7 @@ def _render_samples(
     photon_max_per_cell: int = 64,
     light_split_depth: int = 0,
     aovs: tuple = (),
+    frame_width: int = 0,
 ):
     """Accumulate `num_samples` consecutive samples into fb (one jit).
 
@@ -60,7 +61,7 @@ def _render_samples(
     # PTMIS/PTDL with a box filter uses the persistent wavefront (lane
     # regeneration): ~3x utilization vs the per-sample scan below
     if integrator.kind in ("PTMIS", "PTDL") and filter_radius == 0:
-        acc, rays, aov_sums = ptmis_mod.integrate_persistent(
+        acc, rays, aov_sums, num_iters = ptmis_mod.integrate_persistent(
             scene,
             cam_arrays,
             pixel_xy,
@@ -82,15 +83,12 @@ def _render_samples(
             clamp_max,
             photon_map=photon_map,
             photon_max_per_cell=photon_max_per_cell,
-            # lane->pixel shuffling is DISABLED pending an XLA perf cliff:
-            # the scatter-free [3K,N] accumulator costs ~590ms/iteration at
-            # 2M lanes on v5e (scatter-add ~80ms; plain add 18ms) — the
-            # occupancy win (145 vs 174 iterations) can't pay for either.
-            # The machinery + tests stay for when the accumulator is fixed
-            # (a pallas kernel for the one-hot add is the likely answer).
-            frame_width=0,
+            # per-sample lane->pixel shuffle (work balancing, 174->145
+            # iterations on the Cornell bench); the flushes ride the Pallas
+            # column-accumulator (ops/accum.py, ~1.8ms/iter at 2M lanes)
+            frame_width=frame_width,
         )
-        return Framebuffer(fb.value + acc, fb.weight + num_samples), rays, aov_sums
+        return Framebuffer(fb.value + acc, fb.weight + num_samples), (rays, num_iters), aov_sums
 
     def one_sample(carry, s):
         fb, total_rays = carry
@@ -183,6 +181,7 @@ class Driver:
         self._particles_traced = 0
         self._iteration = 0
         self.rays_traced = 0
+        self.last_iterations = 0  # wavefront loop iterations (diagnostics)
         self._photon_map = None
         clamp = self.take.sensor.clamp
         self._clamp_max = (clamp.emission, clamp.direct, clamp.indirect)
@@ -204,6 +203,9 @@ class Driver:
         )
         self._aov_names = aovs if persistent else ()
         self._aov = {}
+        # per-sample lane->pixel shuffle: AOV accumulators scatter by pid
+        # (expensive under shuffling), so only shuffle when no AOVs ride
+        self._frame_width = w if (persistent and not self._aov_names) else 0
         lt = self.scene.light_tree
         self._light_split_depth = (
             2
@@ -230,7 +232,9 @@ class Driver:
             or self.take.photon.num_photons > 0
         )
         if self.take.integrator.kind in ("PTMIS", "PTDL") and self.take.sensor.filter_radius == 0:
-            self.chunk_size = min(spp, 8 if self._heavy_loops else 64)
+            # shuffled chunks carry a [3*chunk, N] flush buffer — cap at 16
+            # samples (384MB at 1080p) to bound it
+            self.chunk_size = min(spp, 8 if self._heavy_loops else (16 if self._frame_width else 64))
         else:
             lane_budget = 4_000_000
             by_lanes = max(1, lane_budget // max(w * h, 1))
@@ -257,6 +261,7 @@ class Driver:
                     photon_max_per_cell=getattr(self, "_photon_max_per_cell", 64),
                     light_split_depth=self._light_split_depth,
                     aovs=self._aov_names,
+                    frame_width=self._frame_width,
                 )
             )
             self._render_cache[num_samples] = fn
@@ -344,6 +349,9 @@ class Driver:
                     jnp.int32(self._iteration),
                     photon_map=self._photon_map,
                 )
+                if isinstance(rays, tuple):  # persistent path: (rays, iters)
+                    rays, wf_iters = rays
+                    self.last_iterations = int(wf_iters)
                 self._fb = Framebuffer(
                     self._fb.value.at[t0:t1].set(fb_t.value),
                     self._fb.weight.at[t0:t1].set(fb_t.weight),

@@ -691,6 +691,7 @@ class PersistentState(NamedTuple):
     path: PathState  # path.result holds the CURRENT sample's IValue sums
     acc: jax.Array  # [N,3] clamped, accumulated finished samples (by PIXEL)
     done: jax.Array  # int32[N] samples finished per lane
+    iters: jax.Array  # int32 scalar: loop iterations (occupancy diagnostics)
 
 
 def _coprime_stride(n: int) -> int:
@@ -740,15 +741,17 @@ def integrate_persistent(
     camera; 0 falls back to the un-shuffled identity mapping.
 
     Returns (acc_radiance[N,3] summed over samples BY PIXEL, num_rays,
-    aov_sums).
+    aov_sums, loop_iterations).
 
     Accumulation: a per-iteration scatter-add by pixel id costs ~80ms at 2M
-    lanes on v5e (XLA TPU scatter). Instead each lane accumulates its
-    samples into a private [N, num_samples, 3] buffer (per-lane one-hot
-    column add — pure sequential traffic), and ONE unpermute pass after the
-    loop gathers column k from lane (pid - (first_it+k)*stride) mod n.
-    num_samples is capped by the driver's chunking so the buffer stays
-    a few hundred MB."""
+    lanes on v5e (XLA TPU scatter), and per-lane [3K, N] column buffers hit
+    multi-minute Mosaic compiles. The affine shuffle makes the scatter a
+    CIRCULAR SHIFT per sample index k: pid = (lane + k*stride) mod n, so
+    flushing sample k is `acc += roll(masked_value, k*stride mod n)` — two
+    dynamic slices, no scatter. Lane skew is bounded to SKEW samples (a
+    lane more than SKEW-1 samples ahead of the slowest stalls one
+    iteration), so each iteration flushes at most SKEW distinct k values —
+    a fixed unroll of SKEW rolls."""
     from ..camera import generate_rays
     from .. import sensor as sensor_mod
 
@@ -786,12 +789,11 @@ def integrate_persistent(
         wavelength=jnp.zeros((n,), jnp.float32),
         pid=lanes,
     )
-    # [3*num_samples, n]: lane dim LAST — an [n, K, 3] layout pads 42x
-    # under TPU tiling (T(8,128) on the trailing dims) and OOMs at 1080p
-    acc0 = (
-        jnp.zeros((3 * num_samples, n), jnp.float32) if shuffled else zero3
+    state = PersistentState(
+        path=path0, acc=zero3, done=jnp.zeros((n,), jnp.int32),
+        iters=jnp.int32(0),
     )
-    state = PersistentState(path=path0, acc=acc0, done=jnp.zeros((n,), jnp.int32))
+    SKEW = 8  # max samples any lane may lead the slowest by (flush unroll)
 
     def clamp_cur(cur: IValue):
         return (
@@ -806,8 +808,12 @@ def integrate_persistent(
     def step(ps: PersistentState):
         s = ps.path
         # ---- regenerate finished lanes with the NEXT sample, shuffled
-        # onto pixel (lane + iteration*stride) mod n
+        # onto pixel (lane + iteration*stride) mod n; lanes more than
+        # SKEW-1 samples ahead of the slowest stall (bounds the flush)
         regen = (~s.alive) & (ps.done < num_samples)
+        if shuffled:
+            dmin0 = jnp.min(ps.done)
+            regen = regen & (ps.done - dmin0 < SKEW - 1)
         iteration = (first_iteration + ps.done).astype(jnp.uint32)
         pid_new = (lanes + iteration * stride) % jnp.uint32(n)
         gpid = pixel_ids[0] + pid_new  # contiguous-range contract
@@ -872,16 +878,21 @@ def integrate_persistent(
         fin_m = finished[..., None]
         acc_add = jnp.where(fin_m, clamp_cur(s.result), 0.0)
         if shuffled:
-            # lane-local buffer row-block = the finished sample's index; the
-            # one-hot add is sequential HBM traffic (scatter-free). Stay
-            # strictly 2D in the buffer's [3K, n] layout: a [K,3,n]
-            # intermediate + reshape forces a physical relayout under TPU
-            # tiling (measured ~600ms/iteration at 2M lanes).
-            col = jnp.clip(done - 1, 0, num_samples - 1)
-            rows = jnp.arange(3 * num_samples)
-            oh3 = ((rows // 3)[:, None] == col[None, :]) & finished[None, :]
-            val_rows = acc_add.T[rows % 3]  # [3K, n] from 3 source rows
-            acc = ps.acc + jnp.where(oh3, val_rows, 0.0)
+            # pixel-indexed scatter as SKEW masked circular shifts: the
+            # finished sample's pixel is (lane + k*stride) mod n, an affine
+            # map per sample index k in [dmin0-1, dmin0+SKEW-1)
+            acc = ps.acc
+            col = done - 1
+            for dd in range(SKEW):
+                c = dmin0 - 1 + dd
+                m = finished & (col == c)
+                shift = (
+                    (first_iteration + c).astype(jnp.uint32) * stride
+                ) % jnp.uint32(n)
+                acc = acc + jnp.roll(
+                    jnp.where(m[..., None], acc_add, 0.0),
+                    shift.astype(jnp.int32), axis=0,
+                )
         else:
             acc = ps.acc + acc_add
         if settings.collect_aovs:
@@ -894,19 +905,7 @@ def integrate_persistent(
                 if name in aov:
                     aov[name] = aov[name].at[s.pid].add(jnp.where(fin_m, field, 0.0))
             s = s._replace(aov=aov)
-        return PersistentState(path=s, acc=acc, done=done)
+        return PersistentState(path=s, acc=acc, done=done, iters=ps.iters + 1)
 
     final = jax.lax.while_loop(cond, step, state)
-    acc = final.acc
-    if shuffled:
-        # unpermute: pixel p's sample k lives in lane (p - (first_it+k)*S)
-        # mod n — num_samples gathers, once per dispatch
-        out = jnp.zeros((n, 3), jnp.float32)
-        nn = jnp.uint32(n)
-        for k in range(num_samples):
-            it_g = (first_iteration + k).astype(jnp.uint32)
-            off = (it_g * stride) % nn
-            lane = (lanes + (nn - off)) % nn
-            out = out + acc[3 * k : 3 * k + 3, lane].T
-        acc = out
-    return acc, final.path.rays, final.path.aov
+    return final.acc, final.path.rays, final.path.aov, final.iters

@@ -831,14 +831,16 @@ class SceneBuilder:
             )
             if not moving:
                 continue
-            if p.mesh_id >= 0 or p.is_light:
+            if p.is_light or p.curve_id >= 0 or p.cloud_id >= 0:
                 from ..utils.log import warning
 
                 warning(
-                    "motion blur on mesh/light props is not supported yet; "
-                    f"prop {i} rendered at shutter start"
+                    "motion blur on light/curve/point props is not supported "
+                    f"yet; prop {i} rendered at shutter start"
                 )
                 continue
+            # mesh props: rigid motion rides the TLAS transform rows (see
+            # trimesh.build_tlas); fragments use the animated_props path
             # key = (prop, shape): dict KEYS ride the pytree treedef, so jit
             # specializes statically (values would be traced leaves)
             animated_props[(i, p.shape)] = True
@@ -903,6 +905,33 @@ class SceneBuilder:
                 visible_shadow.append(False)
             else:
                 visible_shadow.append(p.visible_shadow)
+        # scene TLAS over mesh instances (+ rigid-motion transform rows)
+        mesh_tlas = None
+        if meshes is not None and mesh_props:
+            from .trimesh import build_tlas
+
+            assert len(props) < 1024, "TLAS prop_enc packs prop ids < 1024"
+            instances = []
+            for i in mesh_props:
+                p = props[i]
+                ins = {
+                    "prop": i,
+                    "mesh": p.mesh_id,
+                    "rot": np.asarray(p.trafo.rotation, np.float32),
+                    "pos": np.asarray(p.trafo.position, np.float32),
+                    "scale": np.asarray(p.trafo.scale, np.float32),
+                    "vis": (p.visible_camera, p.visible_reflection, visible_shadow[i]),
+                }
+                if i in end_trafo:
+                    te = end_trafo[i]
+                    ins["rot1"] = np.asarray(te.rotation, np.float32)
+                    ins["pos1"] = np.asarray(te.position, np.float32)
+                    ins["scale1"] = np.asarray(te.scale, np.float32)
+                instances.append(ins)
+            mesh_tlas = build_tlas(meshes, instances)
+            # share the extended row arena (the BLAS-only rows are a prefix)
+            meshes = meshes._replace(node_rows=mesh_tlas.node_rows)
+
         mat_features = {}
         if any(d.coating_thickness > 0.0 for d in self.materials):
             mat_features["coating"] = True
@@ -1086,6 +1115,7 @@ class SceneBuilder:
             meshes=meshes,
             mesh_props=jnp.asarray(mesh_props, jnp.int32) if meshes is not None else None,
             prop_mesh=jnp.asarray([p.mesh_id for p in props], jnp.int32) if meshes is not None else None,
+            mesh_tlas=mesh_tlas,
             curves=curve_arena,
             curve_props=jnp.asarray(curve_props, jnp.int32) if curve_arena is not None else None,
             prop_curve=jnp.asarray([p.curve_id for p in props], jnp.int32) if curve_arena is not None else None,

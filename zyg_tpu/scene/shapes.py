@@ -258,10 +258,13 @@ def intersect_scene(scene: SceneData, o, d, tmin, tmax, ray_class: str = "reflec
             v_b = jnp.where(closer, take(v), v_b)
 
     # animated props: one per-prop pass with per-lane shutter transforms
-    # (static scenes have an empty dict — compiles to nothing)
+    # (static scenes have an empty dict — compiles to nothing). Animated
+    # mesh/curve/point props are handled by their own traversals.
     if scene.animated_props:
         tl = jnp.zeros(n_shape, jnp.float32) if time is None else time
         for pk, st in scene.animated_props.keys():
+            if int(st) not in _INTERSECTORS:
+                continue
             rot, pos, scale = prop_transform_at(scene, pk, tl)
             t, u, v, hit = _INTERSECTORS[int(st)](o, d, rot, pos, scale, tmin, tmax)
             lane_vis = vis[pk]
@@ -276,7 +279,8 @@ def intersect_scene(scene: SceneData, o, d, tmin, tmax, ray_class: str = "reflec
     prim = jnp.full(n_shape, -1, jnp.int32)
     if scene.meshes is not None:
         t_b, p_b, u_b, v_b, prim = _intersect_meshes(
-            scene, o, d, tmin, tmax, vis, primary, t_b, p_b, u_b, v_b, prim
+            scene, o, d, tmin, tmax, ray_class, primary, t_b, p_b, u_b, v_b,
+            prim, time,
         )
     if scene.curves is not None:
         t_b, p_b, u_b, v_b, prim = _intersect_curves(
@@ -289,36 +293,23 @@ def intersect_scene(scene: SceneData, o, d, tmin, tmax, ray_class: str = "reflec
     return Hit(t_b, p_b, u_b, v_b, prim)
 
 
-def _intersect_meshes(scene: SceneData, o, d, tmin, tmax, vis, primary, t_b, p_b, u_b, v_b, prim_b):
-    """Closest-hit over all mesh props: scan over instances, threaded-BVH
-    traversal per instance (ref: prop_tree -> triangle_tree two-level walk)."""
+def _intersect_meshes(scene: SceneData, o, d, tmin, tmax, ray_class, primary, t_b, p_b, u_b, v_b, prim_b, time=None):
+    """Closest-hit over all mesh props via the scene TLAS: one unified
+    two-level pointer walk instead of a per-instance scan (ref:
+    prop_tree.zig:22 -> triangle_tree.zig two-level traversal)."""
     from . import trimesh
 
-    def body(carry, prop_idx):
-        t_b, p_b, u_b, v_b, prim_b = carry
-        rot = scene.prop_rot[prop_idx]
-        pos = scene.prop_pos[prop_idx]
-        scale = scene.prop_scale[prop_idx]
-        lane_vis = vis[prop_idx]
-        if primary is not None:
-            lane_vis = jnp.where(primary, scene.prop_visible_camera[prop_idx], lane_vis)
-        o_l = vm.world_to_object_point(rot, scale, pos, o)
-        d_l = vm.world_to_object_vector(rot, scale, d)
-        root = jnp.broadcast_to(
-            scene.meshes.mesh_root[scene.prop_mesh[prop_idx]], o.shape[:-1]
-        )
-        mh = trimesh.traverse(scene.meshes, root, o_l, d_l, tmin, jnp.minimum(tmax, t_b))
-        closer = (mh.prim >= 0) & (mh.t < t_b) & lane_vis
-        t_b = jnp.where(closer, mh.t, t_b)
-        p_b = jnp.where(closer, prop_idx, p_b)
-        u_b = jnp.where(closer, mh.u, u_b)
-        v_b = jnp.where(closer, mh.v, v_b)
-        prim_b = jnp.where(closer, mh.prim, prim_b)
-        return (t_b, p_b, u_b, v_b, prim_b), None
-
-    (t_b, p_b, u_b, v_b, prim_b), _ = jax.lax.scan(
-        body, (t_b, p_b, u_b, v_b, prim_b), scene.mesh_props
+    th = trimesh.traverse_tlas(
+        scene.meshes, scene.mesh_tlas, o, d, tmin,
+        jnp.minimum(tmax, t_b), ray_class=ray_class, primary=primary,
+        time=time,
     )
+    closer = th.prim >= 0  # traversal starts bounded by t_b
+    t_b = jnp.where(closer, th.t, t_b)
+    p_b = jnp.where(closer, th.prop, p_b)
+    u_b = jnp.where(closer, th.u, u_b)
+    v_b = jnp.where(closer, th.v, v_b)
+    prim_b = jnp.where(closer, th.prim, prim_b)
     return t_b, p_b, u_b, v_b, prim_b
 
 
@@ -400,6 +391,8 @@ def occluded(scene: SceneData, o, d, tmin, tmax, time=None) -> jax.Array:
     if scene.animated_props:
         tl = jnp.zeros(o.shape[:-1], jnp.float32) if time is None else time
         for pk, st in scene.animated_props.keys():
+            if int(st) not in _INTERSECTORS:
+                continue
             rot, pos, scale = prop_transform_at(scene, pk, tl)
             _, _, _, hit = _INTERSECTORS[int(st)](o, d, rot, pos, scale, tmin, tmax)
             blocked = blocked | (hit & scene.prop_visible_shadow[pk])
@@ -418,20 +411,12 @@ def occluded(scene: SceneData, o, d, tmin, tmax, time=None) -> jax.Array:
     if scene.meshes is not None:
         from . import trimesh
 
-        def mesh_body(blocked, prop_idx):
-            rot = scene.prop_rot[prop_idx]
-            pos = scene.prop_pos[prop_idx]
-            scale = scene.prop_scale[prop_idx]
-            o_l = vm.world_to_object_point(rot, scale, pos, o)
-            d_l = vm.world_to_object_vector(rot, scale, d)
-            root = jnp.broadcast_to(
-                scene.meshes.mesh_root[scene.prop_mesh[prop_idx]], o.shape[:-1]
-            )
-            root = jnp.where(blocked, -1, root)  # skip already-blocked lanes
-            mh = trimesh.traverse(scene.meshes, root, o_l, d_l, tmin, tmax, any_hit=True)
-            return blocked | ((mh.prim >= 0) & scene.prop_visible_shadow[prop_idx]), None
-
-        blocked, _ = jax.lax.scan(mesh_body, blocked, scene.mesh_props)
+        th = trimesh.traverse_tlas(
+            scene.meshes, scene.mesh_tlas, o, d, tmin,
+            jnp.where(blocked, tmin, tmax),  # already-blocked lanes skip
+            ray_class="shadow", time=time, any_hit=True,
+        )
+        blocked = blocked | (th.prim >= 0)
 
     if scene.curves is not None:
         from . import curves as cv
