@@ -163,20 +163,30 @@ class Distribution3D(NamedTuple):
         g = jnp.maximum(jnp.asarray(grid, jnp.float32), 0.0)
         d, h, w = g.shape
         slice_sum = g.sum(axis=(1, 2))  # [D]
-        total = jnp.maximum(slice_sum.sum(), 1e-20)
+        total = slice_sum.sum()
+        # zero totals fall back to UNIFORM at that level and every cdf ends
+        # exactly at 1.0 — degenerate (never-reaching-1) cdfs made
+        # sample_continuous emit huge/NaN points, which sent NaN shadow rays
+        # into the tracking while_loops and hung them (all-false NaN compares)
+        slice_w = jnp.where(total > 0.0, slice_sum, 1.0)
         slice_cdf = jnp.concatenate(
-            [jnp.zeros((1,)), jnp.cumsum(slice_sum) / total]
-        )
+            [jnp.zeros((1,)), jnp.cumsum(slice_w) / slice_w.sum()]
+        ).at[-1].set(1.0)
         row_sum = g.sum(axis=2)  # [D,H]
-        row_tot = jnp.maximum(row_sum.sum(axis=1, keepdims=True), 1e-20)
+        row_tot = row_sum.sum(axis=1, keepdims=True)
+        row_w = jnp.where(row_tot > 0.0, row_sum, 1.0)
         row_cdf = jnp.concatenate(
-            [jnp.zeros((d, 1)), jnp.cumsum(row_sum / row_tot, axis=1)], axis=1
-        )
-        col_tot = jnp.maximum(row_sum[..., None], 1e-20)
+            [jnp.zeros((d, 1)),
+             jnp.cumsum(row_w, axis=1) / row_w.sum(axis=1, keepdims=True)],
+            axis=1,
+        ).at[:, -1].set(1.0)
+        col_w = jnp.where(row_sum[..., None] > 0.0, g, 1.0)
         col_cdf = jnp.concatenate(
-            [jnp.zeros((d, h, 1)), jnp.cumsum(g / col_tot, axis=2)], axis=2
-        )
-        pdf = g / total * (d * h * w)
+            [jnp.zeros((d, h, 1)),
+             jnp.cumsum(col_w, axis=2) / col_w.sum(axis=2, keepdims=True)],
+            axis=2,
+        ).at[:, :, -1].set(1.0)
+        pdf = g / jnp.maximum(total, 1e-20) * (d * h * w)
         return Distribution3D(slice_cdf, row_cdf, col_cdf, pdf)
 
     def sample_continuous(self, uvw):
@@ -196,13 +206,15 @@ class Distribution3D(NamedTuple):
         # continuous offsets within the chosen cells
         s0 = self.slice_cdf[k]
         s1 = self.slice_cdf[k + 1]
-        fz = (w - s0) / jnp.maximum(s1 - s0, 1e-20)
+        # offsets clamped to [0,1): a zero-width cell (possible only at cdf
+        # plateau boundaries) must still yield an in-cube point
+        fz = jnp.clip((w - s0) / jnp.maximum(s1 - s0, 1e-20), 0.0, 1.0 - 1e-6)
         r0 = jnp.take_along_axis(rc, j[..., None], axis=-1)[..., 0]
         r1 = jnp.take_along_axis(rc, j[..., None] + 1, axis=-1)[..., 0]
-        fy = (v - r0) / jnp.maximum(r1 - r0, 1e-20)
+        fy = jnp.clip((v - r0) / jnp.maximum(r1 - r0, 1e-20), 0.0, 1.0 - 1e-6)
         c0 = jnp.take_along_axis(cc, i[..., None], axis=-1)[..., 0]
         c1 = jnp.take_along_axis(cc, i[..., None] + 1, axis=-1)[..., 0]
-        fx = (u - c0) / jnp.maximum(c1 - c0, 1e-20)
+        fx = jnp.clip((u - c0) / jnp.maximum(c1 - c0, 1e-20), 0.0, 1.0 - 1e-6)
         xyz = jnp.stack(
             [(i + fx) / wd, (j + fy) / h, (k + fz) / d], axis=-1
         )

@@ -381,6 +381,13 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
         result = s.result.add(
             contrib, s.depth, 2, primary & jnp.ones_like(s.alive), s.singular
         )
+        if has_media and ev.emission is not None:
+            # volume emission collected along this segment (ref
+            # pathtracer_mis: Absorb-event li added unweighted)
+            vol_c = jnp.where(s.alive[..., None], s.throughput * ev.emission, 0.0)
+            result = result.add(
+                vol_c, s.depth, 2, primary & jnp.ones_like(s.alive), s.singular
+            )
 
         # ---- photon-map gather at primary-chain diffuse vertices
         # (ref pathtracer_mis.zig:101-104 worker.photonLi -> result.direct)
@@ -421,17 +428,29 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
         if has_lights:
             u_sel = smp.sample_1d()
             xi_l = smp.sample_2d()
+            # volume lights need a 3rd dim for the interior point (static:
+            # only drawn when the scene has emissive volumes)
+            has_vol_lights = (
+                scene.light_shapes is not None and "volume" in scene.light_shapes
+            )
+            xi3_l = smp.sample_1d() if has_vol_lights else None
             nee_p = jnp.where(scatter[..., None], p_scatter, frag.p) if has_media else frag.p
             can_nee = cont & (scatter | mat.can_evaluate(params)) & ~false_if
 
-            def nee_pick(light_idx, sel_pdf, xi):
+            def nee_pick(light_idx, sel_pdf, xi, xi3=None):
                 """One NEE estimator for one selected light.
                 Returns (contribution[N,3], active[N])."""
                 lsmp = ls_mod.sample_light(
-                    scene, light_idx, nee_p, frag.geo_n, xi, total_sphere=scatter
+                    scene, light_idx, nee_p, frag.geo_n, xi, total_sphere=scatter,
+                    xi3=xi3,
                 )
                 radiance = ls_mod.light_radiance(
-                    scene, light_idx, lsmp.wi, lsmp.light_n, lsmp.uv
+                    scene, light_idx, lsmp.wi, lsmp.light_n, lsmp.uv,
+                    vol=(
+                        (lsmp.vol_mask, lsmp.vol_radiance)
+                        if lsmp.vol_mask is not None
+                        else None
+                    ),
                 )
                 f_srf, bpdf_srf = mat.eval_bsdf(
                     params, wo, lsmp.wi, frag.n, frag.geo_n, t=frag.t, b=frag.b
@@ -514,7 +533,11 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
                     # Cranley-Patterson rotation decorrelates picks sharing
                     # the single sampled 2D point
                     xi_k = jnp.mod(xi_l + jnp.asarray(_cp_offset(k), jnp.float32), 1.0) if k else xi_l
-                    c_k, a_k, u_k = nee_pick(picks_l[..., k], picks_pdf[..., k], xi_k)
+                    xi3_k = (
+                        None if xi3_l is None
+                        else (jnp.mod(xi3_l + 0.8191725133961645 * k, 1.0) if k else xi3_l)
+                    )
+                    c_k, a_k, u_k = nee_pick(picks_l[..., k], picks_pdf[..., k], xi_k, xi3_k)
                     nee = nee + c_k
                     nee_unocc = nee_unocc + u_k
                     rays = rays + jnp.sum(a_k, dtype=jnp.int32)
@@ -523,7 +546,7 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
                 light_idx, sel_pdf = ls_mod.select_light(
                     scene, u_sel, p=nee_p, n=frag.n, total_sphere=scatter
                 )
-                nee, nee_active, nee_unocc = nee_pick(light_idx, sel_pdf, xi_l)
+                nee, nee_active, nee_unocc = nee_pick(light_idx, sel_pdf, xi_l, xi3_l)
                 rays = rays + jnp.sum(nee_active, dtype=jnp.int32)
                 new_nee_thr = jnp.zeros(u_sel.shape, jnp.float32)
             result = result.add(nee, s.depth, 1, jnp.zeros_like(cont), jnp.zeros_like(cont))
@@ -743,15 +766,16 @@ def integrate_persistent(
     Returns (acc_radiance[N,3] summed over samples BY PIXEL, num_rays,
     aov_sums, loop_iterations).
 
-    Accumulation: a per-iteration scatter-add by pixel id costs ~80ms at 2M
-    lanes on v5e (XLA TPU scatter), and per-lane [3K, N] column buffers hit
-    multi-minute Mosaic compiles. The affine shuffle makes the scatter a
-    CIRCULAR SHIFT per sample index k: pid = (lane + k*stride) mod n, so
-    flushing sample k is `acc += roll(masked_value, k*stride mod n)` — two
-    dynamic slices, no scatter. Lane skew is bounded to SKEW samples (a
-    lane more than SKEW-1 samples ahead of the slowest stalls one
-    iteration), so each iteration flushes at most SKEW distinct k values —
-    a fixed unroll of SKEW rolls."""
+    Accumulation (all alternatives measured on v5e, 512^2/2M lanes):
+    a per-iteration scatter-add by pixel id costs ~80ms (XLA TPU scatter);
+    an XLA one-hot [3K,N] column add compiles ~700s; per-iteration
+    jnp.rolls with traced shifts inside the loop compile ~1400s. The
+    shipping combination: finished samples flush into a per-lane [3K, N]
+    column buffer via the Pallas kernel (ops/accum.py — ~1.8ms/iter at 2M
+    lanes, fast compile), and ONE unpermute after the loop exploits the
+    affine shuffle (pid = (lane + k*stride) mod n): sample k's column block
+    is a CIRCULAR SHIFT, so jnp.roll (two dynamic slices — NOT a gather,
+    which hits XLA's pathological minormost-axis path at ~600ms per k)."""
     from ..camera import generate_rays
     from .. import sensor as sensor_mod
 
@@ -789,11 +813,15 @@ def integrate_persistent(
         wavelength=jnp.zeros((n,), jnp.float32),
         pid=lanes,
     )
+    # [3*num_samples, n]: lane dim LAST — an [n, K, 3] layout pads 42x
+    # under TPU tiling (T(8,128) on the trailing dims) and OOMs at 1080p
+    acc0 = (
+        jnp.zeros((3 * num_samples, n), jnp.float32) if shuffled else zero3
+    )
     state = PersistentState(
-        path=path0, acc=zero3, done=jnp.zeros((n,), jnp.int32),
+        path=path0, acc=acc0, done=jnp.zeros((n,), jnp.int32),
         iters=jnp.int32(0),
     )
-    SKEW = 8  # max samples any lane may lead the slowest by (flush unroll)
 
     def clamp_cur(cur: IValue):
         return (
@@ -808,12 +836,8 @@ def integrate_persistent(
     def step(ps: PersistentState):
         s = ps.path
         # ---- regenerate finished lanes with the NEXT sample, shuffled
-        # onto pixel (lane + iteration*stride) mod n; lanes more than
-        # SKEW-1 samples ahead of the slowest stall (bounds the flush)
+        # onto pixel (lane + iteration*stride) mod n
         regen = (~s.alive) & (ps.done < num_samples)
-        if shuffled:
-            dmin0 = jnp.min(ps.done)
-            regen = regen & (ps.done - dmin0 < SKEW - 1)
         iteration = (first_iteration + ps.done).astype(jnp.uint32)
         pid_new = (lanes + iteration * stride) % jnp.uint32(n)
         gpid = pixel_ids[0] + pid_new  # contiguous-range contract
@@ -878,21 +902,17 @@ def integrate_persistent(
         fin_m = finished[..., None]
         acc_add = jnp.where(fin_m, clamp_cur(s.result), 0.0)
         if shuffled:
-            # pixel-indexed scatter as SKEW masked circular shifts: the
-            # finished sample's pixel is (lane + k*stride) mod n, an affine
-            # map per sample index k in [dmin0-1, dmin0+SKEW-1)
-            acc = ps.acc
-            col = done - 1
-            for dd in range(SKEW):
-                c = dmin0 - 1 + dd
-                m = finished & (col == c)
-                shift = (
-                    (first_iteration + c).astype(jnp.uint32) * stride
-                ) % jnp.uint32(n)
-                acc = acc + jnp.roll(
-                    jnp.where(m[..., None], acc_add, 0.0),
-                    shift.astype(jnp.int32), axis=0,
-                )
+            # lane-local buffer row-block = the finished sample's index;
+            # the one-hot column add runs as a Pallas kernel (the pure-XLA
+            # formulations compile pathologically on Mosaic, see docstring)
+            from ...ops import accum as accum_ops
+
+            col = jnp.where(
+                finished, jnp.clip(done - 1, 0, num_samples - 1), -1
+            ).astype(jnp.int32)
+            acc = accum_ops.flush_columns(
+                ps.acc, col, acc_add[:, 0], acc_add[:, 1], acc_add[:, 2]
+            )
         else:
             acc = ps.acc + acc_add
         if settings.collect_aovs:
@@ -908,4 +928,17 @@ def integrate_persistent(
         return PersistentState(path=s, acc=acc, done=done, iters=ps.iters + 1)
 
     final = jax.lax.while_loop(cond, step, state)
-    return final.acc, final.path.rays, final.path.aov, final.iters
+    acc = final.acc
+    if shuffled:
+        # unpermute: pixel p's sample k lives in lane (p - (first_it+k)*S)
+        # mod n — a circular shift per k, ONCE per dispatch
+        out = jnp.zeros((3, n), jnp.float32)
+        nn = jnp.uint32(n)
+        for k in range(num_samples):
+            it_g = (first_iteration + k).astype(jnp.uint32)
+            off = (it_g * stride) % nn
+            out = out + jnp.roll(
+                acc[3 * k : 3 * k + 3, :], off.astype(jnp.int32), axis=1
+            )
+        acc = out.T
+    return acc, final.path.rays, final.path.aov, final.iters

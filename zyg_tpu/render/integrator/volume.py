@@ -146,6 +146,11 @@ class VolumeEvent(NamedTuple):
     absorb: jax.Array  # bool[N] analog absorption (kill lane, hetero only)
     p: jax.Array  # [N,3] scatter position
     weight: jax.Array  # [N,3] throughput multiplier (scatter OR pass)
+    # emitted radiance collected along the segment (ref tracking.zig
+    # trackingEmission li): hetero lanes estimate it at the analog
+    # absorption event, homogeneous lanes in closed form. None when no
+    # volumetric material emits (mat_features gate).
+    emission: jax.Array = None
 
 
 def sample_interaction(scene: SceneData, medium_prop, o, d, seg_t, u_dist, vol_key):
@@ -167,6 +172,13 @@ def sample_interaction(scene: SceneData, medium_prop, o, d, seg_t, u_dist, vol_k
     med_mat = medium_material(scene, medium_prop)
     mu_t, mu_s, _g = mat.medium_coefficients(scene.materials, med_mat)
     seg = jnp.minimum(seg_t, jnp.float32(3.0e37))
+    # emissive media (ref trackingEmission): e = emission of the enclosing
+    # volumetric material; compiled away unless a volumetric material emits
+    emissive = scene.mat_features is None or "vol_emission" in scene.mat_features
+    if emissive:
+        e_med = small_gather(scene.materials.emission, jnp.maximum(med_mat, 0))
+        e_med = jnp.where((med_mat >= 0)[..., None], e_med, 0.0)
+        mu_a = jnp.maximum(mu_t - mu_s, 0.0)
 
     # ---- homogeneous analog decomposition (closed form, QMC-driven)
     mu_t_bar = jnp.mean(mu_t, axis=-1)
@@ -179,11 +191,22 @@ def sample_interaction(scene: SceneData, medium_prop, o, d, seg_t, u_dist, vol_k
     w_pass = jnp.exp(-mu_t * seg[..., None]) / jnp.maximum(pdf_pass, 1e-20)[..., None]
     h_w = jnp.where(h_scatter[..., None], w_scatter, w_pass)
     h_t = t_free
+    if emissive:
+        # closed-form homogeneous emission source term over the segment:
+        # int_0^seg e*mu_a*exp(-mu_t s) ds (the scatter sampling estimates
+        # only the in-scattering term, so this adds independently)
+        h_emis = (
+            e_med * mu_a * (1.0 - jnp.exp(-mu_t * seg[..., None]))
+            / jnp.maximum(mu_t, 1e-12)
+        )
 
     grid = _medium_grid(scene, medium_prop)
     if scene.grids is None:
         p = o + h_t[..., None] * d
-        return VolumeEvent(h_scatter, jnp.zeros_like(h_scatter), p, h_w)
+        return VolumeEvent(
+            h_scatter, jnp.zeros_like(h_scatter), p, h_w,
+            h_emis if emissive else None,
+        )
 
     # ---- heterogeneous: spectral decomposition tracking against the LOCAL
     # (supergrid) majorant — macrocell walk, the dense-array equivalent of
@@ -222,11 +245,14 @@ def sample_interaction(scene: SceneData, medium_prop, o, d, seg_t, u_dist, vol_k
         return t + jnp.maximum(jnp.min(t_ax, axis=-1), 0.0) + t_cell_eps
 
     def cond(c):
-        key, t, w, done, scat, absb = c
-        return jnp.any(~done)
+        key, t, w, done, scat, absb, emis, it = c
+        # the iteration cap is pure insurance: cell hops advance t by a
+        # strictly positive step, but a NaN ray (t compares all-false)
+        # would otherwise spin this loop forever
+        return jnp.any(~done) & (it < jnp.uint32(16384))
 
     def step(c):
-        key, t, w, done, scat, absb = c
+        key, t, w, done, scat, absb, emis, it = c
         u1 = u32_to_float(hash2_u32(key, jnp.uint32(0)))
         u2 = u32_to_float(hash2_u32(key, jnp.uint32(1)))
         r3 = jnp.stack(
@@ -259,6 +285,13 @@ def sample_interaction(scene: SceneData, medium_prop, o, d, seg_t, u_dist, vol_k
         w_scat = mu_s_x / jnp.maximum(mu_loc_s * ps, 1e-20)[..., None]
         w_null = (mu_loc_s[..., None] - mu_t_x) / (mu_loc_s * pn)[..., None]
         act = ~done
+        if emissive:
+            # analog absorption collects emission (ref trackingEmission):
+            # li = w * mu_a(x)/(mu_maj*pa) * e — uses the PRE-kill weight
+            w_abs = mu_a_x / jnp.maximum(mu_loc_s * pa, 1e-20)[..., None]
+            emis = jnp.where(
+                (act & abs_now)[..., None], w * w_abs * e_med, emis
+            )
         w = jnp.where(
             (act & scat_now)[..., None],
             w * w_scat,
@@ -272,7 +305,10 @@ def sample_interaction(scene: SceneData, medium_prop, o, d, seg_t, u_dist, vol_k
         absb = absb | (act & abs_now)
         t = jnp.where(act, jnp.minimum(t_new, seg), t)
         done = done | exited | scat_now | abs_now
-        return (hash_u32(key ^ jnp.uint32(0x9E3779B9)), t, w, done, scat, absb)
+        return (
+            hash_u32(key ^ jnp.uint32(0x9E3779B9)),
+            t, w, done, scat, absb, emis, it + jnp.uint32(1),
+        )
 
     n = seg.shape
     init = (
@@ -282,15 +318,22 @@ def sample_interaction(scene: SceneData, medium_prop, o, d, seg_t, u_dist, vol_k
         ~hetero,  # homogeneous/vacuum lanes never enter the loop
         jnp.zeros(n, bool),
         jnp.zeros(n, bool),
+        jnp.zeros(n + (3,), jnp.float32),
+        jnp.uint32(0),
     )
-    _, ht_t, ht_w, _, ht_scat, ht_abs = jax.lax.while_loop(cond, step, init)
+    _, ht_t, ht_w, _, ht_scat, ht_abs, ht_emis, _ = jax.lax.while_loop(
+        cond, step, init
+    )
 
     scatter = jnp.where(hetero, ht_scat, h_scatter)
     absorb = hetero & ht_abs
     t_ev = jnp.where(hetero, ht_t, h_t)
     w = jnp.where(hetero[..., None], ht_w, h_w)
     p = o + t_ev[..., None] * d
-    return VolumeEvent(scatter, absorb, p, w)
+    emis = (
+        jnp.where(hetero[..., None], ht_emis, h_emis) if emissive else None
+    )
+    return VolumeEvent(scatter, absorb, p, w, emis)
 
 
 # ---------------------------------------------------------------------------
@@ -386,11 +429,13 @@ def transmittance(scene: SceneData, o, d, tmax, vol_key):
             return t + jnp.maximum(jnp.min(t_ax, axis=-1), 0.0) + t_cell_eps
 
         def cond(c):
-            key, t, trv, done = c
-            return jnp.any(~done)
+            key, t, trv, done, it = c
+            # iteration cap = insurance against NaN rays (all-false compares
+            # would otherwise never set `done` and hang the dispatch)
+            return jnp.any(~done) & (it < jnp.uint32(16384))
 
         def step(c):
-            key, t, trv, done = c
+            key, t, trv, done, it = c
             u1 = u32_to_float(hash2_u32(key, jnp.uint32(0)))
             r3 = jnp.stack(
                 [u32_to_float(hash2_u32(key, jnp.uint32(k))) for k in (1, 2, 3)], -1
@@ -414,14 +459,18 @@ def transmittance(scene: SceneData, o, d, tmax, vol_key):
             trv = jnp.where(act[..., None], trv * ratio, trv)
             t = jnp.where(~done, t_new, t)
             done = done | exited | (jnp.max(trv, axis=-1) < 1e-5)
-            return (hash_u32(key ^ jnp.uint32(0x85EBCA6B)), t, trv, done)
+            return (
+                hash_u32(key ^ jnp.uint32(0x85EBCA6B)),
+                t, trv, done, it + jnp.uint32(1),
+            )
 
         init = (
             jnp.asarray(vol_key, jnp.uint32) ^ jnp.uint32(i * 0x6C078965 + 1),
             t0,
             jnp.ones(seg.shape + (3,), jnp.float32),
             ~inside,
+            jnp.uint32(0),
         )
-        _, _, trv, _ = jax.lax.while_loop(cond, step, init)
+        _, _, trv, _, _ = jax.lax.while_loop(cond, step, init)
         tr = tr * jnp.where(inside[..., None], tr_control * trv, 1.0)
     return tr

@@ -269,9 +269,12 @@ def eval_ies(profile, cos_theta):
 
 def eval_radiance(params, wo, geo_n):
     """Emitted radiance toward wo (ref light_material.zig evaluateRadiance +
-    emittance.zig IES profile factor)."""
+    emittance.zig IES profile factor). Volumetric emission is collected by
+    the tracking loops / volume-light NEE, never at the boundary surface."""
     facing = vm.dot(wo, geo_n) > 0.0
-    visible = facing | params["two_sided"]
+    visible = (facing | params["two_sided"]) & (
+        params["kind"] != int(MaterialKind.VOLUMETRIC)
+    )
     emission = params["emission"]
     if "ies" in params:
         emission = emission * eval_ies(params["ies"], vm.dot(wo, geo_n))[..., None]

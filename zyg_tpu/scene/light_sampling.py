@@ -35,6 +35,11 @@ class LightSample(NamedTuple):
     infinite: jax.Array  # bool[N]
     uv: jax.Array  # [N,2] texture uv at the sampled point — same mapping as
     # shapes.build_fragment, so NEE and BSDF-hit emission agree (MIS)
+    # volume lights (ref light.zig volumeSampleTo): lanes whose light is an
+    # emissive volume, with the radiance mu_a(x)*e*density(x) evaluated at
+    # the sampled interior point (light_radiance substitutes it)
+    vol_mask: jax.Array = None  # bool[N]
+    vol_radiance: jax.Array = None  # [N,3]
 
 
 # ---------------------------------------------------------------------------
@@ -183,14 +188,20 @@ def sphquad_pdf(q: SphQuad, o_local, scale_x, scale_y):
 # ---------------------------------------------------------------------------
 
 
-def sample_light(scene: SceneData, light_idx, p, n, xi, total_sphere=False) -> LightSample:
+def sample_light(scene: SceneData, light_idx, p, n, xi, total_sphere=False, xi3=None) -> LightSample:
     """Sample a direction to light `light_idx` from shading point p.
 
-    xi: [N,2] uniforms. Returns solid-angle pdf (number-of-samples weighting
-    and splitting are handled by the integrator). Only the light shape types
-    actually present in the scene (static scene.light_shapes) are computed.
+    xi: [N,2] uniforms (+ xi3 [N] when the scene has volume lights — interior
+    points need 3 dims, ref light.zig volumeSampleTo sample3D). Returns
+    solid-angle pdf (number-of-samples weighting and splitting are handled
+    by the integrator). Only the light shape types actually present in the
+    scene (static scene.light_shapes) are computed.
     """
-    present = set(int(k) for k in (scene.light_shapes or {int(t): True for t in ShapeType}).keys())
+    present = set(
+        int(k)
+        for k in (scene.light_shapes or {int(t): True for t in ShapeType}).keys()
+        if not isinstance(k, str)
+    )
     has = lambda t: int(t) in present
 
     prop = small_gather(scene.lights.prop, jnp.clip(light_idx, 0, scene.lights.count - 1))
@@ -425,15 +436,71 @@ def sample_light(scene: SceneData, light_idx, p, n, xi, total_sphere=False) -> L
         t_max = jnp.where(is_env, far_t, t_max)
         infinite = infinite | is_env
 
+    # volume lights (ref light.zig volumeSampleTo + cube.zig sampleVolumeTo):
+    # sample an interior point, pdf = dist^2/volume (x grid-importance pdf)
+    vol_mask = None
+    vol_radiance = None
+    has_vol = "volume" in (scene.light_shapes or {})
+    if has_vol and xi3 is not None and scene.lights.volume is not None:
+        li_v = jnp.clip(light_idx, 0, scene.lights.count - 1)
+        is_vol = small_gather(scene.lights.volume, li_v)
+        uvw_u = jnp.stack([xi[..., 0], xi[..., 1], xi3], axis=-1)
+        xyz = uvw_u
+        p3 = jnp.ones(nshape, jnp.float32)
+        for lconst, dist in sorted((scene.vol_light_dist or {}).items()):
+            x2, pd = dist.sample_continuous(uvw_u)
+            m_l = light_idx == lconst
+            xyz = jnp.where(m_l[..., None], x2, xyz)
+            p3 = jnp.where(m_l, pd, p3)
+        wp = vm.object_to_world_point(rot, scale, pos, xyz - 0.5)
+        vaxis = wp - p
+        sl = jnp.maximum(vm.dot(vaxis, vaxis), 1e-12)
+        vt = jnp.sqrt(sl)
+        vwi = vaxis / vt[..., None]
+        vvol = jnp.maximum(scale[..., 0] * scale[..., 1] * scale[..., 2], 1e-20)
+        vpdf = sl / vvol * p3
+        # radiance = mu_a(x) * e * density(x) (ref volumetric_material
+        # evaluateRadiance; lazy import avoids a scene<->render cycle)
+        from ..render.materials import medium_coefficients
+
+        mmat = small_gather(scene.prop_material, prop)
+        mu_t, mu_s, _g = medium_coefficients(scene.materials, mmat)
+        mu_a = jnp.maximum(mu_t - mu_s, 0.0)
+        e = small_gather(scene.materials.emission, mmat)
+        dens = jnp.ones(nshape, jnp.float32)
+        if scene.grids is not None and scene.materials.density_grid is not None:
+            from . import grids as grids_mod
+
+            g = small_gather(scene.materials.density_grid, mmat)
+            dens = jnp.where(
+                g >= 0,
+                grids_mod.sample_density_trilinear(
+                    scene.grids, jnp.maximum(g, 0), xyz
+                ),
+                1.0,
+            )
+        vol_radiance = mu_a * e * dens[..., None]
+        wi = jnp.where(is_vol[..., None], vwi, wi)
+        pdf = jnp.where(is_vol, vpdf, pdf)
+        light_p = jnp.where(is_vol[..., None], wp, light_p)
+        light_n = jnp.where(is_vol[..., None], 0.0, light_n)
+        t_max = jnp.where(is_vol, vt, t_max)
+        infinite = infinite & ~is_vol
+        valid = jnp.where(is_vol, vpdf > 0.0, valid)
+        vol_mask = is_vol
+
     # facing the shading hemisphere unless translucent; env-sampled lanes
     # sample the full map and rely on f=0 below the horizon (keeps the NEE
     # density equal to the pdf the BSDF-hit MIS weight uses)
     front = vm.dot(wi, n) > 0.0
     valid = valid & (front | jnp.asarray(total_sphere) | is_env) & (pdf > 0.0)
-    return LightSample(wi, jnp.where(valid, pdf, 0.0), light_p, light_n, t_max, infinite, uv)
+    return LightSample(
+        wi, jnp.where(valid, pdf, 0.0), light_p, light_n, t_max, infinite, uv,
+        vol_mask, vol_radiance,
+    )
 
 
-def light_radiance(scene: SceneData, light_idx, wi, light_n, uv=None):
+def light_radiance(scene: SceneData, light_idx, wi, light_n, uv=None, vol=None):
     """Radiance emitted toward the shading point (ref light.evaluateTo):
     emission gated on facing unless two-sided; env lights (dome/canopy)
     modulate by their baked emission texture at the sampled direction;
@@ -483,7 +550,13 @@ def light_radiance(scene: SceneData, light_idx, wi, light_n, uv=None):
         emission = jnp.where((mapped & (et >= 0))[..., None], emission * tex, emission)
 
     facing = vm.dot(-wi, light_n) > 0.0
-    return jnp.where((facing | two_sided)[..., None], emission, 0.0)
+    out = jnp.where((facing | two_sided)[..., None], emission, 0.0)
+    if vol is not None:
+        # volume lights: interior points have no facing/normal — substitute
+        # the sampled-point radiance mu_a*e*density (ref volumeSampleTo)
+        vol_mask, vol_radiance = vol
+        out = jnp.where(vol_mask[..., None], vol_radiance, out)
+    return out
 
 
 def light_hit_pdf(scene: SceneData, prop, ray_o, ray_d, hit_t, hit_p, hit_n, n_at_origin, total_sphere=False):
@@ -494,7 +567,11 @@ def light_hit_pdf(scene: SceneData, prop, ray_o, ray_d, hit_t, hit_p, hit_n, n_a
     total_sphere: bool[N] — the previous real vertex was a volume scatter
     event, whose NEE samples env lights over the full sphere (ref
     light.zig pdf's total_sphere flag)."""
-    present = set(int(k) for k in (scene.light_shapes or {int(t): True for t in ShapeType}).keys())
+    present = set(
+        int(k)
+        for k in (scene.light_shapes or {int(t): True for t in ShapeType}).keys()
+        if not isinstance(k, str)
+    )
     has = lambda t: int(t) in present
 
     pm = jnp.maximum(prop, 0)

@@ -750,6 +750,17 @@ class SceneBuilder:
     def _light_weight(self, p: PropDesc) -> float:
         m = self.materials[p.material]
         lum = float(np.dot(np.asarray(LUMINANCE_WEIGHTS, np.float64), m.emission))
+        if m.kind == int(MaterialKind.VOLUMETRIC):
+            # volume light power ~ emission x world volume x mean density
+            # (ref scene.zig extent = shape.volume(scale) for volumetric)
+            if lum <= 0.0 or p.shape != int(ShapeType.CUBE):
+                return 0.0
+            s = p.trafo.scale
+            vol = float(s[0] * s[1] * s[2])
+            dens = 1.0
+            if m.density_grid >= 0 and self.density_grids:
+                dens = float(np.mean(self.density_grids[m.density_grid]))
+            return lum * vol * max(dens, 1e-6)
         if m.emission_tex >= 0:
             # emission maps scale the radiance per texel — weight by the
             # map's mean luminance (ref shape_sampler ImageImpl totals)
@@ -845,6 +856,17 @@ class SceneBuilder:
             # specializes statically (values would be traced leaves)
             animated_props[(i, p.shape)] = True
             end_trafo[i] = t_end
+        # emissive volumetric props are lights automatically (ref
+        # scene.zig createLight: Class Volume/VolumeImage for
+        # mat.scatteringVolume() with emission) — cube volumes only (MVP)
+        for p in props:
+            m = self.materials[p.material]
+            if (
+                m.kind == int(MaterialKind.VOLUMETRIC)
+                and float(np.max(np.asarray(m.emission))) > 0.0
+                and p.shape == int(ShapeType.CUBE)
+            ):
+                p.is_light = True
         light_props = [i for i, p in enumerate(props) if p.is_light and self._light_weight(p) > 0.0]
         weights = np.array([self._light_weight(props[i]) for i in light_props], np.float32)
         if len(light_props) == 0:
@@ -875,9 +897,11 @@ class SceneBuilder:
         world_radius = float(max(np.linalg.norm(wmax - wmin) * 0.5, 1e-3))
 
         if self.meshes:
-            meshes, mesh_host_info = build_arena(self.meshes, return_host_info=True)
+            meshes, mesh_host_info, mesh_host_arena = build_arena(
+                self.meshes, return_host_info=True
+            )
         else:
-            meshes, mesh_host_info = None, []
+            meshes, mesh_host_info, mesh_host_arena = None, [], None
         mesh_props = [i for i, p in enumerate(props) if p.mesh_id >= 0]
         curve_arena = None
         curve_props = [i for i, p in enumerate(props) if p.curve_id >= 0]
@@ -928,7 +952,7 @@ class SceneBuilder:
                     ins["pos1"] = np.asarray(te.position, np.float32)
                     ins["scale1"] = np.asarray(te.scale, np.float32)
                 instances.append(ins)
-            mesh_tlas = build_tlas(meshes, instances)
+            mesh_tlas = build_tlas(meshes, instances, host=mesh_host_arena)
             # share the extended row arena (the BLAS-only rows are a prefix)
             meshes = meshes._replace(node_rows=mesh_tlas.node_rows)
 
@@ -955,6 +979,14 @@ class SceneBuilder:
             mat_features["volumetric"] = True
         if any(d.kind == int(MaterialKind.HAIR) for d in self.materials):
             mat_features["hair"] = True
+        # emissive media: tracking collects absorption emission and NEE gets
+        # volume lights (ref trackingEmission + light.zig Volume class)
+        if any(
+            d.kind == int(MaterialKind.VOLUMETRIC)
+            and float(np.max(np.asarray(d.emission))) > 0.0
+            for d in self.materials
+        ):
+            mat_features["vol_emission"] = True
         if any(
             d.kind == int(MaterialKind.GLASS) and d.abbe > 0.0
             for d in self.materials
@@ -1059,7 +1091,28 @@ class SceneBuilder:
             scale_end = jnp.asarray(se)
             quat0 = jnp.asarray(q0.astype(np.float32))
             quat1 = jnp.asarray(q1.astype(np.float32))
-        light_shapes = {int(props[i].shape): True for i in light_props}
+        # volume lights sample interior points, not surfaces: keyed by the
+        # static "volume" entry instead of their (cube) shape
+        vol_light = [
+            self.materials[props[i].material].kind == int(MaterialKind.VOLUMETRIC)
+            for i in light_props
+        ]
+        light_shapes = {
+            int(props[i].shape): True
+            for i, v in zip(light_props, vol_light)
+            if not v
+        }
+        if any(vol_light):
+            light_shapes["volume"] = True
+        vol_light_dist = {}
+        for li, pi in enumerate(light_props):
+            m = self.materials[props[pi].material]
+            if vol_light[li] and m.density_grid >= 0 and self.density_grids:
+                from ..core.distribution import Distribution3D
+
+                vol_light_dist[li] = Distribution3D.build(
+                    self.density_grids[m.density_grid]
+                )
 
         # emissive-mesh triangle CDF arena
         light_area = []
@@ -1110,6 +1163,7 @@ class SceneBuilder:
                 tri_count=jnp.asarray(tri_cnt, jnp.int32),
                 tri_cdf=tri_cdf,
                 tri_idx=tri_idx,
+                volume=jnp.asarray(vol_light, bool),
             ),
             prop_light=jnp.asarray(prop_light, jnp.int32),
             meshes=meshes,
@@ -1133,6 +1187,7 @@ class SceneBuilder:
             light_tree=light_tree,
             mat_features=mat_features,
             env=env_sampler,
+            vol_light_dist=vol_light_dist or None,
             animated_props=animated_props or None,
             world_center=world_center,
             world_radius=world_radius,

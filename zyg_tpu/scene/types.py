@@ -109,6 +109,9 @@ class Lights(NamedTuple):
     tri_count: jax.Array = None  # int32[L]
     tri_cdf: jax.Array = None  # float32[sum] per-light normalized area CDF
     tri_idx: jax.Array = None  # int32[sum] arena triangle ids
+    # volume lights (ref light.zig Class Volume/VolumeImage): emissive
+    # volumetric props — NEE samples a point INSIDE the prop
+    volume: jax.Array = None  # bool[L]
 
     @property
     def count(self) -> int:
@@ -169,6 +172,9 @@ class SceneData(NamedTuple):
     # env-map importance sampler for dome/canopy lights with emission maps
     # (ref shape_sampler.zig ImageImpl); None = uniform direction sampling
     env: "object" = None  # env_sampling.EnvSampler | None
+    # heterogeneous volume lights: {light_index: Distribution3D over the
+    # density grid} (ref shape_sampler.zig VolumeImpl); keys are static
+    vol_light_dist: dict = None
     # motion blur (ref scene/space.zig keyframed transforms): shutter-end
     # transforms for animated props; per-lane time slerps between the two.
     # STATIC dict {prop_index: shape_type} — scenes without motion compile
