@@ -175,9 +175,11 @@ def build_arena(meshes: list[HostMesh], return_host_info: bool = False):
         node_off += m
         group_off += num_groups
 
+    host_nodes = np.concatenate(all_rows, axis=0)
+    host_roots = np.array(roots, np.int32)
     cat = lambda xs: jnp.asarray(np.concatenate(xs, axis=0))
     arena = MeshArena(
-        node_rows=cat(all_rows),
+        node_rows=jnp.asarray(host_nodes),
         tri_rows=cat(all_trirows),
         tri_p0=cat(all_p0),
         tri_e1=cat(all_e1),
@@ -185,10 +187,13 @@ def build_arena(meshes: list[HostMesh], return_host_info: bool = False):
         tri_n=cat(all_n),
         tri_uv=cat(all_uv),
         tri_part=cat(all_part),
-        mesh_root=jnp.asarray(np.array(roots, np.int32)),
+        mesh_root=jnp.asarray(host_roots),
     )
     if return_host_info:
-        return arena, host_info
+        # host copies of the node arena ride along so build_tlas never has
+        # to pull them back from the device (a 14 MB fetch over the axon
+        # tunnel measured ~75 s; host numpy is free)
+        return arena, host_info, {"node_rows": host_nodes, "mesh_root": host_roots}
     return arena
 
 
@@ -229,16 +234,22 @@ class Tlas(NamedTuple):
     meta: dict
 
 
-def build_tlas(arena: MeshArena, instances: list[dict]) -> Tlas:
+def build_tlas(arena: MeshArena, instances: list[dict], host=None) -> Tlas:
     """Build the TLAS rows over mesh instances and append to the arena rows.
 
     instances: per mesh prop a dict with keys
       prop (int), mesh (int), rot [3,3], pos [3], scale [3],
       vis (3 bools: camera, reflection, shadow),
       and optionally rot1/pos1/scale1 for shutter-end (animated).
+    host: optional {"node_rows", "mesh_root"} numpy copies from build_arena
+      (avoids pulling the arena back from the device).
     """
-    node_rows = np.asarray(arena.node_rows)
-    mesh_root = np.asarray(arena.mesh_root)
+    if host is not None:
+        node_rows = host["node_rows"]
+        mesh_root = host["mesh_root"]
+    else:
+        node_rows = np.asarray(arena.node_rows)
+        mesh_root = np.asarray(arena.mesh_root)
     m0 = node_rows.shape[0]
 
     # world AABB per instance: transform the BLAS root AABB's 8 corners
