@@ -850,8 +850,8 @@ class SceneBuilder:
                     f"yet; prop {i} rendered at shutter start"
                 )
                 continue
-            # mesh props: rigid motion rides the TLAS transform rows (see
-            # trimesh.build_tlas); fragments use the animated_props path
+            # mesh props: rigid motion rides the instance-table transform
+            # endpoints (trimesh.py); fragments use the animated_props path
             # key = (prop, shape): dict KEYS ride the pytree treedef, so jit
             # specializes statically (values would be traced leaves)
             animated_props[(i, p.shape)] = True
@@ -929,12 +929,11 @@ class SceneBuilder:
                 visible_shadow.append(False)
             else:
                 visible_shadow.append(p.visible_shadow)
-        # scene TLAS over mesh instances (+ rigid-motion transform rows)
-        mesh_tlas = None
+        # mesh instance table (ref prop_tree.zig; dense two-phase walk)
+        mesh_instances = None
         if meshes is not None and mesh_props:
-            from .trimesh import build_tlas
+            from .trimesh import build_instance_table
 
-            assert len(props) < 1024, "TLAS prop_enc packs prop ids < 1024"
             instances = []
             for i in mesh_props:
                 p = props[i]
@@ -952,9 +951,7 @@ class SceneBuilder:
                     ins["pos1"] = np.asarray(te.position, np.float32)
                     ins["scale1"] = np.asarray(te.scale, np.float32)
                 instances.append(ins)
-            mesh_tlas = build_tlas(meshes, instances, host=mesh_host_arena)
-            # share the extended row arena (the BLAS-only rows are a prefix)
-            meshes = meshes._replace(node_rows=mesh_tlas.node_rows)
+            mesh_instances = build_instance_table(mesh_host_arena, instances)
 
         mat_features = {}
         if any(d.coating_thickness > 0.0 for d in self.materials):
@@ -1169,7 +1166,7 @@ class SceneBuilder:
             meshes=meshes,
             mesh_props=jnp.asarray(mesh_props, jnp.int32) if meshes is not None else None,
             prop_mesh=jnp.asarray([p.mesh_id for p in props], jnp.int32) if meshes is not None else None,
-            mesh_tlas=mesh_tlas,
+            mesh_instances=mesh_instances,
             curves=curve_arena,
             curve_props=jnp.asarray(curve_props, jnp.int32) if curve_arena is not None else None,
             prop_curve=jnp.asarray([p.curve_id for p in props], jnp.int32) if curve_arena is not None else None,

@@ -294,13 +294,13 @@ def intersect_scene(scene: SceneData, o, d, tmin, tmax, ray_class: str = "reflec
 
 
 def _intersect_meshes(scene: SceneData, o, d, tmin, tmax, ray_class, primary, t_b, p_b, u_b, v_b, prim_b, time=None):
-    """Closest-hit over all mesh props via the scene TLAS: one unified
-    two-level pointer walk instead of a per-instance scan (ref:
-    prop_tree.zig:22 -> triangle_tree.zig two-level traversal)."""
+    """Closest-hit over all mesh props: dense instance phase + wide-BLAS
+    walks (ref: prop_tree.zig:22 -> triangle_tree.zig two-level
+    traversal)."""
     from . import trimesh
 
-    th = trimesh.traverse_tlas(
-        scene.meshes, scene.mesh_tlas, o, d, tmin,
+    th = trimesh.intersect_instances(
+        scene.meshes, scene.mesh_instances, o, d, tmin,
         jnp.minimum(tmax, t_b), ray_class=ray_class, primary=primary,
         time=time,
     )
@@ -411,8 +411,8 @@ def occluded(scene: SceneData, o, d, tmin, tmax, time=None) -> jax.Array:
     if scene.meshes is not None:
         from . import trimesh
 
-        th = trimesh.traverse_tlas(
-            scene.meshes, scene.mesh_tlas, o, d, tmin,
+        th = trimesh.intersect_instances(
+            scene.meshes, scene.mesh_instances, o, d, tmin,
             jnp.where(blocked, tmin, tmax),  # already-blocked lanes skip
             ray_class="shadow", time=time, any_hit=True,
         )

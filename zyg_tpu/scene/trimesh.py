@@ -1,13 +1,31 @@
-"""Triangle meshes: device arrays + stackless wavefront BVH traversal.
+"""Triangle meshes: 8-wide BVH arena + continuation-stack wavefront traversal.
 
 ref: src/core/scene/shape/triangle/ (triangle_tree.zig stack traversal,
-triangle.zig intersection). TPU redesign: all meshes live concatenated in one
-SoA arena (nodes + triangles); traversal is a threaded hit/miss-link pointer
-walk per lane inside ``lax.while_loop`` — no per-lane stack, uniform control
-flow. Leaves hold <= 4 triangles tested with a static unroll.
+triangle.zig intersection) and src/core/scene/prop/prop_tree.zig (the scene
+prop BVH over instances).
+
+TPU redesign (v2, measured on v5e):
+
+- Per-lane random gathers cost ~1.8ns/ELEMENT at 12-float rows but fall
+  ~50x to ~0.04ns/element at 96-float rows — per-lane overhead dominates
+  narrow rows. So the binary threaded walk (hundreds of 12-float gather
+  steps) is the worst possible shape; the v2 layout is an 8-WIDE BVH with
+  16-triangle leaves: one 64-float node row slab-tests 8 children, one
+  144-float leaf row Möller-tests 16 triangles. Typical visited rows per
+  ray: tens, not hundreds.
+- Traversal keeps a CONTINUATION stack: one int32 per level encoding
+  (wide_node * 8 + next_child_rank). Pushes/pops are single one-hot writes,
+  stack depth = tree depth (static per arena), and pruning against the
+  current best t is exact because ranks re-slab the node on resume.
+- Instances: no pointer-linked TLAS. A dense [chunk, N] slab pass over ALL
+  instance world AABBs (broadcast, zero gathers) picks each lane's nearest
+  unvisited instance; a round loop walks instances strictly in (t_entry,
+  index) order until none beats the lane's best hit. Rounds ~= overlap
+  depth along the ray (1-2 in practice), correctness does not depend on a
+  fixed candidate budget.
 
 Triangle test: Möller-Trumbore on precomputed (p0, e1, e2) — same math the
-reference uses (triangle.zig), vectorized over lanes.
+reference uses (triangle.zig), vectorized over lanes x 16 leaf triangles.
 """
 
 from __future__ import annotations
@@ -19,29 +37,33 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import vecmath as vm
-from .bvh import build_bvh, FlatBVH, LEAF_SIZE
+from ..core.gather import small_gather
+from .bvh import build_bvh, FlatBVH
+
+LEAF_SIZE = 16  # triangles per leaf row (padded; degenerate pads never hit)
+BRANCH = 8  # wide-BVH branching factor
+_ROW_F = 64  # floats per wide-node row
+_MISS_KEY = jnp.int32(0x7F800000)  # +inf bit pattern: sorts after any hit
 
 
 class MeshArena(NamedTuple):
     """All meshes of the scene, concatenated.
 
-    TPU layout rule: ONE per-lane gather on v5e costs ~3.2ns/lane regardless
-    of row width (measured up to 16 f32) — so everything a traversal step
-    needs is packed into a single row:
-
-    - node_rows[M, 12]: min(3), max(3), hit_link, miss_link, leaf_group,
-      prim_count, pad, pad — links/indices stored as float32 (exact < 2^24).
-      leaf_group = -1 for inner nodes; leaf triangles live at
-      [group*LEAF_SIZE, group*LEAF_SIZE + count) of the PADDED tri arrays.
-    - tri_rows[G, 36]: a whole leaf's LEAF_SIZE triangles as
-      (p0, e1, e2) x LEAF_SIZE; padding triangles are degenerate (e1=e2=0,
-      Moller det == 0 -> never hit).
+    - node_rows[W, 64]: one 8-wide node per row, structure-of-arrays within
+      the row so the slab test runs on [N, 8] column slices directly:
+      cols 0:8 = child min.x, 8:16 = min.y, 16:24 = min.z, 24:32 = max.x,
+      32:40 = max.y, 40:48 = max.z, 48:56 = child refs, 56:64 = pad.
+      Child ref (stored float32, exact < 2^24): >= 0 -> wide node index;
+      <= -2 -> leaf triangle group -(ref+2); -1 -> empty slot.
+    - tri_rows[G, 144]: a whole leaf's LEAF_SIZE triangles as
+      (p0, e1, e2) x 16; padding triangles are degenerate (e1=e2=0,
+      Möller det == 0 -> never hit).
 
     The per-triangle shading arrays (normals/uv/part) are indexed by the
     padded arena triangle id a hit reports (group*LEAF_SIZE + j).
     """
 
-    node_rows: jax.Array  # [M,12] float32 (see above)
+    node_rows: jax.Array  # [W, 64] float32 (see above)
     tri_rows: jax.Array  # [G, 9*LEAF_SIZE] float32
     tri_p0: jax.Array  # [Tp,3] (padded)
     tri_e1: jax.Array  # [Tp,3]
@@ -49,7 +71,9 @@ class MeshArena(NamedTuple):
     tri_n: jax.Array  # [Tp,3,3] vertex normals
     tri_uv: jax.Array  # [Tp,3,2]
     tri_part: jax.Array  # [Tp] int32 part index (per-part materials)
-    mesh_root: jax.Array  # [K] int32 root node per mesh
+    mesh_root: jax.Array  # [K] int32 root wide node per mesh
+    # STATIC metadata on the dict KEY: (max_stack_depth,) — jit specializes
+    meta: dict = None
 
     @property
     def num_meshes(self) -> int:
@@ -66,13 +90,88 @@ class HostMesh(NamedTuple):
     parts: np.ndarray | None = None  # [F] part id
 
 
-def build_arena(meshes: list[HostMesh], return_host_info: bool = False):
-    """Build per-mesh BVHs and pack everything into one arena.
+def _pack_wide(bvh: FlatBVH, group_off: int, node_off: int):
+    """Collapse the binary SAH tree to BRANCH-wide packed rows.
 
-    With return_host_info, also returns a per-mesh list of dicts:
-    - "order": the BVH leaf-order primitive permutation (prim_order)
-    - "arena_ids": the PADDED arena triangle id of each leaf-order position
-      (what a traversal hit reports) — used by the emissive-mesh light CDFs.
+    Expansion rule (ref builder collapses similarly for its 4/8-wide SIMD
+    nodes): starting from a node's two children, repeatedly replace the
+    largest-surface-area inner slot with its children until BRANCH slots.
+    Returns (rows [W,64] float32, depth) with child refs already offset by
+    node_off (wide) / group_off (leaf groups).
+    """
+    fp = bvh.first_prim
+    hl = bvh.hit_link
+    m = fp.shape[0]
+    is_leaf = fp >= 0
+    # group id per binary leaf (build_arena numbers leaves in index order)
+    group_of = np.full(m, -1, np.int64)
+    leaf_nodes = np.flatnonzero(is_leaf)
+    group_of[leaf_nodes] = np.arange(len(leaf_nodes)) + group_off
+    ext = np.maximum(bvh.nodes_max - bvh.nodes_min, 0.0)
+    area = ext[:, 0] * ext[:, 1] + ext[:, 1] * ext[:, 2] + ext[:, 2] * ext[:, 0]
+
+    def children(i):
+        # binary threaded layout: left = hit_link, right = left's miss_link
+        l = int(hl[i])
+        return l, int(bvh.miss_link[l])
+
+    # breadth-first: wide node i <- binary inner node; slots are binary nodes
+    if is_leaf[0]:
+        slot_lists = [[0]]
+        depths = [0]
+        wide_of = {}
+    else:
+        wide_of = {0: 0}
+        order = [0]
+        depths = [0]
+        slot_lists = []
+        qi = 0
+        while qi < len(order):
+            b = order[qi]
+            dep = depths[qi]
+            qi += 1
+            S = list(children(b))
+            while len(S) < BRANCH:
+                inner = [s for s in S if not is_leaf[s]]
+                if not inner:
+                    break
+                x = max(inner, key=lambda s: area[s])
+                S.remove(x)
+                S.extend(children(x))
+            for s in S:
+                if not is_leaf[s]:
+                    wide_of[s] = len(order)
+                    order.append(s)
+                    depths.append(dep + 1)
+            slot_lists.append(S)
+
+    w = len(slot_lists)
+    rows = np.zeros((w, _ROW_F), np.float32)
+    rows[:, 48:56] = -1.0
+    for wi, S in enumerate(slot_lists):
+        for k, s in enumerate(S):
+            rows[wi, 0 + k] = bvh.nodes_min[s, 0]
+            rows[wi, 8 + k] = bvh.nodes_min[s, 1]
+            rows[wi, 16 + k] = bvh.nodes_min[s, 2]
+            rows[wi, 24 + k] = bvh.nodes_max[s, 0]
+            rows[wi, 32 + k] = bvh.nodes_max[s, 1]
+            rows[wi, 40 + k] = bvh.nodes_max[s, 2]
+            if is_leaf[s]:
+                rows[wi, 48 + k] = -float(group_of[s] + 2)
+            else:
+                rows[wi, 48 + k] = float(wide_of[s] + node_off)
+    return rows, (max(depths) + 1 if depths else 1)
+
+
+def build_arena(meshes: list[HostMesh], return_host_info: bool = False):
+    """Build per-mesh wide BVHs and pack everything into one arena.
+
+    With return_host_info, also returns a per-mesh list of dicts
+    ("order": BVH leaf-order primitive permutation; "arena_ids": padded
+    arena tri id per leaf-order position — for emissive-mesh light CDFs)
+    and host numpy copies of node_rows/mesh_root (so instance-table builds
+    never fetch from the device — a 14 MB pull over the axon tunnel
+    measured ~75 s).
     """
     all_rows, all_trirows = [], []
     all_p0, all_e1, all_e2, all_n, all_uv, all_part = [], [], [], [], [], []
@@ -80,6 +179,7 @@ def build_arena(meshes: list[HostMesh], return_host_info: bool = False):
     host_info = []
     node_off = 0
     group_off = 0
+    max_depth = 1
 
     for mesh in meshes:
         pos = np.asarray(mesh.positions, np.float32)
@@ -89,7 +189,7 @@ def build_arena(meshes: list[HostMesh], return_host_info: bool = False):
         v2 = pos[idx[:, 2]]
         pmin = np.minimum(np.minimum(v0, v1), v2)
         pmax = np.maximum(np.maximum(v0, v1), v2)
-        bvh: FlatBVH = build_bvh(pmin, pmax)
+        bvh: FlatBVH = build_bvh(pmin, pmax, leaf_size=LEAF_SIZE)
 
         order = bvh.prim_order
         p0 = v0[order]
@@ -147,16 +247,8 @@ def build_arena(meshes: list[HostMesh], return_host_info: bool = False):
             axis=2,  # [G, LEAF_SIZE, 9] -> interleave (p0,e1,e2) per tri
         ).reshape(num_groups, LEAF_SIZE * 9)
 
-        m = bvh.nodes_min.shape[0]
-        group_of_node = np.full(m, -1.0, np.float32)
-        group_of_node[leaf_nodes] = np.arange(num_groups) + group_off
-        rows = np.zeros((m, 12), np.float32)
-        rows[:, 0:3] = bvh.nodes_min
-        rows[:, 3:6] = bvh.nodes_max
-        rows[:, 6] = np.where(bvh.hit_link >= 0, bvh.hit_link + node_off, -1)
-        rows[:, 7] = np.where(bvh.miss_link >= 0, bvh.miss_link + node_off, -1)
-        rows[:, 8] = group_of_node
-        rows[:, 9] = cnt
+        rows, depth = _pack_wide(bvh, group_off, node_off)
+        max_depth = max(max_depth, depth)
 
         # arena tri id per leaf-order position (for light CDFs)
         arena_ids = np.empty(total, np.int64)
@@ -172,7 +264,7 @@ def build_arena(meshes: list[HostMesh], return_host_info: bool = False):
         all_uv.append(puv)
         all_part.append(ppart)
         roots.append(node_off)
-        node_off += m
+        node_off += rows.shape[0]
         group_off += num_groups
 
     host_nodes = np.concatenate(all_rows, axis=0)
@@ -188,11 +280,9 @@ def build_arena(meshes: list[HostMesh], return_host_info: bool = False):
         tri_uv=cat(all_uv),
         tri_part=cat(all_part),
         mesh_root=jnp.asarray(host_roots),
+        meta={(max_depth,): True},
     )
     if return_host_info:
-        # host copies of the node arena ride along so build_tlas never has
-        # to pull them back from the device (a 14 MB fetch over the axon
-        # tunnel measured ~75 s; host numpy is free)
         return arena, host_info, {"node_rows": host_nodes, "mesh_root": host_roots}
     return arena
 
@@ -202,69 +292,330 @@ class MeshHit(NamedTuple):
     prim: jax.Array  # [N] arena-global triangle index (-1 miss)
     u: jax.Array  # [N] barycentric
     v: jax.Array  # [N]
+    iters: jax.Array = None  # int32 scalar loop iterations (diagnostics)
 
 
-class Tlas(NamedTuple):
-    """Scene TLAS over mesh instances, appended to the mesh node arena.
+def _tri_test(o, d, p0, e1, e2, tmin, tmax):
+    """Möller-Trumbore. Returns (t, u, v, hit)."""
+    pvec = vm.cross(d, e2)
+    det = vm.dot(e1, pvec)
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    tvec = o - p0
+    u = vm.dot(tvec, pvec) * inv_det
+    qvec = vm.cross(tvec, e1)
+    v = vm.dot(d, qvec) * inv_det
+    t = vm.dot(e2, qvec) * inv_det
+    hit = (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t >= tmin) & (t <= tmax) & (jnp.abs(det) > 1e-12)
+    return t, u, v, hit
 
-    ref: src/core/scene/prop/prop_tree.zig (2-wide prop BVH). TPU redesign:
-    the TLAS rows live in the SAME [*,12] row arena as the mesh BLAS nodes,
-    so the two-level walk is ONE threaded pointer walk per lane:
 
-    - TLAS inner/leaf rows use the standard node layout (min,max,hit,miss,
-      -1,count,pad,pad); a TLAS *leaf*'s hit_link points at a TRANSFORM row.
-    - Transform rows live at indices >= trafo_base (classified by index, no
-      flag bits) and pack the whole instance entry in 12 floats:
-        [qx,qy,qz, px,py,pz, sx,sy,sz, root_enc, resume, prop_enc]
-      quat w = sqrt(1-|xyz|^2) (canonical w>=0); root_enc = BLAS root, or
-      -(root+2) for animated instances (then row+1 holds the shutter-end
-      keyframe [qx,qy,qz, px,py,pz, sx,sy,sz, 0,0,0] — rigid motion per
-      ref scene/space.zig keyframes). resume = where the walk continues
-      after the instance's BLAS is exhausted. prop_enc = prop + 1024 *
-      (vis_camera | vis_reflection<<1 | vis_shadow<<2).
+def _inv_dir(d):
+    return 1.0 / jnp.where(jnp.abs(d) < 1e-20, jnp.where(d < 0, -1e-20, 1e-20), d)
 
-    On entering an instance the lane's active ray switches to object space
-    (world ray restored at resume). One level of instancing only (the ref's
-    nested Instancer sub-scenes are flattened by the loader).
+
+# optimal 19-comparator sorting network for 8 keys
+_SORT8 = [
+    (0, 1), (2, 3), (4, 5), (6, 7),
+    (0, 2), (1, 3), (4, 6), (5, 7),
+    (1, 2), (5, 6), (0, 4), (3, 7),
+    (1, 5), (2, 6),
+    (1, 4), (3, 6),
+    (2, 4), (3, 5),
+    (3, 4),
+]
+
+
+class TState(NamedTuple):
+    node: jax.Array  # [N] current wide node
+    rank: jax.Array  # [N] child rank to process at `node`
+    sp: jax.Array  # [N] stack pointer
+    stack: jax.Array  # [N, D] int32 continuations (node*8 + rank)
+    live: jax.Array  # [N] bool
+    t: jax.Array
+    prim: jax.Array
+    u: jax.Array
+    v: jax.Array
+    it: jax.Array  # scalar iteration counter (diagnostics + NaN fuse)
+
+
+# below this width, live-lane compaction stages are not worth their
+# compile/scatter overhead; also the floor width of the cascade
+_COMPACT_MIN = 1 << 16
+
+
+def traverse(arena: MeshArena, root, o, d, tmin, tmax, any_hit: bool = False) -> MeshHit:
+    """Wide-BVH closest-hit traversal, vectorized over lanes.
+
+    root: int32[N] per-lane root wide node (-1 = lane inactive). o/d in
+    object space; t values stay in the caller's parameter units.
+
+    Each iteration gathers ONE 64-float node row, slab-tests its 8 children
+    and sorts them near-to-far by packing (t_near bits &~7 | slot) into one
+    int32 key (t >= 0 so float bits sort as ints; misses get +inf bits).
+    The lane then processes its continuation rank: descend into the rank-th
+    nearest child (leaf children Möller-test a 144-float row in the same
+    iteration), pushing (node*8, rank+1) so remaining children resume
+    later. Because ranks re-slab on resume, pruning against the shrunken
+    best t is exact and pushed state is ONE int32 per level.
+
+    Divergence control: a lax.while_loop pays the SLOWEST lane's iteration
+    count on every lane (measured: max 121 vs mean ~30 on the trefoil
+    stressor). Wide dispatches therefore run a compaction cascade — each
+    stage loops only until the live count drops below width/4, then
+    flatnonzero-compacts the survivors into a 4x smaller buffer and
+    continues there, finishing at <= _COMPACT_MIN lanes.
+    """
+    n = o.shape[:-1]
+    root = jnp.asarray(root, jnp.int32)
+    if len(n) != 1 or n[0] < 4 * _COMPACT_MIN:
+        return _traverse_stage(arena, root, o, d, tmin, tmax, any_hit, None)[0]
+
+    width = n[0]
+    inv = _inv_dir(d)
+    res = None
+    gmap = None  # stage-local index -> original lane (None = identity)
+    st = None
+    o_s, d_s, inv_s = o, d, inv
+    while True:
+        nxt = max(width // 4, _COMPACT_MIN)
+        limit = None if width <= _COMPACT_MIN else nxt
+        hit, st = _traverse_stage(
+            arena, root, o_s, d_s, tmin, tmax, any_hit, limit, state=st
+        )
+        if res is None:
+            res = hit
+        else:
+            # gmap entries >= n[0] are padding -> dropped by the scatter
+            upd = lambda full, part: full.at[gmap].set(part, mode="drop")
+            res = MeshHit(
+                t=upd(res.t, hit.t), prim=upd(res.prim, hit.prim),
+                u=upd(res.u, hit.u), v=upd(res.v, hit.v),
+                iters=res.iters + hit.iters,
+            )
+        if limit is None:
+            return res
+        # compact: survivors (<= nxt by the stage's exit condition)
+        lidx = jnp.flatnonzero(st.live, size=nxt, fill_value=width)
+        ls = jnp.minimum(lidx, width - 1)
+        valid = lidx < width
+        gmap = (ls if gmap is None else gmap[ls])
+        gmap = jnp.where(valid, gmap, n[0])
+        o_s, d_s, inv_s = o_s[ls], d_s[ls], inv_s[ls]
+        root = None
+        st = TState(
+            node=st.node[ls], rank=st.rank[ls], sp=st.sp[ls],
+            stack=st.stack[ls], live=st.live[ls] & valid, t=st.t[ls],
+            prim=st.prim[ls], u=st.u[ls], v=st.v[ls], it=jnp.int32(0),
+        )
+        width = nxt
+
+
+def _traverse_stage(
+    arena: MeshArena, root, o, d, tmin, tmax, any_hit, live_limit, state=None
+):
+    """One while_loop stage of `traverse`. With live_limit, the loop exits
+    once the live-lane count drops to <= live_limit (cascade stages);
+    live_limit=None runs to completion. Returns (MeshHit, final TState)."""
+    rows = arena.node_rows
+    trows = arena.tri_rows
+    (max_depth,), = arena.meta.keys()
+    stack_d = int(max_depth) + 1
+    n = o.shape[:-1]
+    inv = _inv_dir(d)
+    i32 = jnp.int32
+
+    if state is None:
+        state = TState(
+            node=jnp.maximum(jnp.broadcast_to(root, n), 0),
+            rank=jnp.zeros(n, i32),
+            sp=jnp.zeros(n, i32),
+            stack=jnp.zeros(n + (stack_d,), i32),
+            live=jnp.broadcast_to(root, n) >= 0,
+            t=jnp.broadcast_to(tmax, n).astype(jnp.float32),
+            prim=jnp.full(n, -1, i32),
+            u=jnp.zeros(n, jnp.float32),
+            v=jnp.zeros(n, jnp.float32),
+            it=jnp.int32(0),
+        )
+
+    iota_s = jnp.arange(stack_d, dtype=i32)
+
+    def cond(s: TState):
+        # the iteration fuse only guards NaN rays (all-false compares would
+        # otherwise keep a lane live forever)
+        alive = jnp.sum(s.live)
+        go = alive > (0 if live_limit is None else live_limit)
+        return go & (s.it < 65536)
+
+    def body(s: TState):
+        row = rows[s.node]  # [N, 64] fat gather
+        # ---- slab-test all 8 children on row column slices
+        lox = (row[..., 0:8] - o[..., 0:1]) * inv[..., 0:1]
+        loy = (row[..., 8:16] - o[..., 1:2]) * inv[..., 1:2]
+        loz = (row[..., 16:24] - o[..., 2:3]) * inv[..., 2:3]
+        hix = (row[..., 24:32] - o[..., 0:1]) * inv[..., 0:1]
+        hiy = (row[..., 32:40] - o[..., 1:2]) * inv[..., 1:2]
+        hiz = (row[..., 40:48] - o[..., 2:3]) * inv[..., 2:3]
+        near = jnp.maximum(
+            jnp.maximum(jnp.minimum(lox, hix), jnp.minimum(loy, hiy)),
+            jnp.minimum(loz, hiz),
+        )
+        far = jnp.minimum(
+            jnp.minimum(jnp.maximum(lox, hix), jnp.maximum(loy, hiy)),
+            jnp.maximum(loz, hiz),
+        )
+        refs = row[..., 48:56]
+        nearc = jnp.maximum(jnp.maximum(near, tmin), 0.0)
+        hit = (nearc <= far) & (refs != -1.0) & (nearc < s.t[..., None])
+
+        # ---- pack sortable keys: (t_near bits & ~7) | slot; misses +inf
+        tbits = jax.lax.bitcast_convert_type(nearc, i32) & i32(~7)
+        keys = jnp.where(hit, tbits | jnp.arange(8, dtype=i32), _MISS_KEY | jnp.arange(8, dtype=i32))
+        k = [keys[..., j] for j in range(8)]
+        for a, b in _SORT8:
+            ka, kb = k[a], k[b]
+            k[a] = jnp.minimum(ka, kb)
+            k[b] = jnp.maximum(ka, kb)
+        h = jnp.sum(hit, axis=-1).astype(i32)
+
+        # ---- rank-th nearest child
+        key_r = jnp.zeros(n, i32)
+        for j in range(8):
+            key_r = jnp.where(s.rank == j, k[j], key_r)
+        slot_r = key_r & 7
+        tn_r = jax.lax.bitcast_convert_type(key_r & i32(~7), jnp.float32)
+        valid = s.live & (s.rank < h) & (tn_r < s.t)
+
+        cref = jnp.zeros(n, jnp.float32)
+        for j in range(8):
+            cref = jnp.where(slot_r == j, refs[..., j], cref)
+        cref = cref.astype(i32)
+        descend = valid & (cref >= 0)
+        at_leaf = valid & (cref <= -2)
+
+        # ---- leaf: one 144-float row = 16 Möller tests
+        g = jnp.where(at_leaf, -cref - 2, 0)
+        tr = trows[g].reshape(n + (LEAF_SIZE, 9))
+        tt, uu, vv, th = _tri_test(
+            o[..., None, :], d[..., None, :],
+            tr[..., 0:3], tr[..., 3:6], tr[..., 6:9], tmin, s.t[..., None],
+        )
+        th = th & at_leaf[..., None]
+        tmask = jnp.where(th, tt, jnp.float32(3.4e38))
+        jj = jnp.argmin(tmask, axis=-1)
+        t16 = jnp.min(tmask, axis=-1)
+        found = t16 < s.t
+        iota16 = jnp.arange(LEAF_SIZE, dtype=i32)
+        pick = jj[..., None] == iota16
+        u16 = jnp.sum(jnp.where(pick, uu, 0.0), axis=-1)
+        v16 = jnp.sum(jnp.where(pick, vv, 0.0), axis=-1)
+        t_b = jnp.where(found, t16, s.t)
+        p_b = jnp.where(found, g * LEAF_SIZE + jj.astype(i32), s.prim)
+        u_b = jnp.where(found, u16, s.u)
+        v_b = jnp.where(found, v16, s.v)
+
+        # ---- continuation: descend pushes (node, rank+1) if ranks remain
+        more = valid & (s.rank + 1 < h)
+        push = descend & more
+        ent = s.node * BRANCH + (s.rank + 1)
+        onehot = iota_s == s.sp[..., None]
+        stack = jnp.where(push[..., None] & onehot, ent[..., None], s.stack)
+        sp = s.sp + push.astype(i32)
+
+        # leaf with remaining ranks continues at (node, rank+1) directly
+        stay = at_leaf & more
+        # pop when: pruned/exhausted, or leaf processed with no ranks left
+        need_pop = s.live & ~descend & ~stay
+        blocked = s.live & found if any_hit else None
+        if any_hit:
+            need_pop = need_pop & ~blocked
+        can_pop = need_pop & (sp > 0)
+        top = jnp.sum(
+            jnp.where((iota_s == (sp - 1)[..., None]) & can_pop[..., None], stack, 0),
+            axis=-1,
+        )
+        sp = sp - can_pop.astype(i32)
+        live = s.live & ~(need_pop & ~can_pop)
+        if any_hit:
+            live = live & ~blocked
+
+        node = jnp.where(descend, cref, jnp.where(can_pop, top // BRANCH, s.node))
+        rank = jnp.where(
+            descend, 0, jnp.where(stay, s.rank + 1, jnp.where(can_pop, top % BRANCH, s.rank))
+        )
+        return TState(
+            node=node, rank=rank, sp=sp, stack=stack, live=live,
+            t=t_b, prim=p_b, u=u_b, v=v_b, it=s.it + 1,
+        )
+
+    final = jax.lax.while_loop(cond, body, state)
+    hit = MeshHit(t=final.t, prim=final.prim, u=final.u, v=final.v, iters=final.it)
+    return hit, final
+
+
+# ---------------------------------------------------------------------------
+# Mesh instances (the reference's prop BVH, prop_tree.zig)
+# ---------------------------------------------------------------------------
+
+
+class TlasHit(NamedTuple):
+    t: jax.Array  # [N] world-parameter distance
+    prim: jax.Array  # [N] arena-global triangle index (-1 miss)
+    u: jax.Array  # [N]
+    v: jax.Array  # [N]
+    prop: jax.Array  # int32[N] prop index of the hit instance (-1 miss)
+
+
+class InstanceTable(NamedTuple):
+    """Mesh instances for the dense two-phase walk (ref prop_tree.zig:22).
+
+    trafo[I, 24]: q0(4) pos0(3) scale0(3) q1(4) pos1(3) scale1(3) root prop
+    pad(2) — one row so the per-lane fetch after instance selection is a
+    single small_gather. Static scenes store endpoint 1 == endpoint 0.
+    wmin/wmax: world AABBs (shutter-union for animated instances).
+    vis[I, 3]: camera / reflection / shadow visibility.
     """
 
-    node_rows: jax.Array  # [M+T,12] mesh BLAS rows ++ TLAS/transform rows
-    root: jax.Array  # int32 scalar: TLAS root row
-    # STATIC metadata rides the dict KEY: (trafo_base, has_animated)
+    wmin: jax.Array  # [I,3]
+    wmax: jax.Array  # [I,3]
+    trafo: jax.Array  # [I,24]
+    vis: jax.Array  # [I,3] bool
+    # STATIC: (has_animated,) rides the dict key
     meta: dict
 
 
-def build_tlas(arena: MeshArena, instances: list[dict], host=None) -> Tlas:
-    """Build the TLAS rows over mesh instances and append to the arena rows.
+def build_instance_table(host, instances: list[dict]) -> InstanceTable:
+    """Build the instance table on the host.
 
-    instances: per mesh prop a dict with keys
-      prop (int), mesh (int), rot [3,3], pos [3], scale [3],
-      vis (3 bools: camera, reflection, shadow),
-      and optionally rot1/pos1/scale1 for shutter-end (animated).
-    host: optional {"node_rows", "mesh_root"} numpy copies from build_arena
-      (avoids pulling the arena back from the device).
+    host: {"node_rows", "mesh_root"} numpy copies from build_arena.
+    instances: per mesh prop a dict with keys prop (int), mesh (int),
+    rot [3,3], pos [3], scale [3], vis (3 bools), and optionally
+    rot1/pos1/scale1 for shutter-end (animated).
     """
-    if host is not None:
-        node_rows = host["node_rows"]
-        mesh_root = host["mesh_root"]
-    else:
-        node_rows = np.asarray(arena.node_rows)
-        mesh_root = np.asarray(arena.mesh_root)
-    m0 = node_rows.shape[0]
+    node_rows = host["node_rows"]
+    mesh_root = host["mesh_root"]
+    ninst = len(instances)
+    wmin = np.empty((ninst, 3), np.float32)
+    wmax = np.empty((ninst, 3), np.float32)
+    trafo = np.zeros((ninst, 24), np.float32)
+    vis = np.zeros((ninst, 3), bool)
+    has_anim = any("rot1" in ins for ins in instances)
 
-    # world AABB per instance: transform the BLAS root AABB's 8 corners
-    # (animated: union over sampled shutter times — conservative for slerp)
-    inst_min = np.empty((len(instances), 3), np.float32)
-    inst_max = np.empty((len(instances), 3), np.float32)
     for i, ins in enumerate(instances):
         root = int(mesh_root[ins["mesh"]])
-        bmin = node_rows[root, 0:3]
-        bmax = node_rows[root, 3:6]
+        # root box = union of the root row's child slots
+        row = node_rows[root]
+        filled = row[48:56] != -1.0
+        bmin = np.array([row[0:8][filled].min(), row[8:16][filled].min(),
+                         row[16:24][filled].min()])
+        bmax = np.array([row[24:32][filled].max(), row[32:40][filled].max(),
+                         row[40:48][filled].max()])
         corners = np.array(
             [[bmin[k] if (j >> k) & 1 == 0 else bmax[k] for k in range(3)]
              for j in range(8)], np.float64)
         keys = [(ins["rot"], ins["pos"], ins["scale"])]
         if "rot1" in ins:
+            # union over sampled shutter times — conservative for slerp
             q0 = _np_quat(ins["rot"])
             q1 = _np_quat(ins["rot1"])
             if np.dot(q0, q1) < 0.0:
@@ -277,88 +628,177 @@ def build_tlas(arena: MeshArena, instances: list[dict], host=None) -> Tlas:
                     np.asarray(ins["pos"]) * (1 - t) + np.asarray(ins["pos1"]) * t,
                     np.asarray(ins["scale"]) * (1 - t) + np.asarray(ins["scale1"]) * t,
                 ))
-        wmin = np.full(3, np.inf)
-        wmax = np.full(3, -np.inf)
+        lo = np.full(3, np.inf)
+        hi = np.full(3, -np.inf)
         for rot, pos, scale in keys:
             rot = np.asarray(rot, np.float64)
             w = (corners * np.asarray(scale, np.float64)) @ rot + np.asarray(pos, np.float64)
-            wmin = np.minimum(wmin, w.min(axis=0))
-            wmax = np.maximum(wmax, w.max(axis=0))
+            lo = np.minimum(lo, w.min(axis=0))
+            hi = np.maximum(hi, w.max(axis=0))
         if "rot1" in ins:  # slerp path can bulge slightly beyond samples
-            c = 0.5 * (wmin + wmax)
-            wmin = c + (wmin - c) * 1.05
-            wmax = c + (wmax - c) * 1.05
-        inst_min[i] = wmin
-        inst_max[i] = wmax
+            c = 0.5 * (lo + hi)
+            lo = c + (lo - c) * 1.05
+            hi = c + (hi - c) * 1.05
+        wmin[i] = lo
+        wmax[i] = hi
 
-    bvh = build_bvh(inst_min, inst_max, leaf_size=1)
-    tl = bvh.nodes_min.shape[0]
-    has_anim = any("rot1" in ins for ins in instances)
+        trafo[i, 0:4] = _np_quat(ins["rot"])
+        trafo[i, 4:7] = ins["pos"]
+        trafo[i, 7:10] = ins["scale"]
+        if "rot1" in ins:
+            trafo[i, 10:14] = _np_quat(ins["rot1"])
+            trafo[i, 14:17] = ins["pos1"]
+            trafo[i, 17:20] = ins["scale1"]
+        else:
+            trafo[i, 10:20] = trafo[i, 0:10]
+        trafo[i, 20] = float(int(mesh_root[ins["mesh"]]))
+        trafo[i, 21] = float(ins["prop"])
+        vis[i] = ins.get("vis", (True, True, True))
 
-    # transform rows: one per instance (+1 for animated); laid out after the
-    # TLAS rows so trafo_base classifies them by index alone
-    trafo_base = m0 + tl
-    trafo_rows = []
-    trafo_of_inst = {}
-    for i in np.asarray(bvh.prim_order):  # leaf order
-        ins = instances[int(i)]
-        trafo_of_inst[int(i)] = trafo_base + len(trafo_rows)
-        q = _np_quat(ins["rot"])
-        anim = "rot1" in ins
-        root = float(mesh_root[ins["mesh"]])
-        vis = ins.get("vis", (True, True, True))
-        prop_enc = float(ins["prop"]) + 1024.0 * (
-            (1 if vis[0] else 0) + (2 if vis[1] else 0) + (4 if vis[2] else 0)
-        )
-        row = np.zeros(12, np.float32)
-        row[0:3] = q[0:3]
-        row[3:6] = ins["pos"]
-        row[6:9] = ins["scale"]
-        row[9] = -(root + 2.0) if anim else root
-        row[10] = -1.0  # resume patched below
-        row[11] = prop_enc
-        trafo_rows.append(row)
-        if anim:
-            # both endpoints store canonical w >= 0 quats; the device slerp
-            # (vm.quat_slerp) flips internally for the shortest arc
-            q1 = _np_quat(ins["rot1"])
-            row2 = np.zeros(12, np.float32)
-            row2[0:3] = q1[0:3]
-            row2[3:6] = ins["pos1"]
-            row2[6:9] = ins["scale1"]
-            trafo_rows.append(row2)
-
-    # TLAS rows in the standard layout; leaves redirect to transform rows
-    rows = np.zeros((tl, 12), np.float32)
-    rows[:, 0:3] = bvh.nodes_min
-    rows[:, 3:6] = bvh.nodes_max
-    rows[:, 8] = -1.0
-    miss = np.where(bvh.miss_link >= 0, bvh.miss_link + m0, -1)
-    hit = np.where(bvh.hit_link >= 0, bvh.hit_link + m0, -1)
-    for ni in range(tl):
-        if bvh.first_prim[ni] >= 0:  # leaf: exactly one instance
-            inst = int(bvh.prim_order[bvh.first_prim[ni]])
-            trow = trafo_of_inst[inst]
-            hit[ni] = trow
-            # the instance's BLAS resumes at this leaf's miss link
-            trafo_rows[trow - trafo_base][10] = miss[ni]
-    rows[:, 6] = hit
-    rows[:, 7] = miss
-
-    all_rows = np.concatenate([node_rows, rows, np.stack(trafo_rows)], axis=0)
-    return Tlas(
-        node_rows=jnp.asarray(all_rows),
-        root=jnp.int32(m0),
-        meta={(trafo_base, has_anim): True},
+    return InstanceTable(
+        wmin=jnp.asarray(wmin),
+        wmax=jnp.asarray(wmax),
+        trafo=jnp.asarray(trafo),
+        vis=jnp.asarray(vis),
+        meta={(has_anim,): True},
     )
+
+
+_INST_CHUNK = 32  # instances per dense [G, N] slab pass
+
+
+def intersect_instances(
+    arena: MeshArena,
+    itab: InstanceTable,
+    o,
+    d,
+    tmin,
+    tmax,
+    ray_class: str = "reflection",
+    primary=None,
+    time=None,
+    any_hit: bool = False,
+) -> TlasHit:
+    """Two-phase instance walk: dense world-AABB scan + per-round BLAS.
+
+    Each round picks per lane the nearest instance not yet visited — the
+    strict (t_entry, index) order over rounds replaces a TLAS's stack with
+    a 2-scalar cursor — then traverses that instance's wide BLAS in object
+    space. Lanes finish when no remaining instance's entry beats their best
+    hit. Cost: rounds ~= max instance-overlap along a ray (1-2 typical),
+    each round one broadcast slab pass (no gathers) + one BLAS walk.
+    """
+    n = o.shape[:-1]
+    (has_anim,), = itab.meta.keys()
+    ninst = itab.trafo.shape[0]
+    vi = {"camera": 0, "reflection": 1, "shadow": 2}[ray_class]
+    tl = jnp.zeros(n, jnp.float32) if time is None else time
+    inv = _inv_dir(d)
+    i32 = jnp.int32
+    BIG = jnp.float32(3.4e38)
+
+    def dense_pick(t_b, last_t, last_i):
+        """Nearest eligible instance per lane, strictly after (last_t, last_i)."""
+        best_t = jnp.full(n, BIG)
+        best_i = jnp.full(n, -1, i32)
+        for c0 in range(0, ninst, _INST_CHUNK):
+            bmin = itab.wmin[c0 : c0 + _INST_CHUNK][:, None]  # [G,1,3]
+            bmax = itab.wmax[c0 : c0 + _INST_CHUNK][:, None]
+            lo = (bmin - o[None]) * inv[None]
+            hi = (bmax - o[None]) * inv[None]
+            near = jnp.max(jnp.minimum(lo, hi), axis=-1)  # [G,N]
+            far = jnp.min(jnp.maximum(lo, hi), axis=-1)
+            nearc = jnp.maximum(jnp.maximum(near, tmin), 0.0)
+            g = near.shape[0]
+            visg = itab.vis[c0 : c0 + _INST_CHUNK, vi][:, None]
+            if primary is not None:
+                visg = jnp.where(
+                    primary[None], itab.vis[c0 : c0 + _INST_CHUNK, 0][:, None], visg
+                )
+            idxg = jnp.arange(c0, c0 + g, dtype=i32)[:, None]
+            elig = (
+                (nearc <= far)
+                & visg
+                & (nearc < t_b[None])
+                & ((nearc > last_t[None]) | ((nearc == last_t[None]) & (idxg > last_i[None])))
+            )
+            te = jnp.where(elig, nearc, BIG)
+            gi = jnp.argmin(te, axis=0)  # first min -> smallest index (tiebreak)
+            tg = jnp.min(te, axis=0)
+            upd = tg < best_t  # strict: ties keep the earlier (smaller) chunk
+            best_t = jnp.where(upd, tg, best_t)
+            best_i = jnp.where(upd, c0 + gi.astype(i32), best_i)
+        return best_t, best_i
+
+    class IState(NamedTuple):
+        t: jax.Array
+        prim: jax.Array
+        u: jax.Array
+        v: jax.Array
+        prop: jax.Array
+        last_t: jax.Array
+        last_i: jax.Array
+        cont: jax.Array  # bool[N]
+        it: jax.Array
+
+    state = IState(
+        t=jnp.broadcast_to(tmax, n).astype(jnp.float32),
+        prim=jnp.full(n, -1, i32),
+        u=jnp.zeros(n, jnp.float32),
+        v=jnp.zeros(n, jnp.float32),
+        prop=jnp.full(n, -1, i32),
+        last_t=jnp.full(n, -1.0, jnp.float32),
+        last_i=jnp.full(n, -1, i32),
+        cont=jnp.ones(n, bool),
+        it=jnp.int32(0),
+    )
+
+    def cond(s: IState):
+        return jnp.any(s.cont) & (s.it < ninst + 1)
+
+    def body(s: IState):
+        bt, bi = dense_pick(s.t, s.last_t, s.last_i)
+        active = s.cont & (bi >= 0)
+        if any_hit:
+            active = active & (s.prim < 0)
+        row = small_gather(itab.trafo, jnp.maximum(bi, 0))  # [N,24]
+        if has_anim:
+            tt1 = tl[..., None]
+            q = vm.quat_slerp(row[..., 0:4], row[..., 10:14], tt1)
+            pos = vm.lerp(row[..., 4:7], row[..., 14:17], tt1)
+            scale = vm.lerp(row[..., 7:10], row[..., 17:20], tt1)
+        else:
+            q = row[..., 0:4]
+            pos = row[..., 4:7]
+            scale = row[..., 7:10]
+        rot = vm.quat_to_mat3(q)
+        o_l = vm.world_to_object_point(rot, scale, pos, o)
+        d_l = vm.world_to_object_vector(rot, scale, d)
+        root_l = jnp.where(active, row[..., 20].astype(i32), -1)
+        mh = traverse(arena, root_l, o_l, d_l, tmin, s.t, any_hit=any_hit)
+        closer = mh.prim >= 0  # traversal was bounded by s.t
+        return IState(
+            t=jnp.where(closer, mh.t, s.t),
+            prim=jnp.where(closer, mh.prim, s.prim),
+            u=jnp.where(closer, mh.u, s.u),
+            v=jnp.where(closer, mh.v, s.v),
+            prop=jnp.where(closer, row[..., 21].astype(i32), s.prop),
+            last_t=jnp.where(active, bt, s.last_t),
+            last_i=jnp.where(active, bi, s.last_i),
+            cont=active,
+            it=s.it + 1,
+        )
+
+    final = jax.lax.while_loop(cond, body, state)
+    return TlasHit(t=final.t, prim=final.prim, u=final.u, v=final.v, prop=final.prop)
 
 
 def _np_quat(rot) -> np.ndarray:
     """Rotation rows -> quaternion (x,y,z,w), canonical w >= 0."""
     m = np.asarray(rot, np.float64)
-    t = np.trace(m)
-    if t > 0:
-        s = np.sqrt(t + 1.0) * 2
+    tr = m[0, 0] + m[1, 1] + m[2, 2]
+    if tr > 0:
+        s = np.sqrt(tr + 1.0) * 2
         q = np.array([(m[2, 1] - m[1, 2]) / s, (m[0, 2] - m[2, 0]) / s,
                       (m[1, 0] - m[0, 1]) / s, 0.25 * s])
     elif m[0, 0] > m[1, 1] and m[0, 0] > m[2, 2]:
@@ -386,284 +826,6 @@ def _np_quat_to_mat(q) -> np.ndarray:
         [d * (x * y + w * z), 1 - d * (x * x + z * z), d * (y * z - w * x)],
         [d * (x * z - w * y), d * (y * z + w * x), 1 - d * (x * x + y * y)],
     ], np.float64)
-
-
-def _slab_test(o, inv_d, nmin, nmax, tmin, tmax):
-    t0 = (nmin - o) * inv_d
-    t1 = (nmax - o) * inv_d
-    tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
-    tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
-    return (tn <= tf) & (tf >= tmin) & (tn <= tmax)
-
-
-def _tri_test(o, d, p0, e1, e2, tmin, tmax):
-    """Möller-Trumbore. Returns (t, u, v, hit)."""
-    pvec = vm.cross(d, e2)
-    det = vm.dot(e1, pvec)
-    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
-    tvec = o - p0
-    u = vm.dot(tvec, pvec) * inv_det
-    qvec = vm.cross(tvec, e1)
-    v = vm.dot(d, qvec) * inv_det
-    t = vm.dot(e2, qvec) * inv_det
-    hit = (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t >= tmin) & (t <= tmax) & (jnp.abs(det) > 1e-12)
-    return t, u, v, hit
-
-
-def traverse(arena: MeshArena, root, o, d, tmin, tmax, any_hit: bool = False) -> MeshHit:
-    """Threaded-BVH closest-hit traversal, vectorized over lanes.
-
-    root: int32[N] per-lane root node (mesh instance). o/d in object space;
-    t values stay in the caller's parameter units.
-
-    Per step: exactly TWO per-lane gathers — the packed node row and (for
-    leaves) the packed triangle-group row. On v5e a gather costs ~3.2ns/lane
-    independent of row width, so packing is a ~9x reduction vs per-field
-    gathers (the reference's pointer-chasing layout, triangle_tree.zig:46).
-    """
-    n = o.shape[:-1]
-    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-20, jnp.where(d < 0, -1e-20, 1e-20), d)
-
-    class TState(NamedTuple):
-        ptr: jax.Array
-        t: jax.Array
-        prim: jax.Array
-        u: jax.Array
-        v: jax.Array
-
-    state = TState(
-        ptr=root,
-        t=jnp.broadcast_to(tmax, n).astype(jnp.float32),
-        prim=jnp.full(n, -1, jnp.int32),
-        u=jnp.zeros(n, jnp.float32),
-        v=jnp.zeros(n, jnp.float32),
-    )
-
-    def cond(s: TState):
-        active = s.ptr >= 0
-        if any_hit:
-            active = active & (s.prim < 0)
-        return jnp.any(active)
-
-    def body(s: TState):
-        ptr = jnp.maximum(s.ptr, 0)
-        live = s.ptr >= 0
-        if any_hit:
-            live = live & (s.prim < 0)
-        row = arena.node_rows[ptr]  # gather 1: the whole node
-        nmin = row[..., 0:3]
-        nmax = row[..., 3:6]
-        hit_aabb = live & _slab_test(o, inv_d, nmin, nmax, tmin, s.t)
-
-        group = row[..., 8].astype(jnp.int32)
-        cnt = row[..., 9].astype(jnp.int32)
-        is_leaf = group >= 0
-
-        t_b, p_b, u_b, v_b = s.t, s.prim, s.u, s.v
-        do_prims = hit_aabb & is_leaf
-        trow = arena.tri_rows[jnp.maximum(group, 0)]  # gather 2: 4 triangles
-        base = group * LEAF_SIZE
-        for j in range(LEAF_SIZE):
-            c = j * 9
-            tt, uu, vvv, h = _tri_test(
-                o, d, trow[..., c : c + 3], trow[..., c + 3 : c + 6],
-                trow[..., c + 6 : c + 9], tmin, t_b,
-            )
-            h = h & do_prims & (j < cnt)
-            t_b = jnp.where(h, tt, t_b)
-            p_b = jnp.where(h, base + j, p_b)
-            u_b = jnp.where(h, uu, u_b)
-            v_b = jnp.where(h, vvv, v_b)
-
-        nxt = jnp.where(hit_aabb, row[..., 6], row[..., 7]).astype(jnp.int32)
-        nxt = jnp.where(live, nxt, s.ptr)
-        nxt = jnp.where(s.ptr < 0, -1, nxt)
-        return TState(ptr=nxt, t=t_b, prim=p_b, u=u_b, v=v_b)
-
-    final = jax.lax.while_loop(cond, body, state)
-    return MeshHit(t=final.t, prim=final.prim, u=final.u, v=final.v)
-
-
-class TlasHit(NamedTuple):
-    t: jax.Array  # [N] world-parameter distance
-    prim: jax.Array  # [N] arena-global triangle index (-1 miss)
-    u: jax.Array  # [N]
-    v: jax.Array  # [N]
-    prop: jax.Array  # int32[N] prop index of the hit instance (-1 miss)
-
-
-def traverse_tlas(
-    arena: MeshArena,
-    tlas: Tlas,
-    o,
-    d,
-    tmin,
-    tmax,
-    ray_class: str = "reflection",
-    primary=None,
-    time=None,
-    any_hit: bool = False,
-) -> TlasHit:
-    """Two-level (TLAS -> BLAS) closest-hit walk, vectorized over lanes.
-
-    ONE threaded pointer walk: TLAS rows, transform rows and BLAS rows live
-    in the same arena (see Tlas). World rays slab-test TLAS rows; entering
-    an instance (transform row) switches the lane's active ray to object
-    space; exhausting a BLAS restores the world ray at the stored resume
-    row. Replaces the per-instance `lax.scan` (O(instances) BLAS walks per
-    ray, ref prop_tree.zig:22 does this with a node stack instead).
-
-    t stays in world-parameter units throughout (object rays keep the
-    scale in d, ref composed_transformation.zig worldToObject*).
-    """
-    from ..core import vecmath as vm
-
-    (trafo_base, has_anim), = tlas.meta.keys()
-    rows = tlas.node_rows
-    n = o.shape[:-1]
-    vis_bit = {"camera": 1, "reflection": 2, "shadow": 4}[ray_class]
-    tl = jnp.zeros(n, jnp.float32) if time is None else time
-
-    def inv_dir(dd):
-        return 1.0 / jnp.where(
-            jnp.abs(dd) < 1e-20, jnp.where(dd < 0, -1e-20, 1e-20), dd
-        )
-
-    inv_w = inv_dir(d)
-
-    class S(NamedTuple):
-        ptr: jax.Array
-        resume: jax.Array  # -1 = walking in world space (TLAS)
-        o_act: jax.Array
-        d_act: jax.Array
-        inv_act: jax.Array
-        prop_cur: jax.Array
-        t: jax.Array
-        prim: jax.Array
-        u: jax.Array
-        v: jax.Array
-        prop: jax.Array
-
-    state = S(
-        ptr=jnp.broadcast_to(tlas.root, n).astype(jnp.int32),
-        resume=jnp.full(n, -1, jnp.int32),
-        o_act=o,
-        d_act=d,
-        inv_act=inv_w,
-        prop_cur=jnp.full(n, -1, jnp.int32),
-        t=jnp.broadcast_to(tmax, n).astype(jnp.float32),
-        prim=jnp.full(n, -1, jnp.int32),
-        u=jnp.zeros(n, jnp.float32),
-        v=jnp.zeros(n, jnp.float32),
-        prop=jnp.full(n, -1, jnp.int32),
-    )
-
-    def cond(s: S):
-        active = s.ptr >= 0
-        if any_hit:
-            active = active & (s.prim < 0)
-        return jnp.any(active)
-
-    def body(s: S):
-        ptr = jnp.maximum(s.ptr, 0)
-        live = s.ptr >= 0
-        if any_hit:
-            live = live & (s.prim < 0)
-        row = rows[ptr]
-        is_trafo = live & (ptr >= trafo_base)
-
-        # ---- standard node rows (TLAS inner/leaf + BLAS)
-        nmin = row[..., 0:3]
-        nmax = row[..., 3:6]
-        hit_aabb = (
-            live & ~is_trafo
-            & _slab_test(s.o_act, s.inv_act, nmin, nmax, tmin, s.t)
-        )
-        group = row[..., 8].astype(jnp.int32)
-        cnt = row[..., 9].astype(jnp.int32)
-        is_leaf = group >= 0
-
-        t_b, p_b, u_b, v_b, pr_b = s.t, s.prim, s.u, s.v, s.prop
-        do_prims = hit_aabb & is_leaf
-        trow = arena.tri_rows[jnp.clip(group, 0, arena.tri_rows.shape[0] - 1)]
-        base = group * LEAF_SIZE
-        for j in range(LEAF_SIZE):
-            c = j * 9
-            tt, uu, vvv, h = _tri_test(
-                s.o_act, s.d_act, trow[..., c : c + 3],
-                trow[..., c + 3 : c + 6], trow[..., c + 6 : c + 9], tmin, t_b,
-            )
-            h = h & do_prims & (j < cnt)
-            t_b = jnp.where(h, tt, t_b)
-            p_b = jnp.where(h, base + j, p_b)
-            u_b = jnp.where(h, uu, u_b)
-            v_b = jnp.where(h, vvv, v_b)
-            pr_b = jnp.where(h, s.prop_cur, pr_b)
-        nxt_node = jnp.where(hit_aabb, row[..., 6], row[..., 7]).astype(jnp.int32)
-
-        # ---- transform rows: enter the instance (or skip if invisible)
-        prop_enc = row[..., 11]
-        vbits = jnp.floor(prop_enc / 1024.0).astype(jnp.int32)
-        prop_id = (prop_enc - vbits.astype(jnp.float32) * 1024.0).astype(jnp.int32)
-        visible = (vbits & int(vis_bit)) > 0
-        if primary is not None:
-            # primary lanes use camera visibility (ref prop.zig Properties)
-            visible = jnp.where(primary, (vbits & 1) > 0, visible)
-        root_enc = row[..., 9]
-        anim = root_enc < 0.0
-        root = jnp.where(anim, -root_enc - 2.0, root_enc).astype(jnp.int32)
-        resume_new = row[..., 10].astype(jnp.int32)
-
-        qxyz = row[..., 0:3]
-        pos = row[..., 3:6]
-        scale = row[..., 6:9]
-        if has_anim:
-            row2 = rows[jnp.clip(ptr + anim.astype(jnp.int32), 0, rows.shape[0] - 1)]
-            w0 = jnp.sqrt(jnp.maximum(1.0 - jnp.sum(qxyz * qxyz, axis=-1), 0.0))
-            q0 = jnp.concatenate([qxyz, w0[..., None]], axis=-1)
-            q1xyz = row2[..., 0:3]
-            w1 = jnp.sqrt(jnp.maximum(1.0 - jnp.sum(q1xyz * q1xyz, axis=-1), 0.0))
-            q1 = jnp.concatenate([q1xyz, w1[..., None]], axis=-1)
-            tt1 = jnp.where(anim, tl, 0.0)[..., None]
-            q = vm.quat_slerp(q0, q1, tt1)
-            pos = jnp.where(anim[..., None], vm.lerp(pos, row2[..., 3:6], tt1), pos)
-            scale = jnp.where(anim[..., None], vm.lerp(scale, row2[..., 6:9], tt1), scale)
-            rot = vm.quat_to_mat3(q)
-        else:
-            w0 = jnp.sqrt(jnp.maximum(1.0 - jnp.sum(qxyz * qxyz, axis=-1), 0.0))
-            rot = vm.quat_to_mat3(jnp.concatenate([qxyz, w0[..., None]], axis=-1))
-        o_l = vm.world_to_object_point(rot, scale, pos, o)
-        d_l = vm.world_to_object_vector(rot, scale, d)
-
-        enter = is_trafo & visible
-        ptr_next = jnp.where(
-            is_trafo, jnp.where(visible, root, resume_new), nxt_node
-        )
-        em = enter[..., None]
-        o_act = jnp.where(em, o_l, s.o_act)
-        d_act = jnp.where(em, d_l, s.d_act)
-        inv_act = jnp.where(em, inv_dir(d_l), s.inv_act)
-        resume = jnp.where(enter, resume_new, s.resume)
-        prop_cur = jnp.where(enter, prop_id, s.prop_cur)
-
-        # ---- BLAS exhausted: restore the world ray, continue at resume
-        exit_blas = live & (ptr_next < 0) & (resume >= 0) & ~enter
-        xm = exit_blas[..., None]
-        o_act = jnp.where(xm, o, o_act)
-        d_act = jnp.where(xm, d, d_act)
-        inv_act = jnp.where(xm, inv_w, inv_act)
-        ptr_next = jnp.where(exit_blas, resume, ptr_next)
-        resume = jnp.where(exit_blas, -1, resume)
-
-        ptr_next = jnp.where(live, ptr_next, s.ptr)
-        return S(
-            ptr=ptr_next, resume=resume, o_act=o_act, d_act=d_act,
-            inv_act=inv_act, prop_cur=prop_cur,
-            t=t_b, prim=p_b, u=u_b, v=v_b, prop=pr_b,
-        )
-
-    final = jax.lax.while_loop(cond, body, state)
-    return TlasHit(t=final.t, prim=final.prim, u=final.u, v=final.v, prop=final.prop)
 
 
 # ---------------------------------------------------------------------------

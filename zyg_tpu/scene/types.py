@@ -136,9 +136,9 @@ class SceneData(NamedTuple):
     meshes: "object" = None  # trimesh.MeshArena | None
     mesh_props: jax.Array = None  # int32[Pm] prop indices with mesh shapes
     prop_mesh: jax.Array = None  # int32[P] mesh id (-1 = analytic)
-    # scene TLAS over mesh instances (ref prop/prop_tree.zig): one unified
-    # threaded walk covers TLAS + per-instance BLAS + rigid motion
-    mesh_tlas: "object" = None  # trimesh.Tlas | None
+    # mesh instances (ref prop/prop_tree.zig): dense world-AABB phase +
+    # per-round wide-BLAS walks, rigid motion in the per-lane transform
+    mesh_instances: "object" = None  # trimesh.InstanceTable | None
     # curve (hair) shapes: rounded-cone segment arena (ref shape/curve/)
     curves: "object" = None  # curves.CurveArena | None
     curve_props: jax.Array = None  # int32[Pc] prop indices with curve shapes
