@@ -31,3 +31,18 @@ __version__ = "0.1.0"
 import jax as _jax
 
 _jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent compilation cache: the big fused render programs (wavefront
+# integrator + multi-stage BVH cascade) compile in minutes over the remote
+# TPU tunnel; cache executables on disk so repeat runs (CLI, bench, tests)
+# skip compilation entirely.
+import os as _os
+
+_cache_dir = _os.environ.get(
+    "ZYG_TPU_CACHE", _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache")
+)
+try:
+    _jax.config.update("jax_compilation_cache_dir", _os.path.abspath(_cache_dir))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+except Exception:  # cache unsupported on this backend -> compile as before
+    pass

@@ -202,6 +202,16 @@ class Driver:
             and self.take.sensor.filter_radius == 0
         )
         self._aov_names = aovs if persistent else ()
+        if aovs and not persistent:
+            import logging
+
+            logging.getLogger("zyg_tpu").warning(
+                "sensor AOVs/alpha (%s) require the persistent wavefront "
+                "path (PTMIS/PTDL with filter_radius 0); this take uses %s "
+                "with filter_radius %s — AOV planes will not be rendered",
+                ", ".join(aovs), self.take.integrator.kind,
+                self.take.sensor.filter_radius,
+            )
         self._aov = {}
         # per-sample lane->pixel shuffle: AOV accumulators scatter by pid
         # (expensive under shuffling), so only shuffle when no AOVs ride
@@ -328,9 +338,19 @@ class Driver:
         n_pixels = self._pixel_ids.shape[0]
         # filtered splats write across tile borders — only tile box-filter runs
         can_tile = self._heavy_loops and self.take.sensor.filter_radius == 0
-        # packed node/leaf rows cut the traversal to 2 gathers/step (~9x),
-        # so mesh tiles can be 4x larger at the same dispatch wall-time
-        tile_n = 65536
+        # mesh-only heavy scenes run FULL-FRAME: the wide-BVH compaction
+        # cascade (trimesh.traverse) keeps traversal cost mean-driven at
+        # large widths and the dispatch under the TPU-worker wall-time
+        # limit. Volume grids / photon gathers still tile: their nested
+        # loops have no compaction yet.
+        mesh_only = (
+            self.scene.meshes is not None
+            and self.scene.curves is None
+            and self.scene.grids is None
+            and self.scene.points is None
+            and self.take.photon.num_photons <= 0
+        )
+        tile_n = 1 << 21 if mesh_only else 65536
         tile = min(n_pixels, tile_n) if can_tile else n_pixels
         self.progress.start(num * ((n_pixels + tile - 1) // tile))
         done = 0
@@ -397,9 +417,12 @@ class Driver:
             )
         )(p, wi, alpha, valid)
         # bound the gather's per-bucket scan by the ACTUAL max occupancy —
-        # sparse caustic maps need a handful of iterations, not 64
+        # sparse caustic maps need a handful of iterations, not 64. Rounded
+        # up to a power of two so progressive re-bakes with slightly
+        # different occupancy reuse the compiled render fn (the bound is a
+        # static jit arg).
         occ = int(jnp.max(jnp.diff(self._photon_map.cell_start)))
-        self._photon_max_per_cell = max(occ, 1)
+        self._photon_max_per_cell = 1 << max(occ - 1, 0).bit_length()
         self._render_cache = {
             k: v for k, v in self._render_cache.items() if k == "particles"
         }

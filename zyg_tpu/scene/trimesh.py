@@ -41,22 +41,43 @@ from ..core.gather import small_gather
 from .bvh import build_bvh, FlatBVH
 
 LEAF_SIZE = 16  # triangles per leaf row (padded; degenerate pads never hit)
-BRANCH = 8  # wide-BVH branching factor
-_ROW_F = 64  # floats per wide-node row
+BRANCH = 8  # wide-BVH branching factor (power of two)
 _MISS_KEY = jnp.int32(0x7F800000)  # +inf bit pattern: sorts after any hit
+
+
+def _row_floats(branch: int) -> int:
+    """Node-row float count: 6*B box planes + B child refs, padded to 8*B.
+    Layout: [0:B]=min.x [B:2B]=min.y [2B:3B]=min.z [3B:4B]=max.x
+    [4B:5B]=max.y [5B:6B]=max.z [6B:7B]=refs [7B:8B]=pad."""
+    return 8 * branch
+
+
+def _sort_network(n: int):
+    """Batcher odd-even mergesort comparator pairs (19 for n=8, 63 for 16)."""
+    pairs = []
+    p = 1
+    while p < n:
+        k = p
+        while k >= 1:
+            for j in range(k % p, n - k, 2 * k):
+                for i in range(min(k, n - j - k)):
+                    if (i + j) // (2 * p) == (i + j + k) // (2 * p):
+                        pairs.append((i + j, i + j + k))
+            k //= 2
+        p *= 2
+    return pairs
 
 
 class MeshArena(NamedTuple):
     """All meshes of the scene, concatenated.
 
-    - node_rows[W, 64]: one 8-wide node per row, structure-of-arrays within
-      the row so the slab test runs on [N, 8] column slices directly:
-      cols 0:8 = child min.x, 8:16 = min.y, 16:24 = min.z, 24:32 = max.x,
-      32:40 = max.y, 40:48 = max.z, 48:56 = child refs, 56:64 = pad.
-      Child ref (stored float32, exact < 2^24): >= 0 -> wide node index;
-      <= -2 -> leaf triangle group -(ref+2); -1 -> empty slot.
-    - tri_rows[G, 144]: a whole leaf's LEAF_SIZE triangles as
-      (p0, e1, e2) x 16; padding triangles are degenerate (e1=e2=0,
+    - node_rows[W, 8*BRANCH]: one BRANCH-wide node per row, structure-of-
+      arrays within the row so the slab test runs on [N, B] column slices
+      directly (layout per _row_floats). Child ref (stored float32, exact
+      < 2^24): >= 0 -> wide node index; <= -2 -> leaf triangle group
+      -(ref+2); -1 -> empty slot.
+    - tri_rows[G, 9*LEAF_SIZE]: a whole leaf's LEAF_SIZE triangles as
+      (p0, e1, e2) per tri; padding triangles are degenerate (e1=e2=0,
       Möller det == 0 -> never hit).
 
     The per-triangle shading arrays (normals/uv/part) are indexed by the
@@ -101,6 +122,7 @@ def _pack_wide(bvh: FlatBVH, group_off: int, node_off: int):
     """
     fp = bvh.first_prim
     hl = bvh.hit_link
+    B = BRANCH
     m = fp.shape[0]
     is_leaf = fp >= 0
     # group id per binary leaf (build_arena numbers leaves in index order)
@@ -146,20 +168,20 @@ def _pack_wide(bvh: FlatBVH, group_off: int, node_off: int):
             slot_lists.append(S)
 
     w = len(slot_lists)
-    rows = np.zeros((w, _ROW_F), np.float32)
-    rows[:, 48:56] = -1.0
+    rows = np.zeros((w, _row_floats(B)), np.float32)
+    rows[:, 6 * B : 7 * B] = -1.0
     for wi, S in enumerate(slot_lists):
         for k, s in enumerate(S):
-            rows[wi, 0 + k] = bvh.nodes_min[s, 0]
-            rows[wi, 8 + k] = bvh.nodes_min[s, 1]
-            rows[wi, 16 + k] = bvh.nodes_min[s, 2]
-            rows[wi, 24 + k] = bvh.nodes_max[s, 0]
-            rows[wi, 32 + k] = bvh.nodes_max[s, 1]
-            rows[wi, 40 + k] = bvh.nodes_max[s, 2]
+            rows[wi, 0 * B + k] = bvh.nodes_min[s, 0]
+            rows[wi, 1 * B + k] = bvh.nodes_min[s, 1]
+            rows[wi, 2 * B + k] = bvh.nodes_min[s, 2]
+            rows[wi, 3 * B + k] = bvh.nodes_max[s, 0]
+            rows[wi, 4 * B + k] = bvh.nodes_max[s, 1]
+            rows[wi, 5 * B + k] = bvh.nodes_max[s, 2]
             if is_leaf[s]:
-                rows[wi, 48 + k] = -float(group_of[s] + 2)
+                rows[wi, 6 * B + k] = -float(group_of[s] + 2)
             else:
-                rows[wi, 48 + k] = float(wide_of[s] + node_off)
+                rows[wi, 6 * B + k] = float(wide_of[s] + node_off)
     return rows, (max(depths) + 1 if depths else 1)
 
 
@@ -448,14 +470,15 @@ def _traverse_stage(
         return go & (s.it < 65536)
 
     def body(s: TState):
-        row = rows[s.node]  # [N, 64] fat gather
-        # ---- slab-test all 8 children on row column slices
-        lox = (row[..., 0:8] - o[..., 0:1]) * inv[..., 0:1]
-        loy = (row[..., 8:16] - o[..., 1:2]) * inv[..., 1:2]
-        loz = (row[..., 16:24] - o[..., 2:3]) * inv[..., 2:3]
-        hix = (row[..., 24:32] - o[..., 0:1]) * inv[..., 0:1]
-        hiy = (row[..., 32:40] - o[..., 1:2]) * inv[..., 1:2]
-        hiz = (row[..., 40:48] - o[..., 2:3]) * inv[..., 2:3]
+        row = rows[s.node]  # [N, 8B] fat gather
+        # ---- slab-test all B children on row column slices
+        B = BRANCH
+        lox = (row[..., 0 * B : 1 * B] - o[..., 0:1]) * inv[..., 0:1]
+        loy = (row[..., 1 * B : 2 * B] - o[..., 1:2]) * inv[..., 1:2]
+        loz = (row[..., 2 * B : 3 * B] - o[..., 2:3]) * inv[..., 2:3]
+        hix = (row[..., 3 * B : 4 * B] - o[..., 0:1]) * inv[..., 0:1]
+        hiy = (row[..., 4 * B : 5 * B] - o[..., 1:2]) * inv[..., 1:2]
+        hiz = (row[..., 5 * B : 6 * B] - o[..., 2:3]) * inv[..., 2:3]
         near = jnp.maximum(
             jnp.maximum(jnp.minimum(lox, hix), jnp.minimum(loy, hiy)),
             jnp.minimum(loz, hiz),
@@ -464,15 +487,15 @@ def _traverse_stage(
             jnp.minimum(jnp.maximum(lox, hix), jnp.maximum(loy, hiy)),
             jnp.maximum(loz, hiz),
         )
-        refs = row[..., 48:56]
+        refs = row[..., 6 * B : 7 * B]
         nearc = jnp.maximum(jnp.maximum(near, tmin), 0.0)
         hit = (nearc <= far) & (refs != -1.0) & (nearc < s.t[..., None])
 
-        # ---- pack sortable keys: (t_near bits & ~7) | slot; misses +inf
-        tbits = jax.lax.bitcast_convert_type(nearc, i32) & i32(~7)
-        keys = jnp.where(hit, tbits | jnp.arange(8, dtype=i32), _MISS_KEY | jnp.arange(8, dtype=i32))
-        k = [keys[..., j] for j in range(8)]
-        for a, b in _SORT8:
+        # ---- pack sortable keys: (t_near bits & ~(B-1)) | slot; misses +inf
+        tbits = jax.lax.bitcast_convert_type(nearc, i32) & i32(~(B - 1))
+        keys = jnp.where(hit, tbits | jnp.arange(B, dtype=i32), _MISS_KEY | jnp.arange(B, dtype=i32))
+        k = [keys[..., j] for j in range(B)]
+        for a, b in _sort_network(B):
             ka, kb = k[a], k[b]
             k[a] = jnp.minimum(ka, kb)
             k[b] = jnp.maximum(ka, kb)
@@ -480,14 +503,14 @@ def _traverse_stage(
 
         # ---- rank-th nearest child
         key_r = jnp.zeros(n, i32)
-        for j in range(8):
+        for j in range(B):
             key_r = jnp.where(s.rank == j, k[j], key_r)
-        slot_r = key_r & 7
-        tn_r = jax.lax.bitcast_convert_type(key_r & i32(~7), jnp.float32)
+        slot_r = key_r & (B - 1)
+        tn_r = jax.lax.bitcast_convert_type(key_r & i32(~(B - 1)), jnp.float32)
         valid = s.live & (s.rank < h) & (tn_r < s.t)
 
         cref = jnp.zeros(n, jnp.float32)
-        for j in range(8):
+        for j in range(B):
             cref = jnp.where(slot_r == j, refs[..., j], cref)
         cref = cref.astype(i32)
         descend = valid & (cref >= 0)
@@ -605,11 +628,10 @@ def build_instance_table(host, instances: list[dict]) -> InstanceTable:
         root = int(mesh_root[ins["mesh"]])
         # root box = union of the root row's child slots
         row = node_rows[root]
-        filled = row[48:56] != -1.0
-        bmin = np.array([row[0:8][filled].min(), row[8:16][filled].min(),
-                         row[16:24][filled].min()])
-        bmax = np.array([row[24:32][filled].max(), row[32:40][filled].max(),
-                         row[40:48][filled].max()])
+        B = BRANCH
+        filled = row[6 * B : 7 * B] != -1.0
+        bmin = np.array([row[k * B : (k + 1) * B][filled].min() for k in range(3)])
+        bmax = np.array([row[k * B : (k + 1) * B][filled].max() for k in range(3, 6)])
         corners = np.array(
             [[bmin[k] if (j >> k) & 1 == 0 else bmax[k] for k in range(3)]
              for j in range(8)], np.float64)
