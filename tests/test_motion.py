@@ -118,7 +118,7 @@ class TestMotionTrace:
         pxy = jnp.asarray(np.stack([xs, ys], -1), jnp.int32)
 
         def span(sc):
-            acc, _, _, _ = ptmis.integrate_persistent(
+            acc, _, _, _, _ = ptmis.integrate_persistent(
                 sc, cam.arrays(0), pxy, ids, jnp.int32(0), 48, 48,
                 ptmis.PtmisSettings(max_depth=3),
             )

@@ -219,3 +219,45 @@ class TestNeeSplitting:
         assert split.var() < 0.9 * single.var(), (
             f"split var {split.var():.5f} vs single {single.var():.5f}"
         )
+
+
+class TestOversampling:
+    """Persistent-wavefront quota relaxation (oversample_slack): fast lanes
+    regenerate past their per-lane quota; pixels get unequal sample counts
+    weighted by the count plane. Estimator must stay unbiased."""
+
+    def test_slack_matches_quota_mean(self):
+        from zyg_tpu.io.take import load_take_file
+        from zyg_tpu.render.integrator import ptmis
+        import jax.numpy as jnp
+
+        take = load_take_file(os.path.join(EXAMPLES, "takes", "cornell.take"))
+        take.cameras[0].resolution = (32, 32)
+        scene = load_scene_file(take.scene_filename)
+        n = 32 * 32
+        ids = jnp.arange(n, dtype=jnp.uint32)
+        ys, xs = np.divmod(np.arange(n), 32)
+        pxy = jnp.asarray(np.stack([xs, ys], -1), jnp.int32)
+        cam = take.cameras[0].arrays(0)
+        st = ptmis.PtmisSettings(max_depth=4)
+
+        def run(slack):
+            acc, _, _, iters, counts = ptmis.integrate_persistent(
+                scene, cam, pxy, ids, jnp.int32(0), 32, 32, st,
+                frame_width=32, oversample_slack=slack,
+            )
+            img = np.asarray(acc) / np.maximum(np.asarray(counts)[:, None], 1)
+            return img, np.asarray(counts), int(iters)
+
+        img0, c0, it0 = run(0)
+        img1, c1, it1 = run(16)
+        # quota path: every pixel exactly 32 samples
+        np.testing.assert_array_equal(c0, 32.0)
+        # slack path: at least the target total was issued, every pixel
+        # got at least one sample, and the loop is no longer than quota's
+        assert c1.sum() >= 32 * n
+        assert c1.min() >= 1
+        assert it1 <= it0
+        # unbiased: means agree within MC noise
+        ratio = img1.mean() / img0.mean()
+        assert abs(ratio - 1.0) < 0.05, f"oversample bias: {ratio}"

@@ -212,3 +212,50 @@ class TestAddressModes:
         r2 = float(sample_bilinear(arena, jnp.asarray([t_rep]), uv2)[0, 0])
         c2 = float(sample_bilinear(arena, jnp.asarray([t_clm]), uv2)[0, 0])
         np.testing.assert_allclose(r2, c2, rtol=1e-6)
+
+
+class TestStochasticFiltering:
+    def test_mean_matches_bilinear(self):
+        """LinearStochastic (ref texture.zig default): expectation over the
+        jitter equals the bilinear filter."""
+        import numpy as np
+        import jax.numpy as jnp
+        from zyg_tpu.scene import textures as tex
+
+        rng = np.random.default_rng(5)
+        b = tex.TextureBuilder()
+        img = rng.random((16, 24, 3)).astype(np.float32)
+        tid = b.add(img)
+        arena = b.build()
+
+        n = 4096
+        uv = jnp.asarray(rng.random((n, 2)).astype(np.float32))
+        ids = jnp.full((n,), tid, jnp.int32)
+        ref = tex.sample_bilinear(arena, ids, uv)
+
+        acc = jnp.zeros((n, 4))
+        m = 256
+        for k in range(m):
+            xi = jnp.asarray(rng.random((n, 2)).astype(np.float32))
+            acc = acc + tex.sample_stochastic(arena, ids, uv, xi)
+        est = np.asarray(acc / m)
+        refn = np.asarray(ref)
+        # per-element within MC noise (sem ~ 0.02 at 256 samples), and the
+        # global mean much tighter
+        np.testing.assert_allclose(est, refn, atol=0.1)
+        assert abs(est.mean() - refn.mean()) < 0.003
+
+    def test_clamp_mode_respected(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from zyg_tpu.scene import textures as tex
+
+        b = tex.TextureBuilder()
+        img = np.zeros((4, 4, 3), np.float32)
+        img[0, :, 0] = 1.0  # red top row
+        tid = b.add(img, clamp_u=True, clamp_v=True)
+        arena = b.build()
+        # uv far below 0: clamp keeps row 0 (red); repeat would wrap
+        uv = jnp.asarray([[0.5, -3.0]], jnp.float32)
+        out = tex.sample_stochastic(arena, jnp.asarray([tid]), uv, jnp.zeros((1, 2)))
+        assert float(out[0, 0]) == 1.0

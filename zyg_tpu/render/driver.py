@@ -52,6 +52,7 @@ def _render_samples(
     light_split_depth: int = 0,
     aovs: tuple = (),
     frame_width: int = 0,
+    oversample_slack: int = 0,
 ):
     """Accumulate `num_samples` consecutive samples into fb (one jit).
 
@@ -61,7 +62,7 @@ def _render_samples(
     # PTMIS/PTDL with a box filter uses the persistent wavefront (lane
     # regeneration): ~3x utilization vs the per-sample scan below
     if integrator.kind in ("PTMIS", "PTDL") and filter_radius == 0:
-        acc, rays, aov_sums, num_iters = ptmis_mod.integrate_persistent(
+        acc, rays, aov_sums, num_iters, counts = ptmis_mod.integrate_persistent(
             scene,
             cam_arrays,
             pixel_xy,
@@ -87,8 +88,12 @@ def _render_samples(
             # iterations on the Cornell bench); the flushes ride the Pallas
             # column-accumulator (ops/accum.py, ~1.8ms/iter at 2M lanes)
             frame_width=frame_width,
+            oversample_slack=oversample_slack,
         )
-        return Framebuffer(fb.value + acc, fb.weight + num_samples), (rays, num_iters), aov_sums
+        # per-pixel sample counts (oversampling makes them unequal) are the
+        # box-filter weights; the non-shuffled path adds a uniform count
+        w_add = counts if counts is not None else float(num_samples)
+        return Framebuffer(fb.value + acc, fb.weight + w_add), (rays, num_iters), aov_sums
 
     def one_sample(carry, s):
         fb, total_rays = carry
@@ -250,8 +255,9 @@ class Driver:
             by_lanes = max(1, lane_budget // max(w * h, 1))
             self.chunk_size = min(spp, 16, by_lanes)
 
-    def _render_fn(self, num_samples: int):
-        fn = self._render_cache.get(num_samples)
+    def _render_fn(self, num_samples: int, oversample_slack: int = 0):
+        key = (num_samples, oversample_slack)
+        fn = self._render_cache.get(key)
         if fn is None:
             # num_expected_samples is clamped to >=2: the ==1 constant folds
             # `pixel_ids*1+s` away and trips a pathological XLA/Mosaic compile
@@ -272,9 +278,10 @@ class Driver:
                     light_split_depth=self._light_split_depth,
                     aovs=self._aov_names,
                     frame_width=self._frame_width,
+                    oversample_slack=oversample_slack,
                 )
             )
-            self._render_cache[num_samples] = fn
+            self._render_cache[key] = fn
         return fn
 
     def start_frame(self):
@@ -356,7 +363,17 @@ class Driver:
         done = 0
         while done < num:
             n = min(self.chunk_size, num - done)
-            fn = self._render_fn(n)
+            # final chunk: oversample — fast lanes keep regenerating past
+            # their quota (extra sample indices, per-pixel count weights)
+            # so the wavefront drains at the MEAN path length, not the
+            # slowest lane's. Non-final chunks keep exact quotas (their
+            # sample-index ranges abut the next chunk's).
+            slack = (
+                max(2, n // 2)
+                if (self._frame_width > 0 and done + n >= num)
+                else 0
+            )
+            fn = self._render_fn(n, slack)
             for t0 in range(0, n_pixels, tile):
                 t1 = min(t0 + tile, n_pixels)
                 fb_t = Framebuffer(self._fb.value[t0:t1], self._fb.weight[t0:t1])

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ...core import vecmath as vm
-from ...core.rng import hash_u32
+from ...core.rng import hash_u32, hash2_u32, u32_to_float
 from ...core.sobol import SobolSampler, SobolArrays
 from ...scene import shapes, light_sampling as ls_mod
 from ...scene.types import SceneData, RAY_MAX_T
@@ -222,11 +222,18 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
         frag = shapes.build_fragment(
             scene, hit, s.o, s.d, need_tangents=has_tex or has_hair, time=s.time
         )
+        tex_xi = None
         if has_tex:
+            # stochastic texture filtering (ref texture.zig:18
+            # LinearStochastic is the reference default): jitter from the
+            # counter RNG, NOT the Sobol stream (keeps QMC dims intact)
+            kx = hash2_u32(s.vol_key ^ jnp.uint32(0xA511E9B3), s.depth.astype(jnp.uint32))
+            ky = hash_u32(kx ^ jnp.uint32(0x85EBCA6B))
+            tex_xi = jnp.stack([u32_to_float(kx), u32_to_float(ky)], -1)
             frag = frag._replace(
                 n=mat.apply_normal_map(
                     scene.materials, scene.textures, frag.material, frag.uv,
-                    frag.n, frag.t, frag.b,
+                    frag.n, frag.t, frag.b, tex_xi=tex_xi,
                 )
             )
         if has_media:
@@ -244,7 +251,7 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
             medium_ior = None
         params = mat.gather(
             scene.materials, frag.material, medium_ior, scene.textures, frag.uv,
-            features=scene.mat_features,
+            features=scene.mat_features, tex_xi=tex_xi,
         )
         if settings.regularize_roughness > 0.0:
             # path-space regularization: widen lobes after rough bounces
@@ -254,6 +261,27 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
                 params, s.reg_alpha, settings.regularize_roughness, settings.caustics
             )
         wo = -s.d
+
+        # ---- stochastic opacity cutouts (ref material_base.zig
+        # stochasticOpacity + triangle_tree.zig intersectOpacity): a hit on
+        # a masked material survives with probability o(uv); rejected hits
+        # pass straight through as null events. Compiled away without masks.
+        has_mask = scene.materials.mask_tex is not None and (
+            scene.mat_features is None or "mask" in scene.mat_features
+        )
+        if has_mask and has_tex:
+            from ...scene.textures import sample_stochastic as _tex_stoch
+
+            mt = small_gather(scene.materials.mask_tex, jnp.maximum(frag.material, 0))
+            opac = _tex_stoch(scene.textures, jnp.maximum(mt, 0), frag.uv, tex_xi)[..., 0]
+            ko = hash2_u32(s.vol_key ^ jnp.uint32(0xC2B2AE35), s.depth.astype(jnp.uint32))
+            cutout = (
+                s.alive & hit.valid() & (hit.t < RAY_MAX_T) & (mt >= 0)
+                & ((opac <= 0.0) | (opac <= u32_to_float(ko)))
+            )
+        else:
+            has_mask = False
+            cutout = jnp.zeros_like(s.alive)
 
         # ---- medium transport: distance sampling in the enclosing medium
         # (homogeneous closed form / heterogeneous delta tracking; see
@@ -284,14 +312,14 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
             false_if = (
                 hit.valid() & (hit.t < RAY_MAX_T) & is_medium_b
                 & (hit_prio < max_prio_excl) & ~scatter
-            )
+            ) | (cutout & ~scatter)
         else:
             g_med = None
             scatter = jnp.zeros_like(s.alive)
             absorbed = jnp.zeros_like(s.alive)
             throughput0 = s.throughput
             p_scatter = frag.p
-            false_if = jnp.zeros_like(s.alive)
+            false_if = cutout
 
         # ---- sensor AOV capture at the primary hit (ref sensor/aov):
         # every sample passes depth==0 && vol_depth==0 exactly once
@@ -345,7 +373,9 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
         # ---- connectLight: BSDF-sampled emission with MIS (ref connectLight
         # + vertex.evaluateRadiance + scene.lightPdf)
         emission = mat.eval_radiance(params, wo, frag.geo_n)
-        emission = jnp.where((hit.valid() & ~scatter)[..., None], emission, 0.0)
+        emission = jnp.where(
+            (hit.valid() & ~scatter & ~cutout)[..., None], emission, 0.0
+        )
         light_id = jnp.where(hit.valid(), small_gather(scene.prop_light, jnp.maximum(hit.prop, 0)), -1)
         is_light = light_id >= 0
         if has_lights and not settings.nee_only:
@@ -493,9 +523,16 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
                     & (lsmp.pdf > 0.0) & (jnp.max(f, axis=-1) > 0.0)
                 )
                 shadow_tmax = jnp.where(lsmp.infinite, jnp.float32(RAY_MAX_T) * 0.9, slen)
-                blocked = shapes.occluded(
-                    scene, shadow_o, sdir, jnp.float32(0.0), shadow_tmax, time=s.time
-                )
+                if has_mask:
+                    blocked = shapes.occluded_masked(
+                        scene, shadow_o, sdir, jnp.float32(0.0), shadow_tmax,
+                        key=hash_u32(s.vol_key ^ jnp.uint32(0x68BC21EB)),
+                        time=s.time,
+                    )
+                else:
+                    blocked = shapes.occluded(
+                        scene, shadow_o, sdir, jnp.float32(0.0), shadow_tmax, time=s.time
+                    )
                 # participating media attenuate (not block) the shadow ray
                 # (ref scene.zig visibility -> propTransmittance)
                 if has_media:
@@ -620,11 +657,17 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
                 scatter, True, jnp.where(passthrough, s.from_volume, False)
             )
         else:
+            if has_mask:
+                bs = bs._replace(
+                    wi=jnp.where(cutout[..., None], -wo, bs.wi),
+                    weight=jnp.where(cutout[..., None], 1.0, bs.weight),
+                    valid=bs.valid | cutout,
+                )
             wi = bs.wi
             bsdf_weight = bs.weight
-            passthrough = jnp.zeros_like(s.alive)
-            new_bxdf_pdf = bs.pdf
-            new_singular = bs.singular
+            passthrough = cutout if has_mask else jnp.zeros_like(s.alive)
+            new_bxdf_pdf = jnp.where(passthrough, s.bxdf_pdf, bs.pdf)
+            new_singular = jnp.where(passthrough, s.singular, bs.singular)
             new_from_volume = jnp.zeros_like(s.alive)
         cont = cont & (bs.valid | scatter)
         throughput = throughput * bsdf_weight
@@ -666,10 +709,10 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
         else:
             new_medium = s.medium
             new_o = surf_o
-            new_mis_o = new_o
-            new_mis_n = frag.n
-            new_depth = jnp.where(cont, s.depth + 1, s.depth)
-            new_vol_depth = s.vol_depth
+            new_mis_o = jnp.where(passthrough[..., None], s.mis_o, new_o)
+            new_mis_n = jnp.where(passthrough[..., None], s.mis_n, frag.n)
+            new_depth = jnp.where(cont & ~passthrough, s.depth + 1, s.depth)
+            new_vol_depth = jnp.where(cont & passthrough, s.vol_depth + 1, s.vol_depth)
 
         return PathState(
             o=jnp.where(cont[..., None], new_o, s.o),
@@ -713,8 +756,9 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
 class PersistentState(NamedTuple):
     path: PathState  # path.result holds the CURRENT sample's IValue sums
     acc: jax.Array  # [N,3] clamped, accumulated finished samples (by PIXEL)
-    done: jax.Array  # int32[N] samples finished per lane
+    done: jax.Array  # int32[N] samples STARTED per lane
     iters: jax.Array  # int32 scalar: loop iterations (occupancy diagnostics)
+    issued: jax.Array  # int32 scalar: samples started across all lanes
 
 
 def _coprime_stride(n: int) -> int:
@@ -744,6 +788,7 @@ def integrate_persistent(
     photon_map=None,
     photon_max_per_cell=64,
     frame_width: int = 0,
+    oversample_slack: int = 0,
 ):
     """Render `num_samples` samples/pixel with lane regeneration AND
     per-sample lane->pixel shuffling.
@@ -763,8 +808,20 @@ def integrate_persistent(
     pixel_ids[0] + shuffled_local_index. frame_width recovers x/y for the
     camera; 0 falls back to the un-shuffled identity mapping.
 
+    Work stealing (oversample_slack > 0, shuffled only): the loop runs
+    until n*num_samples samples have been ISSUED globally rather than
+    num_samples per lane — lanes that drew short paths regenerate extra
+    samples (per-lane cap num_samples + oversample_slack) while slow lanes
+    still work, so the iteration count tracks the MEAN total path length
+    instead of the slowest lane's quota. Pixels then receive unequal
+    sample counts, returned as a per-pixel count plane the sensor uses as
+    the filter weight (channel 3 of the flush buffer); the estimator stays
+    unbiased. Issue overshoot (up to one regen round past the target) only
+    adds extra samples.
+
     Returns (acc_radiance[N,3] summed over samples BY PIXEL, num_rays,
-    aov_sums, loop_iterations).
+    aov_sums, loop_iterations, counts[N] by pixel or None when not
+    shuffled).
 
     Accumulation (all alternatives measured on v5e, 512^2/2M lanes):
     a per-iteration scatter-add by pixel id costs ~80ms (XLA TPU scatter);
@@ -813,14 +870,17 @@ def integrate_persistent(
         wavelength=jnp.zeros((n,), jnp.float32),
         pid=lanes,
     )
-    # [3*num_samples, n]: lane dim LAST — an [n, K, 3] layout pads 42x
-    # under TPU tiling (T(8,128) on the trailing dims) and OOMs at 1080p
+    # [4*kmax, n] (RGB + count planes): lane dim LAST — an [n, K, 4]
+    # layout pads 42x under TPU tiling (T(8,128) on the trailing dims)
+    # and OOMs at 1080p
+    kmax = num_samples + (oversample_slack if shuffled else 0)
+    target = jnp.int32(n) * jnp.int32(num_samples)
     acc0 = (
-        jnp.zeros((3 * num_samples, n), jnp.float32) if shuffled else zero3
+        jnp.zeros((4 * kmax, n), jnp.float32) if shuffled else zero3
     )
     state = PersistentState(
         path=path0, acc=acc0, done=jnp.zeros((n,), jnp.int32),
-        iters=jnp.int32(0),
+        iters=jnp.int32(0), issued=jnp.int32(0),
     )
 
     def clamp_cur(cur: IValue):
@@ -831,13 +891,14 @@ def integrate_persistent(
         )
 
     def cond(ps: PersistentState):
-        return jnp.any(ps.path.alive | (ps.done < num_samples))
+        can_start = (ps.issued < target) & jnp.any(ps.done < kmax)
+        return jnp.any(ps.path.alive) | can_start
 
     def step(ps: PersistentState):
         s = ps.path
         # ---- regenerate finished lanes with the NEXT sample, shuffled
         # onto pixel (lane + iteration*stride) mod n
-        regen = (~s.alive) & (ps.done < num_samples)
+        regen = (~s.alive) & (ps.done < kmax) & (ps.issued < target)
         iteration = (first_iteration + ps.done).astype(jnp.uint32)
         pid_new = (lanes + iteration * stride) % jnp.uint32(n)
         gpid = pixel_ids[0] + pid_new  # contiguous-range contract
@@ -908,10 +969,11 @@ def integrate_persistent(
             from ...ops import accum as accum_ops
 
             col = jnp.where(
-                finished, jnp.clip(done - 1, 0, num_samples - 1), -1
+                finished, jnp.clip(done - 1, 0, kmax - 1), -1
             ).astype(jnp.int32)
             acc = accum_ops.flush_columns(
-                ps.acc, col, acc_add[:, 0], acc_add[:, 1], acc_add[:, 2]
+                ps.acc, col, acc_add[:, 0], acc_add[:, 1], acc_add[:, 2],
+                finished.astype(jnp.float32),
             )
         else:
             acc = ps.acc + acc_add
@@ -925,20 +987,25 @@ def integrate_persistent(
                 if name in aov:
                     aov[name] = aov[name].at[s.pid].add(jnp.where(fin_m, field, 0.0))
             s = s._replace(aov=aov)
-        return PersistentState(path=s, acc=acc, done=done, iters=ps.iters + 1)
+        return PersistentState(
+            path=s, acc=acc, done=done, iters=ps.iters + 1,
+            issued=ps.issued + jnp.sum(regen.astype(jnp.int32)),
+        )
 
     final = jax.lax.while_loop(cond, step, state)
     acc = final.acc
+    counts = None
     if shuffled:
         # unpermute: pixel p's sample k lives in lane (p - (first_it+k)*S)
         # mod n — a circular shift per k, ONCE per dispatch
-        out = jnp.zeros((3, n), jnp.float32)
+        out = jnp.zeros((4, n), jnp.float32)
         nn = jnp.uint32(n)
-        for k in range(num_samples):
+        for k in range(kmax):
             it_g = (first_iteration + k).astype(jnp.uint32)
             off = (it_g * stride) % nn
             out = out + jnp.roll(
-                acc[3 * k : 3 * k + 3, :], off.astype(jnp.int32), axis=1
+                acc[4 * k : 4 * k + 4, :], off.astype(jnp.int32), axis=1
             )
-        acc = out.T
-    return acc, final.path.rays, final.path.aov, final.iters
+        acc = out[0:3].T
+        counts = out[3]
+    return acc, final.path.rays, final.path.aov, final.iters, counts

@@ -115,7 +115,7 @@ def ior_to_f0(ior, ior_outside):
     return t * t
 
 
-def gather(materials: Materials, mat_id, medium_ior=None, textures=None, uv=None, features=None):
+def gather(materials: Materials, mat_id, medium_ior=None, textures=None, uv=None, features=None, tex_xi=None):
     """Gather per-lane material parameters + derived BSDF constants.
 
     medium_ior: IoR of the medium the ray travels in (1.0 = air).
@@ -132,19 +132,26 @@ def gather(materials: Materials, mat_id, medium_ior=None, textures=None, uv=None
     roughness = small_gather(materials.roughness, m)
     emission_scale = None
     if textures is not None and uv is not None:
-        from ..scene.textures import sample_bilinear
+        from ..scene.textures import sample_bilinear, sample_stochastic
 
+        # LinearStochastic is the reference's default sampler
+        # (ref texture.zig:18): one jittered texel instead of four
+        samp = (
+            (lambda t, i, u: sample_stochastic(t, i, u, tex_xi))
+            if tex_xi is not None
+            else sample_bilinear
+        )
         ct = small_gather(materials.color_tex, m)
         color = jnp.where(
-            (ct >= 0)[..., None], color * sample_bilinear(textures, ct, uv)[..., :3], color
+            (ct >= 0)[..., None], color * samp(textures, ct, uv)[..., :3], color
         )
         rt = small_gather(materials.roughness_tex, m)
         roughness = jnp.where(
-            rt >= 0, roughness * sample_bilinear(textures, rt, uv)[..., 0], roughness
+            rt >= 0, roughness * samp(textures, rt, uv)[..., 0], roughness
         )
         et = small_gather(materials.emission_tex, m)
         emission_scale = jnp.where(
-            (et >= 0)[..., None], sample_bilinear(textures, et, uv)[..., :3], 1.0
+            (et >= 0)[..., None], samp(textures, et, uv)[..., :3], 1.0
         )
     roughness = jnp.maximum(roughness, MIN_ROUGHNESS)
     alpha = roughness * roughness
@@ -233,17 +240,20 @@ def regularize_alpha(params, reg_alpha_prev, weight: float, caustics: bool):
     return out
 
 
-def apply_normal_map(materials: Materials, textures, mat_id, uv, n, t, b):
+def apply_normal_map(materials: Materials, textures, mat_id, uv, n, t, b, tex_xi=None):
     """Perturb the shading normal by the material's tangent-space normal map
     (ref substitute material sample(): normal_map -> TBN rotate). No-op for
     lanes whose material has no map."""
     if textures is None:
         return n
-    from ..scene.textures import sample_bilinear
+    from ..scene.textures import sample_bilinear, sample_stochastic
 
     m = jnp.maximum(mat_id, 0)
     nt = small_gather(materials.normal_tex, m)
-    nm = sample_bilinear(textures, jnp.maximum(nt, 0), uv)[..., :3] * 2.0 - 1.0
+    if tex_xi is not None:
+        nm = sample_stochastic(textures, jnp.maximum(nt, 0), uv, tex_xi)[..., :3] * 2.0 - 1.0
+    else:
+        nm = sample_bilinear(textures, jnp.maximum(nt, 0), uv)[..., :3] * 2.0 - 1.0
     n_pert = vm.safe_normalize(
         nm[..., 0:1] * t + nm[..., 1:2] * b + jnp.maximum(nm[..., 2:3], 0.1) * n
     )

@@ -134,6 +134,7 @@ class MaterialDesc:
     roughness_tex: int = -1
     normal_tex: int = -1
     emission_tex: int = -1
+    mask_tex: int = -1  # opacity cutout (ref material_base.zig mask)
     density_grid: int = -1  # index into the builder's 3D grid list
     translucency: float = 0.0
     ies: "np.ndarray | None" = None  # [32] profile bins
@@ -277,6 +278,8 @@ def parse_material(
                 desc.subsurface_color = _read_color(v)
             elif key == "normal":
                 desc.normal_tex = tex(v, srgb=False)
+            elif key == "mask":
+                desc.mask_tex = tex(v, srgb=False)
             elif key == "roughness":
                 if kind_name == "Hair" and isinstance(v, (list, tuple)):
                     # vec2: (beta_m longitudinal, beta_n azimuthal)
@@ -417,6 +420,7 @@ def materials_to_table(descs: list[MaterialDesc]) -> Materials:
         roughness_tex=jnp.asarray([d.roughness_tex for d in descs], jnp.int32),
         normal_tex=jnp.asarray([d.normal_tex for d in descs], jnp.int32),
         emission_tex=jnp.asarray([d.emission_tex for d in descs], jnp.int32),
+        mask_tex=jnp.asarray([d.mask_tex for d in descs], jnp.int32),
         density_grid=jnp.asarray([d.density_grid for d in descs], jnp.int32),
         translucency=jnp.asarray([d.translucency for d in descs], jnp.float32),
         ies=jnp.asarray(
@@ -989,6 +993,10 @@ class SceneBuilder:
             for d in self.materials
         ):
             mat_features["dispersion"] = True
+        # opacity cutouts (ref stochasticOpacity): the passthrough bounce
+        # and the shadow re-march loop compile only when a mask exists
+        if any(d.mask_tex >= 0 for d in self.materials):
+            mat_features["mask"] = True
         # shadow catchers (ref vertex.zig shadow_catcher_*): dual-occlusion
         # NEE + shadow-density alpha compile only when a catcher exists
         if any(p.shadow_catcher for p in self.props):

@@ -382,6 +382,45 @@ def _intersect_points(scene: SceneData, o, d, tmin, tmax, vis, primary, t_b, p_b
     return t_b, p_b, u_b, v_b, prim_b
 
 
+def occluded_masked(scene: SceneData, o, d, tmin, tmax, key, time=None, rounds: int = 4) -> jax.Array:
+    """Shadow visibility with stochastic opacity cutouts (ref
+    triangle_tree.zig visibility + material_base.zig stochasticOpacity).
+
+    Any-hit cannot order surfaces, so masked scenes re-march with CLOSEST
+    hits: each blocking surface either passes (probability = its mask
+    opacity complement) and the march continues behind it, or blocks.
+    `rounds` bounds the unrolled marches; exhausted lanes report blocked
+    (conservative). Only compiled when the scene's "mask" feature is set.
+    """
+    from ..core.rng import hash_u32, u32_to_float
+    from ..core.gather import small_gather
+
+    n = o.shape[:-1]
+    blocked = jnp.zeros(n, bool)
+    marching = jnp.ones(n, bool)
+    oo = o
+    rem = jnp.broadcast_to(tmax, n).astype(jnp.float32)
+    k = jnp.asarray(key, jnp.uint32)
+    for r in range(rounds):
+        hit = intersect_scene(scene, oo, d, tmin, rem, "shadow", time=time)
+        hit_any = marching & hit.valid() & (hit.t < rem)
+        frag = build_fragment(scene, hit, oo, d, need_uv=True, time=time)
+        mt = small_gather(scene.materials.mask_tex, jnp.maximum(frag.material, 0))
+        from .textures import sample_stochastic
+
+        k = hash_u32(k ^ jnp.uint32(0x9E3779B9 + r))
+        xi2 = jnp.stack([u32_to_float(k), u32_to_float(hash_u32(k))], -1)
+        opac = sample_stochastic(scene.textures, jnp.maximum(mt, 0), frag.uv, xi2)[..., 0]
+        transparent = (mt >= 0) & ((opac <= 0.0) | (opac <= u32_to_float(hash_u32(k ^ jnp.uint32(0x85EBCA6B)))))
+        blocked = blocked | (hit_any & ~transparent)
+        marching = hit_any & transparent
+        # continue just past the transparent surface
+        adv = hit.t + 1e-4 * jnp.maximum(hit.t, 1.0)
+        oo = jnp.where(marching[..., None], oo + adv[..., None] * d, oo)
+        rem = jnp.where(marching, rem - adv, rem)
+    return blocked | marching  # exhausted rounds: conservative
+
+
 def occluded(scene: SceneData, o, d, tmin, tmax, time=None) -> jax.Array:
     """Any-hit visibility query for shadow rays. True = blocked."""
     blocked = jnp.zeros(o.shape[:-1], bool)

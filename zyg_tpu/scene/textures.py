@@ -146,3 +146,29 @@ def sample_nearest(arena: TextureArena, tex_id, uv):
     xi = jnp.mod((uv[..., 0] * w.astype(jnp.float32)).astype(jnp.int32), w)
     yi = jnp.mod((uv[..., 1] * h.astype(jnp.float32)).astype(jnp.int32), h)
     return arena.data[off + yi * w + xi]
+
+
+def sample_stochastic(arena: TextureArena, tex_id, uv, xi):
+    """One-texel stochastic bilinear sample (ref texture.zig: the
+    reference's DEFAULT sampler is LinearStochastic).
+
+    Jittering the sample point by xi in [0,1)^2 and reading the NEAREST
+    texel picks texel x0+1 with probability tx — exactly the bilinear
+    weight — so E[sample] equals sample_bilinear at 1/4 the gathers.
+    tex_id int32[N], uv [N,2], xi [N,2]. Returns [N,4]."""
+    tid = jnp.maximum(tex_id, 0)
+    w = arena.width[tid]
+    h = arena.height[tid]
+    off = arena.offset[tid]
+    x = uv[..., 0] * w.astype(jnp.float32) - 0.5 + xi[..., 0]
+    y = uv[..., 1] * h.astype(jnp.float32) - 0.5 + xi[..., 1]
+    xi_ = jnp.floor(x).astype(jnp.int32)
+    yi_ = jnp.floor(y).astype(jnp.int32)
+    if arena.address is not None:
+        adr = arena.address[tid]
+        xi_ = jnp.where((adr & 1) != 0, jnp.clip(xi_, 0, w - 1), jnp.mod(xi_, w))
+        yi_ = jnp.where((adr & 2) != 0, jnp.clip(yi_, 0, h - 1), jnp.mod(yi_, h))
+    else:
+        xi_ = jnp.mod(xi_, w)
+        yi_ = jnp.mod(yi_, h)
+    return arena.data[off + yi_ * w + xi_]

@@ -89,6 +89,9 @@ class Materials(NamedTuple):
     anisotropy_rotation: jax.Array = None  # float32[M]
     # glass dispersion (ref glass_material.zig abbe; 0 = none)
     abbe: jax.Array = None  # float32[M]
+    # opacity mask texture (ref material_base.zig mask + stochasticOpacity;
+    # -1 = fully opaque)
+    mask_tex: jax.Array = None  # int32[M]
 
     @property
     def count(self) -> int:
