@@ -145,6 +145,22 @@ def sample_light_from(scene: SceneData, light_idx, xi4, u_side=None):
         weight = weight * mat.eval_ies(profile, vm.dot(d, geo_n))[..., None]
     weight = jnp.where(finite[..., None], weight, 0.0)
 
+    # portal lights emit the linked env map through the rect (ref
+    # rectangle.zig sampleFrom: uvw = portalUvw(-dir)): modulate the
+    # uniform emission by the env texture at the outward direction
+    if scene.portals and scene.textures is not None:
+        from ...scene import portal as portal_mod
+        from ...scene.textures import sample_bilinear
+
+        et = small_gather(scene.materials.emission_tex, m)
+        for (l_const, _pp), pd in sorted(scene.portals.items()):
+            m_l = light_idx == l_const
+            uvp = portal_mod.dome_uv_of_dir(pd.dome_rot, -d)
+            tex = sample_bilinear(scene.textures, jnp.maximum(et, 0), uvp)[..., :3]
+            weight = jnp.where(
+                (m_l & (et >= 0))[..., None], weight * tex, weight
+            )
+
     # ---- infinite emitters (ref light.zig sampleFrom for Distant/Dome):
     # emit from a disk on the world bounding sphere toward the scene
     is_distant = shape == int(ShapeType.DISTANT)

@@ -26,6 +26,18 @@ from ..core.gather import small_gather
 DOT_MIN = 0.00001
 
 
+def _present_shapes(light_shapes) -> set:
+    """Shape types present among lights. Keys are strings ("3", "volume",
+    "portal" — jax sorts pytree dict keys, so no mixed int/str); int keys
+    from hand-built test scenes are accepted too."""
+    out = set()
+    for k in (light_shapes if light_shapes is not None else {int(t): True for t in ShapeType}):
+        ks = str(k)
+        if ks.isdigit():
+            out.add(int(ks))
+    return out
+
+
 class LightSample(NamedTuple):
     wi: jax.Array  # [N,3] direction from shading point to light
     pdf: jax.Array  # [N] solid-angle pdf (0 = invalid)
@@ -197,11 +209,7 @@ def sample_light(scene: SceneData, light_idx, p, n, xi, total_sphere=False, xi3=
     by the integrator). Only the light shape types actually present in the
     scene (static scene.light_shapes) are computed.
     """
-    present = set(
-        int(k)
-        for k in (scene.light_shapes or {int(t): True for t in ShapeType}).keys()
-        if not isinstance(k, str)
-    )
+    present = _present_shapes(scene.light_shapes)
     has = lambda t: int(t) in present
 
     prop = small_gather(scene.lights.prop, jnp.clip(light_idx, 0, scene.lights.count - 1))
@@ -489,6 +497,32 @@ def sample_light(scene: SceneData, light_idx, p, n, xi, total_sphere=False, xi3=
         valid = jnp.where(is_vol, vpdf > 0.0, valid)
         vol_mask = is_vol
 
+    # portal lights (ref rectangle.zig samplePortalTo): windowed sample of
+    # the baked portal-image distribution; radiance is the env map at the
+    # sampled direction (uv already mapped to the dome parameterization)
+    if scene.portals and "portal" in (scene.light_shapes or {}):
+        from . import portal as portal_mod
+
+        for (l_const, pp), pd in sorted(scene.portals.items()):
+            prot = scene.prop_rot[pp]
+            ppos = scene.prop_pos[pp]
+            pscale = scene.prop_scale[pp]
+            res = portal_mod.sample_to(pd, prot, ppos, pscale, p, xi)
+            m_l = light_idx == l_const
+            ok = m_l & res["ok"]
+            wi = jnp.where(ok[..., None], res["wi"], wi)
+            pdf = jnp.where(m_l, jnp.where(res["ok"], res["pdf"], 0.0), pdf)
+            light_p = jnp.where(
+                ok[..., None], p + res["t"][..., None] * res["wi"], light_p
+            )
+            light_n = jnp.where(
+                ok[..., None], jnp.broadcast_to(prot[2], p.shape), light_n
+            )
+            t_max = jnp.where(ok, res["t"], t_max)
+            uv = jnp.where(ok[..., None], res["uv"], uv)
+            valid = jnp.where(m_l, res["ok"] & (res["pdf"] > 0.0), valid)
+            infinite = infinite & ~m_l
+
     # facing the shading hemisphere unless translucent; env-sampled lanes
     # sample the full map and rely on f=0 below the horizon (keeps the NEE
     # density equal to the pdf the BSDF-hit MIS weight uses)
@@ -567,11 +601,7 @@ def light_hit_pdf(scene: SceneData, prop, ray_o, ray_d, hit_t, hit_p, hit_n, n_a
     total_sphere: bool[N] — the previous real vertex was a volume scatter
     event, whose NEE samples env lights over the full sphere (ref
     light.zig pdf's total_sphere flag)."""
-    present = set(
-        int(k)
-        for k in (scene.light_shapes or {int(t): True for t in ShapeType}).keys()
-        if not isinstance(k, str)
-    )
+    present = _present_shapes(scene.light_shapes)
     has = lambda t: int(t) in present
 
     pm = jnp.maximum(prop, 0)
@@ -640,6 +670,18 @@ def light_hit_pdf(scene: SceneData, prop, ray_o, ray_d, hit_t, hit_p, hit_n, n_a
         entry = env_mod._entry_of_light(scene.env, li)
         p_env = env_mod.pdf(scene.env, li, rot, ray_d)
         out = jnp.where(entry >= 0, p_env, out)
+    # portal lights: the NEE strategy is the windowed portal-image
+    # distribution — the hit-side MIS pdf must match it exactly
+    # (ref light.zig propPortalPdf)
+    if scene.portals and "portal" in (scene.light_shapes or {}):
+        from . import portal as portal_mod
+
+        for (_l_const, pp), pd in sorted(scene.portals.items()):
+            prot = scene.prop_rot[pp]
+            ppos = scene.prop_pos[pp]
+            pscale = scene.prop_scale[pp]
+            p_port = portal_mod.pdf_to(pd, prot, ppos, pscale, ray_o, ray_d)
+            out = jnp.where(prop == pp, p_port, out)
     # shapes NEE can't sample (cube emitters) contribute pdf 0 -> MIS weight 1
     unsupported = shape == int(ShapeType.CUBE)
     return jnp.where(unsupported, 0.0, out)

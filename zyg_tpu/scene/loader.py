@@ -615,6 +615,10 @@ class SceneBuilder:
         self._curves_by_name: dict[str, int] = {}
         self.point_clouds: list = []
         self._points_by_name: dict[str, int] = {}
+        # pending portal entities (ref scene_loader.zig loadPortal): each
+        # {"trafo": Transformation, "light": raw light index, "prop": created
+        # prop index or None} — resolved in build() once lights are known
+        self.portals: list[dict] = []
         # fallback material id 0
         self._fallback = self.add_material(MaterialDesc(color=np.array([1.0, 0.0, 0.6], np.float32)))
 
@@ -871,6 +875,51 @@ class SceneBuilder:
                 and p.shape == int(ShapeType.CUBE)
             ):
                 p.is_light = True
+        # portal lights (ref scene_loader.zig loadPortal + light_material.zig
+        # preparePortalSampling): the linked env light becomes an invisible
+        # prototype and a portal rect with its material takes over emission
+        portal_pending = []
+        if self.portals:
+            from ..utils.log import warning
+
+            lights_declared = [
+                i for i, p in enumerate(props)
+                if p.is_light and self._light_weight(p) > 0.0
+            ]
+            for pe in self.portals:
+                if pe["prop"] is None:
+                    li = pe["light"]
+                    if li >= len(lights_declared):
+                        warning(f"Portal links undefined light {li}")
+                        pe["prop"] = -1
+                        continue
+                    linked = lights_declared[li]
+                    lp = props[linked]
+                    lm = self.materials[lp.material]
+                    if lp.shape != int(ShapeType.DOME) or lm.emission_tex < 0:
+                        warning(
+                            "Portal link must be an image-mapped dome light"
+                        )
+                        pe["prop"] = -1
+                        continue
+                    lp.is_light = False
+                    lp.visible_camera = False
+                    lp.visible_reflection = False
+                    lp.visible_shadow = False
+                    props.append(
+                        PropDesc(
+                            shape=int(ShapeType.RECTANGLE),
+                            trafo=pe["trafo"],
+                            material=lp.material,
+                            is_light=True,
+                            visible_shadow=False,
+                        )
+                    )
+                    pe["prop"] = len(props) - 1
+                    pe["dome_prop"] = linked
+                if pe["prop"] >= 0:
+                    portal_pending.append(pe)
+
         light_props = [i for i, p in enumerate(props) if p.is_light and self._light_weight(p) > 0.0]
         weights = np.array([self._light_weight(props[i]) for i in light_props], np.float32)
         if len(light_props) == 0:
@@ -883,6 +932,23 @@ class SceneBuilder:
         prop_light = np.full(len(props), -1, np.int32)
         for li, pi in enumerate(light_props):
             prop_light[pi] = li
+
+        # bake the portal-image windowed distributions (host; ref
+        # light_material.zig PortalLuminanceContext)
+        portals_dict = {}
+        for pe in portal_pending:
+            from .portal import build_portal_dist, make_portal_dist
+
+            pp = props[pe["prop"]]
+            dome_rot = np.asarray(props[pe["dome_prop"]].trafo.rotation, np.float64)
+            env_img = np.asarray(
+                self.textures._images[self.materials[pp.material].emission_tex]
+            )
+            lum, _power = build_portal_dist(
+                env_img, dome_rot, np.asarray(pp.trafo.rotation, np.float64)
+            )
+            li = light_props.index(pe["prop"])
+            portals_dict[(li, pe["prop"])] = make_portal_dist(lum, dome_rot)
 
         # world bounding sphere over finite props (emission sampling of
         # infinite lights; conservative prop-sphere union)
@@ -1102,13 +1168,18 @@ class SceneBuilder:
             self.materials[props[i].material].kind == int(MaterialKind.VOLUMETRIC)
             for i in light_props
         ]
+        # NOTE: keys are STRINGS ("3", "volume", "portal") — jax sorts
+        # pytree dict keys and mixed int/str keys are not orderable
+        portal_lis = {li for (li, _pp) in portals_dict}
         light_shapes = {
-            int(props[i].shape): True
-            for i, v in zip(light_props, vol_light)
-            if not v
+            str(int(props[i].shape)): True
+            for li, (i, v) in enumerate(zip(light_props, vol_light))
+            if not v and li not in portal_lis
         }
         if any(vol_light):
             light_shapes["volume"] = True
+        if portals_dict:
+            light_shapes["portal"] = True
         vol_light_dist = {}
         for li, pi in enumerate(light_props):
             m = self.materials[props[pi].material]
@@ -1193,6 +1264,7 @@ class SceneBuilder:
             mat_features=mat_features,
             env=env_sampler,
             vol_light_dist=vol_light_dist or None,
+            portals=portals_dict or None,
             animated_props=animated_props or None,
             world_center=world_center,
             world_radius=world_radius,
@@ -1276,6 +1348,19 @@ def _load_entities(entities, parent: Transformation, local_materials, builder: S
         anim = parse_animation(e.get("animation"), parent, local)
         if etype == "Sky":
             _load_sky(e, builder)
+        elif etype == "Portal":
+            # portal rect linked to an env light (ref scene_loader.zig
+            # loadPortal: "shape" must resolve to a rectangle, "light"
+            # indexes the scene's lights in declaration order)
+            stype = e.get("shape", {}).get("type")
+            if stype not in (None, "Rectangle"):
+                from ..utils.log import warning
+
+                warning(f"Portal shape {stype!r} unsupported (Rectangle only)")
+            else:
+                builder.portals.append(
+                    {"trafo": trafo, "light": int(e.get("light", 0)), "prop": None}
+                )
         elif etype == "Instancer":
             _load_instancer(e, trafo, local_materials, builder, base_dir)
         elif etype in ("Prop", "Light"):

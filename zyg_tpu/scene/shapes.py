@@ -735,6 +735,16 @@ def build_fragment(scene: SceneData, hit: Hit, o, d, need_uv: bool | None = None
         tangent = jnp.where(mask, pt_t, tangent)
         bitangent = jnp.where(mask, pt_b, bitangent)
 
+    # portal-rect hits emit the linked env map: the material's emission
+    # texture must be looked up at the DIRECTION's dome uv, not the rect's
+    # surface uv (ref scene.zig lightPortalUvw -> PortalImpl.portalUvw)
+    if scene.portals:
+        from . import portal as portal_mod
+
+        for (_l_const, pp), pd in sorted(scene.portals.items()):
+            mask = (hit.prop == pp)[..., None]
+            uv = jnp.where(mask, portal_mod.dome_uv_of_dir(pd.dome_rot, d), uv)
+
     return Fragment(p=p, geo_n=geo_n, n=n, t=tangent, b=bitangent, uv=uv, prop=hit.prop, material=material)
 
 

@@ -178,6 +178,10 @@ class SceneData(NamedTuple):
     # heterogeneous volume lights: {light_index: Distribution3D over the
     # density grid} (ref shape_sampler.zig VolumeImpl); keys are static
     vol_light_dist: dict = None
+    # portal lights (ref portal.zig + shape_sampler.zig PortalImpl):
+    # STATIC dict {(light_index, portal_prop): portal.PortalDist} — the
+    # int keys ride the treedef, values are device distributions
+    portals: dict = None
     # motion blur (ref scene/space.zig keyframed transforms): shutter-end
     # transforms for animated props; per-lane time slerps between the two.
     # STATIC dict {prop_index: shape_type} — scenes without motion compile
