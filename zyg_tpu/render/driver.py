@@ -80,6 +80,7 @@ def _render_samples(
                 light_split_threshold=integrator.light_split_threshold,
                 regularize_roughness=integrator.regularize_roughness,
                 collect_aovs=aovs,
+                bsdf_split=getattr(integrator, "bsdf_split", True),
             ),
             clamp_max,
             photon_map=photon_map,
@@ -140,6 +141,7 @@ def _render_samples(
                     light_split_depth=light_split_depth,
                     light_split_threshold=integrator.light_split_threshold,
                     regularize_roughness=integrator.regularize_roughness,
+                    bsdf_split=getattr(integrator, "bsdf_split", True),
                 ),
                 photon_map=photon_map,
                 photon_max_per_cell=photon_max_per_cell,
@@ -174,9 +176,21 @@ class Driver:
     scene: SceneData
     camera: PerspectiveCamera = None  # type: ignore
     layer: int = 0  # stereo layer (camera.num_layers > 1)
+    # multi-device rendering (ref tile_queue.zig work distribution -> here
+    # static pixel sharding over a jax Mesh, parallel/mesh.py). None = auto:
+    # shard when >1 real accelerator devices exist. Tests/dryrun pass True
+    # to exercise the sharded path on the virtual CPU mesh.
+    use_mesh: bool = None  # type: ignore
 
     def __post_init__(self):
         self.camera = self.camera or self.take.cameras[0]
+        devs = jax.devices()
+        auto = len(devs) > 1 and devs[0].platform != "cpu"
+        self._mesh = None
+        if self.use_mesh if self.use_mesh is not None else auto:
+            from ..parallel.mesh import render_mesh
+
+            self._mesh = render_mesh(devs)
         w, h = self.camera.resolution
         ys, xs = np.divmod(np.arange(w * h, dtype=np.int64), w)
         self._pixel_xy = jnp.asarray(np.stack([xs, ys], axis=-1), jnp.int32)
@@ -255,32 +269,70 @@ class Driver:
             by_lanes = max(1, lane_budget // max(w * h, 1))
             self.chunk_size = min(spp, 16, by_lanes)
 
-    def _render_fn(self, num_samples: int, oversample_slack: int = 0):
-        key = (num_samples, oversample_slack)
+    def _render_fn(self, num_samples: int, oversample_slack: int = 0, sharded: bool = False):
+        key = (
+            num_samples, oversample_slack, sharded,
+            getattr(self, "_photon_max_per_cell", 64),
+        )
         fn = self._render_cache.get(key)
         if fn is None:
             # num_expected_samples is clamped to >=2: the ==1 constant folds
             # `pixel_ids*1+s` away and trips a pathological XLA/Mosaic compile
             # (~400s observed on v5e vs ~6s normally). The seeding stays
             # deterministic and collision-free either way.
-            fn = jax.jit(
-                functools.partial(
-                    _render_samples,
-                    num_samples=num_samples,
-                    num_expected_samples=max(self.take.num_samples_per_pixel, 2),
-                    integrator=self.take.integrator,
-                    clamp_max=self._clamp_max,
-                    filter_name=self.take.sensor.filter_name,
-                    filter_radius=int(round(self.take.sensor.filter_radius)),
-                    resolution=self.camera.resolution,
-                    photons_not_only=self.take.photon.not_only_through_specular,
-                    photon_max_per_cell=getattr(self, "_photon_max_per_cell", 64),
-                    light_split_depth=self._light_split_depth,
-                    aovs=self._aov_names,
-                    frame_width=self._frame_width,
-                    oversample_slack=oversample_slack,
-                )
+            base = functools.partial(
+                _render_samples,
+                num_samples=num_samples,
+                num_expected_samples=max(self.take.num_samples_per_pixel, 2),
+                integrator=self.take.integrator,
+                clamp_max=self._clamp_max,
+                filter_name=self.take.sensor.filter_name,
+                filter_radius=int(round(self.take.sensor.filter_radius)),
+                resolution=self.camera.resolution,
+                photons_not_only=self.take.photon.not_only_through_specular,
+                photon_max_per_cell=getattr(self, "_photon_max_per_cell", 64),
+                light_split_depth=self._light_split_depth,
+                aovs=self._aov_names,
+                frame_width=self._frame_width,
+                oversample_slack=oversample_slack,
             )
+            if not sharded:
+                fn = jax.jit(base)
+            else:
+                # pixel sharding over the device mesh: each device runs the
+                # full wavefront on its pixel slice (seeding stays global —
+                # pixel_ids ride the shard); framebuffer/AOVs stay sharded
+                # until resolve, only the ray counters cross devices
+                from jax.sharding import PartitionSpec as P
+                from ..parallel.mesh import shard_map
+
+                mesh = self._mesh
+                axis = mesh.axis_names[0]
+
+                def per_shard(scene, cam, fb, pxy, pid, first_it, photon_map):
+                    fb2, rays, aov_t = base(
+                        scene, cam, fb, pxy, pid, first_it, photon_map=photon_map
+                    )
+                    if isinstance(rays, tuple):
+                        rays = (
+                            jax.lax.psum(rays[0], axis),
+                            jax.lax.pmax(rays[1], axis),
+                        )
+                    else:
+                        rays = jax.lax.psum(rays, axis)
+                    return fb2, rays, aov_t
+
+                smapped = shard_map(
+                    per_shard,
+                    mesh=mesh,
+                    in_specs=(P(), P(), P(axis), P(axis), P(axis), P(), P()),
+                    out_specs=(P(axis), P(), P(axis)),
+                    check_vma=False,
+                )
+                jitted = jax.jit(smapped)
+                fn = lambda scene, cam, fb, pxy, pid, it, photon_map=None: jitted(
+                    scene, cam, fb, pxy, pid, it, photon_map
+                )
             self._render_cache[key] = fn
         return fn
 
@@ -324,14 +376,37 @@ class Driver:
                 max_depth=min(self.take.integrator.max_depth_surface, 8),
                 full_light_path=self.take.num_samples_per_pixel == 0,
             )
-            fn = jax.jit(
-                functools.partial(
-                    lt_mod.trace,
-                    resolution=self.camera.resolution,
-                    settings=settings,
-                )
+            base = functools.partial(
+                lt_mod.trace,
+                resolution=self.camera.resolution,
+                settings=settings,
             )
-            fn = lambda scene, cam, keys, _f=fn: _f(scene, cam, ray_keys=keys)
+            w, h = self.camera.resolution
+            if self._mesh is not None and (w * h) % self._mesh.devices.size == 0:
+                # light paths shard over devices; the splat framebuffers are
+                # psum-merged over ICI (the reference's atomic splats /
+                # photon all_gather analog, ref photon_map.zig:51-82)
+                from jax.sharding import PartitionSpec as P
+                from ..parallel.mesh import shard_map
+
+                axis = self._mesh.axis_names[0]
+
+                def per_shard(scene, cam, keys):
+                    splat, rays = base(scene, cam, ray_keys=keys)
+                    return jax.lax.psum(splat, axis), jax.lax.psum(rays, axis)
+
+                fn = jax.jit(
+                    shard_map(
+                        per_shard,
+                        mesh=self._mesh,
+                        in_specs=(P(), P(), P(axis)),
+                        out_specs=(P(), P()),
+                        check_vma=False,
+                    )
+                )
+            else:
+                jfn = jax.jit(base)
+                fn = lambda scene, cam, keys, _f=jfn: _f(scene, cam, ray_keys=keys)
             self._render_cache["particles"] = fn
         return fn
 
@@ -373,9 +448,15 @@ class Driver:
                 if (self._frame_width > 0 and done + n >= num)
                 else 0
             )
-            fn = self._render_fn(n, slack)
+            ndev = self._mesh.devices.size if self._mesh is not None else 1
             for t0 in range(0, n_pixels, tile):
                 t1 = min(t0 + tile, n_pixels)
+                # shard the tile's pixels across the device mesh when they
+                # divide evenly (ragged final tiles fall back to one device)
+                fn = self._render_fn(
+                    n, slack,
+                    sharded=self._mesh is not None and (t1 - t0) % ndev == 0,
+                )
                 fb_t = Framebuffer(self._fb.value[t0:t1], self._fb.weight[t0:t1])
                 fb_t, rays, aov_t = fn(
                     self.scene,
@@ -440,9 +521,9 @@ class Driver:
         # static jit arg).
         occ = int(jnp.max(jnp.diff(self._photon_map.cell_start)))
         self._photon_max_per_cell = 1 << max(occ - 1, 0).bit_length()
-        self._render_cache = {
-            k: v for k, v in self._render_cache.items() if k == "particles"
-        }
+        # the bound rides the _render_fn cache key: progressive re-bakes
+        # with the same pow2 occupancy reuse the compiled fn (the map
+        # itself is a traced argument, not a capture)
 
     def render_frame(self) -> np.ndarray:
         """Full frame at take spp (+ particle pass). Returns linear [H,W,3]."""
