@@ -29,6 +29,10 @@ class IntegratorSettings:
     caustics: bool = True
     light_split_threshold: float = 0.5**4  # st^4 remap (ref take.zig:263-271)
     regularize_roughness: float = 0.0
+    # BSDF path splitting at glass vertices (ref vertex.zig Pool — always
+    # on in the reference; exposed as a take key here because the wavefront
+    # serialization trades lane time for variance)
+    bsdf_split: bool = True
     aov_value: str = "AO"
     aov_num_samples: int = 1
     aov_radius: float = 1.0
@@ -154,6 +158,7 @@ def _load_integrator(node: dict, take: Take) -> None:
             s.max_depth_surface = int(depth)
         s.caustics = bool(body.get("caustics", True))
         s.regularize_roughness = float(body.get("regularize_roughness", 0.0))
+        s.bsdf_split = bool(body.get("bsdf_split", True))
         ls = body.get("light_sampling", {})
         st = float(np.clip(ls.get("split_threshold", 0.5), 0.0, 1.0))
         s.light_split_threshold = (st * st) * (st * st)

@@ -52,6 +52,16 @@ class PtmisSettings(NamedTuple):
     # subset of ("albedo","depth","material_id","geometric_normal",
     # "shading_normal","roughness","alpha")
     collect_aovs: tuple = ()
+    # BSDF path splitting (ref vertex.zig Pool NumVertices=4 +
+    # glass_sample.zig split): a qualifying glass vertex traces BOTH
+    # fresnel branches (weights f / 1-f) instead of a stochastic pick.
+    # TPU redesign: the wavefront serializes the binary tree per lane —
+    # the untaken branch parks in a one-deep resume slot and the lane
+    # continues it when the current path dies, before regenerating the
+    # next sample (DFS with stack depth 1; splits re-arm after a resume,
+    # so total leaves stay linear in depth). Compiled away when the scene
+    # has no glass or the flag is off.
+    bsdf_split: bool = False
 
 
 # ref helper.zig LightSampling.splitThreshold: full threshold for the first
@@ -145,6 +155,103 @@ class PathState(NamedTuple):
     # sample — the persistent wavefront shuffles lane->pixel per sample
     # (work balancing, see integrate_persistent), so accumulators scatter
     # by pid instead of lane
+    split: dict  # STATIC-keyed BSDF-split resume slot ({} = feature off,
+    # compiles to nothing): the untaken fresnel branch's full restart
+    # state (see _split_init) + "pending" bool[N]
+
+
+def _split_init(n: int) -> dict:
+    """Fresh (empty) one-deep BSDF-split resume slot (ref vertex.zig Pool:
+    the serialized stand-in for the 4-vertex pool)."""
+    z3 = jnp.zeros((n, 3), jnp.float32)
+    z1 = jnp.zeros((n,), jnp.float32)
+    return {
+        "pending": jnp.zeros((n,), bool),
+        # the lane's CURRENT split weight (ref vertex.zig split_weight):
+        # multiplies contributions but NOT throughput, so russian roulette
+        # never sees it (folding it into throughput RR-kills the small
+        # fresnel branch and re-boosts it 1/q — measured 5-12x RMSE blowup
+        # on a glass furnace)
+        "w": jnp.ones((n,), jnp.float32),
+        # parked branch's split weight at resume
+        "w1": jnp.ones((n,), jnp.float32),
+        "o": z3,
+        "d": jnp.concatenate(
+            [jnp.zeros((n, 2), jnp.float32), jnp.ones((n, 1), jnp.float32)], -1
+        ),
+        "thr": z3,
+        "pdf": z1,
+        "singular": jnp.zeros((n,), bool),
+        "medium": vol_mod.stack_empty(n),
+        "depth": jnp.zeros((n,), jnp.int32),
+        "vol_depth": jnp.zeros((n,), jnp.int32),
+        "mis_n": jnp.concatenate(
+            [jnp.zeros((n, 2), jnp.float32), jnp.ones((n, 1), jnp.float32)], -1
+        ),
+        "primary": jnp.zeros((n,), bool),
+        "nee_thr": z1,
+        "reg_alpha": z1,
+        "wavelength": z1,
+        "vol_key": jnp.zeros((n,), jnp.uint32),
+        "run_seed": jnp.zeros((n,), jnp.uint32),
+    }
+
+
+def _split_enabled(scene: SceneData, settings: PtmisSettings) -> bool:
+    """Static: BSDF splitting compiles in only for scenes with glass."""
+    return bool(settings.bsdf_split) and (
+        scene.mat_features is None or "glass" in scene.mat_features
+    )
+
+
+def split_pending(s: PathState):
+    """bool[N]: lanes holding an untraced BSDF-split branch."""
+    if not s.split:
+        return jnp.zeros_like(s.alive)
+    return s.split["pending"]
+
+
+def resume_split(s: PathState) -> PathState:
+    """Revive dead lanes whose resume slot holds the untaken fresnel
+    branch: restore the branch's restart state, keep the sample's result /
+    aov / pid / time (the branch belongs to the SAME sample; its
+    contributions accumulate into the same IValue before the flush)."""
+    sp = s.split
+    if not sp:
+        return s
+    res = (~s.alive) & sp["pending"]
+    rm = res[..., None]
+    a = s.sobol
+    # branch sampler stream: same sample/start_seed, forked run_seed (the
+    # dim counter re-enters at 5, so the next draw rebuilds the buffer)
+    sob = SobolArrays(
+        a.sample, a.start_seed, jnp.where(res, sp["run_seed"], a.run_seed), a.buffer
+    )
+    return s._replace(
+        o=jnp.where(rm, sp["o"], s.o),
+        d=jnp.where(rm, sp["d"], s.d),
+        throughput=jnp.where(rm, sp["thr"], s.throughput),
+        alive=s.alive | res,
+        bxdf_pdf=jnp.where(res, sp["pdf"], s.bxdf_pdf),
+        singular=jnp.where(res, sp["singular"], s.singular),
+        medium=jnp.where(rm, sp["medium"], s.medium),
+        depth=jnp.where(res, sp["depth"], s.depth),
+        vol_depth=jnp.where(res, sp["vol_depth"], s.vol_depth),
+        sobol=sob,
+        vol_key=jnp.where(res, sp["vol_key"], s.vol_key),
+        mis_o=jnp.where(rm, sp["o"], s.mis_o),
+        mis_n=jnp.where(rm, sp["mis_n"], s.mis_n),
+        from_volume=jnp.where(res, False, s.from_volume),
+        primary_chain=jnp.where(res, sp["primary"], s.primary_chain),
+        nee_thr=jnp.where(res, sp["nee_thr"], s.nee_thr),
+        reg_alpha=jnp.where(res, sp["reg_alpha"], s.reg_alpha),
+        wavelength=jnp.where(res, sp["wavelength"], s.wavelength),
+        split={
+            **sp,
+            "pending": sp["pending"] & ~res,
+            "w": jnp.where(res, sp["w1"], sp["w"]),
+        },
+    )
 
 
 def _cp_offset(k: int):
@@ -191,13 +298,20 @@ def integrate(scene: SceneData, o, d, sobol: SobolSampler, settings: PtmisSettin
         aov=aov_init(settings.collect_aovs, n),
         wavelength=jnp.zeros((n,), jnp.float32),
         pid=jnp.arange(n, dtype=jnp.uint32),
+        split=_split_init(n) if _split_enabled(scene, settings) else {},
     )
 
     def cond(s: PathState):
-        return jnp.any(s.alive)
+        # parked split branches are pending work even when every lane died
+        return jnp.any(s.alive | split_pending(s))
 
     body = _make_body(scene, settings, photon_map, photon_max_per_cell)
-    final = jax.lax.while_loop(cond, body, state)
+
+    def body2(s: PathState):
+        # dead lanes holding a split branch resume it before the bounce
+        return body(resume_split(s))
+
+    final = jax.lax.while_loop(cond, body2, state)
     return final.result, SobolSampler(final.sobol, dim=5), final.rays
 
 
@@ -207,10 +321,14 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
     # static: scenes without glass/volumetric materials compile the whole
     # medium-transport path away (measured ~8% of the Cornell bounce)
     has_media = scene.mat_features is None or "media" in scene.mat_features
+    split_on = _split_enabled(scene, settings)
 
     def body(s: PathState):
         smp = SobolSampler(s.sobol, dim=5)
         rays = s.rays + jnp.sum(s.alive, dtype=jnp.int32)
+        # BSDF-split weight: contributions scale by it, throughput does NOT
+        # (ref pathtracer_mis.zig:59 split_throughput = throughput * split_weight)
+        sw = s.split["w"][..., None] if split_on else jnp.float32(1.0)
 
         primary = s.depth == 0
         hit = shapes.intersect_scene(
@@ -407,14 +525,16 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
             mis_w = jnp.where(s.singular, 1.0, jnp.where(is_light, 0.0, 1.0))
         else:
             mis_w = jnp.ones_like(hit.t)
-        contrib = jnp.where(s.alive[..., None], throughput0 * mis_w[..., None] * emission, 0.0)
+        contrib = jnp.where(
+            s.alive[..., None], sw * throughput0 * mis_w[..., None] * emission, 0.0
+        )
         result = s.result.add(
             contrib, s.depth, 2, primary & jnp.ones_like(s.alive), s.singular
         )
         if has_media and ev.emission is not None:
             # volume emission collected along this segment (ref
             # pathtracer_mis: Absorb-event li added unweighted)
-            vol_c = jnp.where(s.alive[..., None], s.throughput * ev.emission, 0.0)
+            vol_c = jnp.where(s.alive[..., None], sw * s.throughput * ev.emission, 0.0)
             result = result.add(
                 vol_c, s.depth, 2, primary & jnp.ones_like(s.alive), s.singular
             )
@@ -438,7 +558,7 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
             )
             result = IValue(
                 result.emission,
-                result.direct + jnp.where(gather_ok[..., None], throughput0 * ph_li, 0.0),
+                result.direct + jnp.where(gather_ok[..., None], sw * throughput0 * ph_li, 0.0),
                 result.indirect,
             )
 
@@ -453,6 +573,34 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
         r = smp.sample_1d()
         throughput, kill = mat.russian_roulette(throughput0, r)
         cont = cont & ~kill
+
+        # ---- BSDF path-splitting qualification (ref vertex.zig Pool
+        # maxSplits: primary chains keep the full budget, secondary
+        # vertices split while depth < NumVertices-1). Decided BEFORE NEE
+        # so the NEE-side MIS pdf drops the fresnel selection factor for
+        # exactly the lanes whose BSDF sample is deterministic.
+        if split_on:
+            from ...scene.types import MaterialKind as _MK
+
+            k_mat = params["kind"]
+            same_side_v = vm.dot(wo, frag.geo_n) > 0.0
+            eta_i_v = jnp.where(same_side_v, params["ior_outside"], params["ior"])
+            eta_t_v = jnp.where(same_side_v, params["ior"], 1.0)
+            rough_v = params["alpha"] > mat.MIN_ALPHA * 1.001
+            will_split = (
+                cont
+                & (k_mat == int(_MK.GLASS))
+                & ~s.split["pending"]
+                & (s.primary_chain | (s.depth < 3))
+                & (jnp.abs(eta_i_v - eta_t_v) >= 1e-6)  # matched = null event
+                & ~scatter
+                & ~false_if
+                # the rough refract branch only exists from outside
+                # (ref roughSample: split requires same_side)
+                & (same_side_v | ~rough_v)
+            )
+        else:
+            will_split = None
 
         # ---- NEE (ref sampleLights/evaluateLight)
         if has_lights:
@@ -483,7 +631,8 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
                     ),
                 )
                 f_srf, bpdf_srf = mat.eval_bsdf(
-                    params, wo, lsmp.wi, frag.n, frag.geo_n, t=frag.t, b=frag.b
+                    params, wo, lsmp.wi, frag.n, frag.geo_n, t=frag.t, b=frag.b,
+                    glass_split=will_split,
                 )
                 if has_media:
                     ph = mat.hg_phase(vm.dot(s.d, lsmp.wi), g_med)
@@ -542,7 +691,7 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
                     )
                 else:
                     shadow_tr = jnp.float32(1.0)
-                base = throughput * radiance * f * w[..., None] * shadow_tr
+                base = sw * throughput * radiance * f * w[..., None] * shadow_tr
                 contrib = jnp.where((nee_active & ~blocked)[..., None], base, 0.0)
                 # unoccluded variant for shadow catchers (ref sampleLights
                 # occluded/unoccluded duals); same estimator minus the
@@ -629,6 +778,11 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
         bs = mat.sample_bsdf(
             params, wo, frag.n, frag.geo_n, s3, t=frag.t, b=frag.b,
             wavelength=s.wavelength,
+            glass_branch=(
+                jnp.where(will_split, 0, -1).astype(jnp.int32)
+                if split_on
+                else None
+            ),
         )
         if has_media:
             # false interfaces override the BSDF with a straight-through
@@ -670,7 +824,11 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
             new_singular = jnp.where(passthrough, s.singular, bs.singular)
             new_from_volume = jnp.zeros_like(s.alive)
         cont = cont & (bs.valid | scatter)
+        thr_vertex = throughput  # pre-BSDF (both split children restart here)
         throughput = throughput * bsdf_weight
+        # the continued (reflection) child carries split weight f, the parked
+        # refraction child 1-f — applied to split["w"], NOT throughput (see
+        # _split_init: RR must not see the branch weight)
         # next vertex's regularization driver: volume scatters count as
         # fully rough, null interfaces keep the previous value
         # (ref pathtracer_mis.zig:147 — only non-Straight events update)
@@ -714,6 +872,69 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
             new_depth = jnp.where(cont & ~passthrough, s.depth + 1, s.depth)
             new_vol_depth = jnp.where(cont & passthrough, s.vol_depth + 1, s.vol_depth)
 
+        # ---- park the untaken fresnel branch in the resume slot (ref
+        # vertex.zig Pool.new; serialized per lane — see PtmisSettings)
+        if split_on:
+            bs1 = mat.sample_bsdf(
+                params, wo, frag.n, frag.geo_n, s3, t=frag.t, b=frag.b,
+                wavelength=s.wavelength,
+                glass_branch=jnp.where(will_split, 1, -1).astype(jnp.int32),
+            )
+            fres = bs.fresnel
+            do_split = will_split & ((1.0 - fres) > 1e-6) & cont & bs1.valid
+            o1 = shapes.offset_ray(
+                frag.p,
+                jnp.where(
+                    vm.dot(bs1.wi, frag.geo_n)[..., None] >= 0.0,
+                    frag.geo_n, -frag.geo_n,
+                ),
+            )
+            thr1 = thr_vertex * bs1.weight
+            if has_media:
+                entering1 = vm.dot(wo, frag.geo_n) > 0.0
+                crossing1 = do_split & bs1.transmission & is_medium_b
+                medium1 = vol_mod.stack_update(
+                    s.medium, frag.prop, entering1, crossing1
+                )
+            else:
+                medium1 = s.medium
+            wl1 = bs1.wavelength if bs1.wavelength is not None else s.wavelength
+            sp = s.split
+            dm = do_split[..., None]
+            sw1 = sw[..., 0]
+            new_split = {
+                "pending": do_split | sp["pending"],
+                "w": jnp.where(will_split, sw1 * fres, sw1),
+                "w1": jnp.where(do_split, sw1 * (1.0 - fres), sp["w1"]),
+                "o": jnp.where(dm, o1, sp["o"]),
+                "d": jnp.where(dm, bs1.wi, sp["d"]),
+                "thr": jnp.where(dm, thr1, sp["thr"]),
+                "pdf": jnp.where(do_split, bs1.pdf, sp["pdf"]),
+                "singular": jnp.where(do_split, bs1.singular, sp["singular"]),
+                "medium": jnp.where(dm, medium1, sp["medium"]),
+                "depth": jnp.where(do_split, s.depth + 1, sp["depth"]),
+                "vol_depth": jnp.where(do_split, s.vol_depth, sp["vol_depth"]),
+                "mis_n": jnp.where(dm, frag.n, sp["mis_n"]),
+                "primary": jnp.where(
+                    do_split, s.primary_chain & bs1.singular, sp["primary"]
+                ),
+                "nee_thr": jnp.where(do_split, new_nee_thr, sp["nee_thr"]),
+                "reg_alpha": jnp.where(do_split, bs1.reg_alpha, sp["reg_alpha"]),
+                "wavelength": jnp.where(do_split, wl1, sp["wavelength"]),
+                "vol_key": jnp.where(
+                    do_split,
+                    hash_u32(s.vol_key ^ jnp.uint32(0x85EBCA6B)),
+                    sp["vol_key"],
+                ),
+                "run_seed": jnp.where(
+                    do_split,
+                    hash_u32(smp.arrays.run_seed ^ jnp.uint32(0x9E3779B9)),
+                    sp["run_seed"],
+                ),
+            }
+        else:
+            new_split = s.split
+
         return PathState(
             o=jnp.where(cont[..., None], new_o, s.o),
             d=jnp.where(cont[..., None], wi, s.d),
@@ -740,6 +961,7 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
                 bs.wavelength if bs.wavelength is not None else s.wavelength
             ),
             pid=s.pid,
+            split=new_split,
         )
 
     return body
@@ -869,6 +1091,7 @@ def integrate_persistent(
         aov=aov_init(settings.collect_aovs, n),
         wavelength=jnp.zeros((n,), jnp.float32),
         pid=lanes,
+        split=_split_init(n) if _split_enabled(scene, settings) else {},
     )
     # [4*kmax, n] (RGB + count planes): lane dim LAST — an [n, K, 4]
     # layout pads 42x under TPU tiling (T(8,128) on the trailing dims)
@@ -892,10 +1115,12 @@ def integrate_persistent(
 
     def cond(ps: PersistentState):
         can_start = (ps.issued < target) & jnp.any(ps.done < kmax)
-        return jnp.any(ps.path.alive) | can_start
+        return jnp.any(ps.path.alive | split_pending(ps.path)) | can_start
 
     def step(ps: PersistentState):
-        s = ps.path
+        # ---- dead lanes with a parked BSDF-split branch resume it FIRST
+        # (same sample: the flush below must not fire between branches)
+        s = resume_split(ps.path)
         # ---- regenerate finished lanes with the NEXT sample, shuffled
         # onto pixel (lane + iteration*stride) mod n
         regen = (~s.alive) & (ps.done < kmax) & (ps.issued < target)
@@ -952,14 +1177,22 @@ def integrate_persistent(
             aov=s.aov,  # accumulators persist across regenerated samples
             wavelength=jnp.where(regen, 0.0, s.wavelength),
             pid=jnp.where(regen, pid_new, s.pid),
+            # resume slots are empty on regenerating lanes (pending lanes
+            # were revived above); the lane split weight restarts at 1
+            split=(
+                {**s.split, "w": jnp.where(regen, 1.0, s.split["w"])}
+                if s.split
+                else s.split
+            ),
         )
         done = ps.done + regen.astype(jnp.int32)
 
         was_alive = s.alive
         s = body(s)
 
-        # ---- flush samples that finished THIS iteration (clamped once)
-        finished = was_alive & ~s.alive
+        # ---- flush samples that finished THIS iteration (clamped once);
+        # a lane whose path died but parked a split branch is NOT finished
+        finished = was_alive & ~s.alive & ~split_pending(s)
         fin_m = finished[..., None]
         acc_add = jnp.where(fin_m, clamp_cur(s.result), 0.0)
         if shuffled:

@@ -108,6 +108,9 @@ class BsdfSample(NamedTuple):
     # path-space regularization of the next vertex
     wavelength: jax.Array = None  # [N] hero wavelength in nm (0 = spectral
     # path not yet pinned; ref probe.zig wavelength, glass dispersion)
+    fresnel: jax.Array = None  # [N] dielectric fresnel F at the sampled
+    # microfacet/normal for GLASS lanes (garbage elsewhere) — the BSDF
+    # path-splitting weights f / (1-f) (ref glass_sample.zig split_weight)
 
 
 def ior_to_f0(ior, ior_outside):
@@ -149,9 +152,14 @@ def gather(materials: Materials, mat_id, medium_ior=None, textures=None, uv=None
         roughness = jnp.where(
             rt >= 0, roughness * samp(textures, rt, uv)[..., 0], roughness
         )
+        # emission maps stay BILINEAR even under stochastic filtering: a
+        # jittered one-texel read turns an HDR sun texel into rare
+        # max-magnitude spikes on the MIS'd BSDF-hit estimator — measured
+        # 15% low at 64 spp on a 200:1 env (test_env_sampling); the
+        # footprint-smoothed value converges at production sample counts
         et = small_gather(materials.emission_tex, m)
         emission_scale = jnp.where(
-            (et >= 0)[..., None], samp(textures, et, uv)[..., :3], 1.0
+            (et >= 0)[..., None], sample_bilinear(textures, et, uv)[..., :3], 1.0
         )
     roughness = jnp.maximum(roughness, MIN_ROUGHNESS)
     alpha = roughness * roughness
@@ -605,10 +613,15 @@ def _smith_g1(mu, a2):
     return (2.0 * mu) / (mu + jnp.sqrt(a2 + (1.0 - a2) * mu * mu))
 
 
-def _glass_rough_sample(params, wo, n, geo_n, p, xi):
+def _glass_rough_sample(params, wo, n, geo_n, p, xi, forced=None):
     """Rough dielectric via VNDF microfacet sampling (ref glass_sample.zig
     roughSample): sample h ~ VNDF, pick reflect/refract by the microfacet
-    fresnel; the VNDF estimator weight is G2/G1(wo) for both events."""
+    fresnel; the VNDF estimator weight is G2/G1(wo) for both events.
+
+    forced: bool[N] — the reflect/refract choice was made DETERMINISTICALLY
+    by the caller (BSDF path splitting, via p in {-1, 2}); the fresnel
+    selection factor is dropped from the pdf and the caller applies
+    f / (1-f) as the child's split weight (ref roughSample split path)."""
     same_side = vm.dot(wo, geo_n) > 0.0
     ns = jnp.where(same_side[..., None], n, -n)
     eta_i = jnp.where(same_side, params["ior_outside"], params["ior"])
@@ -664,16 +677,21 @@ def _glass_rough_sample(params, wo, n, geo_n, p, xi):
         (eta_t * eta_t * wi_dot_h) / jnp.maximum(denom, 1e-12),
     )
     sel_pdf = jnp.where(reflect_it, f, 1.0 - f)
+    if forced is not None:
+        sel_pdf = jnp.where(forced, 1.0, sel_pdf)
     pdf = pdf_h * jac * sel_pdf
     transmission = ~reflect_it
-    return wi, weight, pdf, transmission
+    return wi, weight, pdf, transmission, f
 
 
-def _glass_rough_eval(params, wo, wi, n, geo_n):
+def _glass_rough_eval(params, wo, wi, n, geo_n, split=None):
     """Evaluate the rough dielectric at arbitrary wi for NEE/MIS (Walter 2007
     microfacet BTDF/BRDF; ref glass_sample.zig canEvaluate=true for the rough
     path). Returns (f*|cos| [N,3], pdf [N]) consistent with the VNDF
-    estimator of _glass_rough_sample (f*cos/pdf == G2/G1 * ms_boost)."""
+    estimator of _glass_rough_sample (f*cos/pdf == G2/G1 * ms_boost).
+
+    split: None or bool[N] — lanes whose BSDF sample will SPLIT at this
+    vertex report the no-fresnel-selection pdf (see comment below)."""
     same_side = vm.dot(wo, geo_n) > 0.0
     ns = jnp.where(same_side[..., None], n, -n)
     eta_i = jnp.where(same_side, params["ior_outside"], params["ior"])
@@ -718,9 +736,15 @@ def _glass_rough_eval(params, wo, wi, n, geo_n):
     ms_boost = 1.0 / jnp.maximum(eval_e_m(alpha, n_dot_wo), 0.5)
 
     pdf_h = g1 * wo_dot_h * d_ggx / jnp.maximum(n_dot_wo, 1e-6)
+    # BSDF path splitting drops the fresnel selection factor from the pdf
+    # on BOTH the sample and eval sides (ref glass_sample.zig evaluate:
+    # split_pdf = if (split) 1.0 else gg.f[0]) — MIS weights must pair the
+    # same density convention or they stop summing to 1
+    sel_r = f if split is None else jnp.where(split, 1.0, f)
+    sel_t = (1.0 - f) if split is None else jnp.where(split, 1.0, 1.0 - f)
     # reflection branch
     f_refl = f * d_ggx * g2 / jnp.maximum(4.0 * n_dot_wo, 1e-6)
-    pdf_refl = pdf_h * f / jnp.maximum(4.0 * wo_dot_h, 1e-6)
+    pdf_refl = pdf_h * sel_r / jnp.maximum(4.0 * wo_dot_h, 1e-6)
     # transmission branch (Walter eq. 21 * |cos_i|, and eq. 17 jacobian)
     awih = jnp.abs(wi_dot_h)
     denom = jnp.square(eta_i * wo_dot_h - eta_t * awih)
@@ -729,7 +753,7 @@ def _glass_rough_eval(params, wo, wi, n, geo_n):
         / jnp.maximum(n_dot_wo * denom, 1e-10)
     )
     jac_t = (eta_t * eta_t * awih) / jnp.maximum(denom, 1e-12)
-    pdf_trans = pdf_h * (1.0 - f) * jac_t
+    pdf_trans = pdf_h * sel_t * jac_t
 
     trans_ok = ~reflecting & (wi_dot_h < 0.0) & ~tir
     valid = geom_ok & (reflecting | trans_ok)
@@ -772,15 +796,23 @@ def _glass_sample(params, wo, n, geo_n, p):
     wi = jnp.where(matched[..., None], -wo, wi)
     weight = jnp.where(matched[..., None], 1.0, weight)
     transmission = (~reflect_it) | matched
-    return wi, weight, transmission
+    return wi, weight, transmission, f
 
 
-def sample_bsdf(params, wo, n, geo_n, s3, t=None, b=None, wavelength=None) -> BsdfSample:
+def sample_bsdf(
+    params, wo, n, geo_n, s3, t=None, b=None, wavelength=None, glass_branch=None
+) -> BsdfSample:
     """Sample the BSDF. s3: float[N,3] uniforms (lobe select + 2D).
 
     Scene-absent material kinds compile to nothing: glass sampling (two VNDF
     chains) and the volumetric null-interface path are gated on the static
-    feature dict (loader mat_features) — measured ~10% of the Cornell bounce."""
+    feature dict (loader mat_features) — measured ~10% of the Cornell bounce.
+
+    glass_branch: None or int32[N] — BSDF path splitting (ref vertex.zig
+    Pool / glass_sample.zig split): -1 = stochastic fresnel choice (normal),
+    0 = force the reflection branch, 1 = force refraction. Forced lanes
+    return the branch value WITHOUT the fresnel selection factor in weight
+    or pdf; the integrator multiplies the child's split weight f / (1-f)."""
     feats = params["_features"]
     kind = params["kind"]
     p = s3[..., 0]
@@ -799,6 +831,7 @@ def sample_bsdf(params, wo, n, geo_n, s3, t=None, b=None, wavelength=None) -> Bs
         if wavelength is not None
         else jnp.zeros(wo.shape[:-1], jnp.float32)
     )
+    fres_out = None
     if "glass" in feats:
         gparams = params
         spec_w = None
@@ -826,8 +859,20 @@ def sample_bsdf(params, wo, n, geo_n, s3, t=None, b=None, wavelength=None) -> Bs
             gparams = dict(params)
             gparams["ior"] = ior_eff
             wl_out = jnp.where(dispersive, wl_new, wl_out)
-        gl_wi, gl_w, gl_trans = _glass_sample(gparams, wo, n, geo_n, p)
-        gr_wi, gr_w, gr_pdf, gr_trans = _glass_rough_sample(gparams, wo, n, geo_n, p, xi)
+        if glass_branch is not None:
+            # forcing rides the fresnel-comparison uniform: p=-1 always
+            # reflects (p <= f, f > 0), p=2 always refracts (p > f)
+            forced = glass_branch >= 0
+            p_g = jnp.where(
+                glass_branch == 0, -1.0, jnp.where(glass_branch == 1, 2.0, p)
+            )
+        else:
+            forced = None
+            p_g = p
+        gl_wi, gl_w, gl_trans, gl_f = _glass_sample(gparams, wo, n, geo_n, p_g)
+        gr_wi, gr_w, gr_pdf, gr_trans, gr_f = _glass_rough_sample(
+            gparams, wo, n, geo_n, p_g, xi, forced=forced
+        )
         if spec_w is not None:
             gl_w = gl_w * spec_w
             gr_w = gr_w * spec_w
@@ -837,7 +882,9 @@ def sample_bsdf(params, wo, n, geo_n, s3, t=None, b=None, wavelength=None) -> Bs
         gl_w = jnp.where(rough[..., None], gr_w, gl_w)
         gl_pdf = jnp.where(rough, gr_pdf, 1.0)
         gl_trans = jnp.where(rough, gr_trans, gl_trans)
+        gl_fres = jnp.where(rough, gr_f, gl_f)
 
+        fres_out = gl_fres
         wi = jnp.where(is_glass[..., None], gl_wi, wi)
         weight = jnp.where(is_glass[..., None], gl_w, weight)
         pdf = jnp.where(is_glass, gl_pdf, pdf)
@@ -881,11 +928,16 @@ def sample_bsdf(params, wo, n, geo_n, s3, t=None, b=None, wavelength=None) -> Bs
         passthrough=passthrough,
         reg_alpha=reg_a,
         wavelength=wl_out,
+        fresnel=fres_out,
     )
 
 
-def eval_bsdf(params, wo, wi, n, geo_n, t=None, b=None):
-    """Evaluate f(wo,wi)*|cos| and pdf for NEE/MIS."""
+def eval_bsdf(params, wo, wi, n, geo_n, t=None, b=None, glass_split=None):
+    """Evaluate f(wo,wi)*|cos| and pdf for NEE/MIS.
+
+    glass_split: None or bool[N] — lanes that will take BOTH fresnel
+    branches at this vertex (BSDF path splitting); their MIS pdf drops the
+    selection factor to stay consistent with the forced-branch sampler."""
     kind = params["kind"]
     f, pdf = _substitute_eval(params, wo, wi, n, geo_n, t, b)
     is_sub = kind == int(MaterialKind.SUBSTITUTE)
@@ -893,7 +945,7 @@ def eval_bsdf(params, wo, wi, n, geo_n, t=None, b=None):
     pdf = jnp.where(is_sub, pdf, 0.0)
     if "rough_glass" in params["_features"]:
         gl = (kind == int(MaterialKind.GLASS)) & (params["alpha"] > MIN_ALPHA * 1.001)
-        f_gl, pdf_gl = _glass_rough_eval(params, wo, wi, n, geo_n)
+        f_gl, pdf_gl = _glass_rough_eval(params, wo, wi, n, geo_n, split=glass_split)
         f = jnp.where(gl[..., None], f_gl, f)
         pdf = jnp.where(gl, pdf_gl, pdf)
     if "hair" in params["_features"] and t is not None:
