@@ -42,6 +42,14 @@ def register():
         def render(self, depsgraph):
             engine.draw(self, depsgraph)
 
+        # viewport preview: progressive refinement over the su_start_frame /
+        # su_render_iterations API (ref __init__.py:79-90 — stubs there)
+        def view_update(self, context, depsgraph):
+            engine.view_update(self, context, depsgraph)
+
+        def view_draw(self, context, depsgraph):
+            engine.view_draw(self, context, depsgraph)
+
     global _engine_cls
     _engine_cls = ZygTpuRenderEngine
     bpy.utils.register_class(ZygTpuRenderEngine)

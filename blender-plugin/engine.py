@@ -28,7 +28,13 @@ def _lib():
     global _LIB
     if _LIB is None:
         here = os.path.dirname(__file__)
-        _LIB = ctypes.CDLL(os.path.join(here, "libzyg.so"))
+        path = os.path.join(here, "libzyg.so")
+        if not os.path.exists(path):
+            # dev fallback: build the shim from the in-tree sources
+            from zyg_tpu.capi.shim import build_shim
+
+            path = build_shim()
+        _LIB = ctypes.CDLL(path)
         _LIB.su_camera_set_fov.argtypes = [ctypes.c_float]
     return _LIB
 
@@ -46,13 +52,21 @@ def free(engine):
         engine.session = None
 
 
-def _matrix_rows(mw, pre_scale=None):
+def _matrix_rows(mw, pre_scale=None, camera=False):
     """Blender world matrix (column-major mathutils) → row-major float16
-    with rows-as-axes, the layout su_prop_set_transformation expects."""
+    with rows-as-axes, the layout su_prop_set_transformation expects.
+
+    camera=True applies the Blender→zyg camera convention: Blender
+    cameras look down local -Z with +Y up; zyg looks down +Z with a
+    y-down raster — a 180° rotation about local X (negate the Y and Z
+    axis rows)."""
     m = np.eye(4, dtype=np.float32)
     for r in range(3):
         # mathutils matrices index [row][col]; zyg wants axis rows
         m[r, :3] = [mw[0][r], mw[1][r], mw[2][r]]
+    if camera:
+        m[1, :3] *= -1.0
+        m[2, :3] *= -1.0
     if pre_scale is not None:
         m[:3, :3] *= np.asarray(pre_scale, np.float32)[:, None]
     m[3, :3] = [mw[0][3], mw[1][3], mw[2][3]]
@@ -193,7 +207,7 @@ def sync(engine, data, depsgraph):
             zyg.su_light_create(prop)
         elif obj.type == "CAMERA":
             zyg.su_camera_set_fov(ctypes.c_float(obj.data.angle))
-            trafo = _matrix_rows(inst.matrix_world)
+            trafo = _matrix_rows(inst.matrix_world, camera=True)
             # the camera is a prop (su_perspective_camera_create's handle)
             zyg.su_prop_set_transformation(engine.camera_prop, _f32p(trafo.ravel()))
 
@@ -210,3 +224,83 @@ def draw(engine, depsgraph):
     result = engine.begin_result(0, 0, size_x, size_y)
     result.layers[0].passes["Combined"].rect = buf
     engine.end_result(result)
+
+
+# ---------------------------------------------------------------------------
+# viewport preview (ref __init__.py view_update/view_draw — stubs in the
+# reference; implemented here over the progressive su_start_frame /
+# su_render_iterations API, the same loop it.py and capi-test drive)
+# ---------------------------------------------------------------------------
+
+VIEWPORT_MAX_SAMPLES = 16
+VIEWPORT_STEP = 2
+
+
+def _viewport_camera(engine, context):
+    """Aim the session camera at the viewport eye (region_data view
+    matrix inverted = camera→world) and match the viewport lens."""
+    zyg = _lib()
+    rv3d = context.region_data
+    space = context.space_data
+    vm = rv3d.view_matrix.inverted()
+    trafo = _matrix_rows(vm, camera=True)
+    zyg.su_prop_set_transformation(engine.camera_prop, _f32p(trafo.ravel()))
+    # Blender viewport: fov from the space lens over a 72mm film back
+    lens = float(getattr(space, "lens", 50.0))
+    fov = 2.0 * math.atan(36.0 / lens)
+    zyg.su_camera_set_fov(ctypes.c_float(fov))
+
+
+def view_update(engine, context, depsgraph):
+    """Viewport sync: (re)export the scene at region resolution and
+    restart the progressive frame."""
+    region = context.region
+    # keep the preview cheap: cap the long edge, preserve aspect
+    w, h = int(region.width), int(region.height)
+    cap = 640
+    if max(w, h) > cap:
+        s = cap / float(max(w, h))
+        w, h = max(int(w * s), 8), max(int(h * s), 8)
+    engine.view_size = (w, h)
+
+    zyg = _lib()
+    if not getattr(engine, "session", None):
+        zyg.su_init()
+        engine.session = 1
+    sync(engine, None, depsgraph)
+    # sync() configured the final-render camera; retarget to the viewport
+    zyg.su_sampler_create(VIEWPORT_MAX_SAMPLES)
+    engine.camera_prop = zyg.su_perspective_camera_create(w, h)
+    _viewport_camera(engine, context)
+    zyg.su_start_frame(0)
+    engine.view_samples = 0
+
+
+def view_draw(engine, context, depsgraph):
+    """Progressive viewport refinement: a few iterations per redraw,
+    blitted with the gpu module; tag_redraw keeps the loop going until
+    the sample budget is reached."""
+    zyg = _lib()
+    if not getattr(engine, "session", None) or not hasattr(engine, "view_size"):
+        return
+    w, h = engine.view_size
+    if engine.view_samples < VIEWPORT_MAX_SAMPLES:
+        _viewport_camera(engine, context)
+        zyg.su_render_iterations(VIEWPORT_STEP)
+        engine.view_samples += VIEWPORT_STEP
+
+    buf = np.empty((w * h, 4), np.float32)
+    zyg.su_resolve_frame_to_buffer(0xFFFFFFFF, w, h, _f32p(buf))
+
+    import gpu
+    from gpu_extras.presets import draw_texture_2d
+
+    pixels = gpu.types.Buffer("FLOAT", w * h * 4, buf.ravel())
+    tex = gpu.types.GPUTexture((w, h), format="RGBA16F", data=pixels)
+    region = context.region
+    gpu.state.blend_set("ALPHA_PREMULT")
+    draw_texture_2d(tex, (0, 0), region.width, region.height)
+    gpu.state.blend_set("NONE")
+
+    if engine.view_samples < VIEWPORT_MAX_SAMPLES:
+        engine.tag_redraw()
