@@ -236,3 +236,66 @@ class TestLightTreeSplitting:
         assert est_t.var() < 0.5 * est_c.var(), (
             f"tree var {est_t.var():.4f} vs cdf var {est_c.var():.4f}"
         )
+
+
+class TestManyLights:
+    """1000+ light scalability (VERDICT r2 weak item 4): the vectorized
+    SAOH build must finish in seconds and keep select/pdf consistency."""
+
+    def _tree(self, n=1024):
+        import time
+
+        from zyg_tpu.scene.light_tree import build_light_tree
+
+        rng = np.random.default_rng(11)
+        centers = rng.uniform(-40, 40, (n, 3)).astype(np.float32)
+        radii = rng.uniform(0.05, 0.8, n).astype(np.float32)
+        dirs = rng.standard_normal((n, 3))
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        cones = np.concatenate(
+            [dirs, rng.uniform(-0.2, 0.9, (n, 1))], -1
+        ).astype(np.float32)
+        powers = rng.uniform(0.05, 20.0, n).astype(np.float32)
+        t0 = time.time()
+        tree = build_light_tree(
+            centers, radii, cones, powers,
+            np.zeros(n, bool), np.ones(n, bool),
+        )
+        return tree, time.time() - t0, powers
+
+    def test_build_scales(self):
+        tree, dt, powers = self._tree(1024)
+        assert dt < 30.0, f"1024-light build took {dt:.1f}s"
+        assert tree.num_finite == 1024
+        np.testing.assert_allclose(
+            float(tree.power[0]), powers.sum(), rtol=1e-3
+        )
+        # every light reachable via its leaf, parents chain to the root
+        leaf = np.asarray(tree.light_leaf)
+        parent = np.asarray(tree.parent)
+        assert (leaf >= 0).all()
+        for li in (0, 511, 1023):
+            node, hops = int(leaf[li]), 0
+            while node != 0:
+                node = int(parent[node])
+                hops += 1
+                assert hops <= tree.depth + 1
+        assert tree.depth < 64
+
+    def test_select_pdf_consistent_at_scale(self):
+        """Descent probability == upward pdf walk for sampled leaves."""
+        from zyg_tpu.scene import light_tree as lt_mod
+
+        tree, _, _ = self._tree(1024)
+        n = 4096
+        rng = np.random.default_rng(3)
+        p = jnp.asarray(rng.uniform(-40, 40, (n, 3)), jnp.float32)
+        nv = rng.standard_normal((n, 3))
+        nv /= np.linalg.norm(nv, axis=-1, keepdims=True)
+        nrm = jnp.asarray(nv, jnp.float32)
+        u = jnp.asarray(rng.uniform(0, 1, n), jnp.float32)
+        idx, pdf = lt_mod.select(tree, p, nrm, jnp.zeros((n,), bool), u)
+        pdf_up = lt_mod.pdf(tree, p, nrm, jnp.zeros((n,), bool), idx)
+        np.testing.assert_allclose(
+            np.asarray(pdf), np.asarray(pdf_up), rtol=1e-4, atol=1e-7
+        )

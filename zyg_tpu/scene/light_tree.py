@@ -138,11 +138,105 @@ def _cone_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.array([rot[0], rot[1], rot[2], math.cos(o_angle)], np.float32)
 
 
+def _cone_merge_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized pairwise cone union: a, b [K,4] -> [K,4]. Same math as
+    _cone_merge, branchless over the batch (the 10k-light build does
+    ~N log N merges — python-scalar merges were the build bottleneck)."""
+    a = np.asarray(a, np.float64).reshape(-1, 4)
+    b = np.asarray(b, np.float64).reshape(-1, 4)
+    aa = np.arccos(np.clip(a[:, 3], -1.0, 1.0))
+    ba = np.arccos(np.clip(b[:, 3], -1.0, 1.0))
+    swap = ba > aa
+    a2 = np.where(swap[:, None], b, a)
+    b2 = np.where(swap[:, None], a, b)
+    aa2 = np.where(swap, ba, aa)
+    ba2 = np.where(swap, aa, ba)
+    ad, bd = a2[:, :3], b2[:, :3]
+    da = np.arccos(np.clip(np.sum(ad * bd, axis=-1), -1.0, 1.0))
+    contained = np.minimum(da + ba2, np.pi) <= aa2 + 1e-12
+    o = 0.5 * (aa2 + da + ba2)
+    full = o >= np.pi
+    r = o - aa2
+    axis = np.cross(ad, bd)
+    n = np.linalg.norm(axis, axis=-1)
+    degen = n < 1e-12
+    axis = axis / np.maximum(n, 1e-12)[:, None]
+    c, s = np.cos(r)[:, None], np.sin(r)[:, None]
+    rot = (
+        ad * c
+        + np.cross(axis, ad) * s
+        + axis * np.sum(axis * ad, axis=-1)[:, None] * (1.0 - c)
+    )
+    rot = rot / np.maximum(np.linalg.norm(rot, axis=-1), 1e-12)[:, None]
+    dir_out = np.where((contained | full | degen)[:, None], ad, rot)
+    cos_out = np.where(
+        contained, a2[:, 3], np.where(full, -1.0, np.cos(np.minimum(o, np.pi)))
+    )
+    return np.concatenate([dir_out, cos_out[:, None]], axis=-1).astype(np.float32)
+
+
+def _cone_reduce(cones: np.ndarray) -> np.ndarray:
+    """Union of many cones by batched tree reduction: [K,4] -> [4]."""
+    c = np.asarray(cones, np.float32).reshape(-1, 4)
+    while len(c) > 1:
+        half = len(c) // 2
+        merged = _cone_merge_batch(c[:half], c[half : 2 * half])
+        c = np.concatenate([merged, c[2 * half :]], axis=0)
+    return c[0]
+
+
 def _cone_merge_many(cones: np.ndarray) -> np.ndarray:
-    out = cones[0]
-    for c in cones[1:]:
-        out = _cone_merge(out, c)
-    return np.asarray(out, np.float32)
+    cones = np.asarray(cones, np.float32).reshape(-1, 4)
+    if len(cones) == 1:
+        return cones[0]
+    return _cone_reduce(cones)
+
+
+def _cone_cost_vec(cos: np.ndarray, two_sided: np.ndarray) -> np.ndarray:
+    """Vectorized _cone_cost over arrays."""
+    cos = np.clip(np.asarray(cos, np.float64), -1.0, 1.0)
+    o = np.where(two_sided, np.pi, np.arccos(cos))
+    w = np.minimum(o + np.pi / 2.0, np.pi)
+    sin_o = np.sin(o)
+    b = (np.pi / 2.0) * (
+        2.0 * w * sin_o - np.cos(o - 2.0 * w) - 2.0 * o * sin_o + np.cos(o)
+    )
+    return (2.0 * np.pi) * (1.0 - cos) + b
+
+
+def _bound_cone(cones: np.ndarray) -> tuple[np.ndarray, float]:
+    """Cheap conservative bounding cone (axis, cos) of many cones: axis =
+    normalized mean direction, aperture = max(angle(axis, d_i) + ap_i).
+    Used ONLY for SAOH split scoring — the tree's stored node cones stay
+    exact pairwise merges (children union in fill)."""
+    c = np.asarray(cones, np.float64)
+    axis = c[:, :3].sum(axis=0)
+    nrm = np.linalg.norm(axis)
+    if nrm < 1e-9:
+        axis = c[0, :3]
+    else:
+        axis = axis / nrm
+    ang = np.arccos(np.clip(c[:, :3] @ axis, -1.0, 1.0)) + np.arccos(
+        np.clip(c[:, 3], -1.0, 1.0)
+    )
+    return axis, float(np.cos(min(float(ang.max()), np.pi)))
+
+
+def _prefix_cone_cos(cones: np.ndarray) -> np.ndarray:
+    """Inclusive prefix bounding-cone COSINE, [n,4] -> [n].
+
+    Conservative fixed-axis bound: every prefix cone is anchored at the
+    first element's axis, aperture = max over the prefix of
+    angle(d0, d_i) + aperture_i. Slightly looser than the exact rotating
+    merge, but the SAOH sweep only consumes the cosine and this is 4
+    numpy ops instead of log(n) batched Rodrigues merges — the build's
+    hot path over thousands of medium nodes."""
+    c = np.asarray(cones, np.float64)
+    d0 = c[0, :3]
+    ang = np.arccos(np.clip(c[:, :3] @ d0, -1.0, 1.0)) + np.arccos(
+        np.clip(c[:, 3], -1.0, 1.0)
+    )
+    return np.cos(np.minimum(np.maximum.accumulate(ang), np.pi))
 
 
 def _cone_cost(cos: float, two_sided: bool) -> float:
@@ -182,92 +276,132 @@ def _variance(powers: np.ndarray) -> float:
     return float(abs(np.mean(p.astype(np.float64) ** 2) - np.mean(p.astype(np.float64)) ** 2))
 
 
-def _evaluate_candidate(L: _Lights, members: list[int], left_of, bounds_sa, cone_weight, reg):
-    """Score one split candidate (ref SplitCandidate.evaluate). Returns
-    (cost, left_members, right_members) or None when one side is empty."""
-    left, right = [], []
-    for l in members:
-        (left if left_of(l) else right).append(l)
-    if not left or not right:
-        return None
-    sides = []
-    for part in (left, right):
-        lo = L.lo[part].min(axis=0)
-        hi = L.hi[part].max(axis=0)
-        cone = _cone_merge_many(L.cones[part])
-        two = bool(L.two_sided[part].any())
-        sides.append((
-            float(L.powers[part].sum()), _cone_cost(cone[3], two), _surface_area(lo, hi),
-        ))
-    cost = reg * (
-        (sides[0][0] * sides[0][1] * sides[0][2] + sides[1][0] * sides[1][1] * sides[1][2])
-        / max(bounds_sa * cone_weight, 1e-20)
-    )
-    return cost, left, right
-
-
 _SWEEP_THRESHOLD = 128
 _NUM_SLICES = 16
 
 
-def _best_split(L: _Lights, members: list[int]) -> tuple[list[int], list[int]]:
+def _best_split(L: _Lights, members) -> tuple[list[int], list[int]]:
     """SAOH candidate sweep (ref evaluateSplits): axis slices at light AABB
     maxima (or bins for big sets), explicit small-set partitions, plus three
     normal-cone half-space splits. Falls back to a spatial median when every
     candidate leaves a side empty (the reference would emit a multi-light
-    leaf there; singleton leaves need a forced split)."""
-    lo = L.lo[members].min(axis=0)
-    hi = L.hi[members].max(axis=0)
+    leaf there; singleton leaves need a forced split).
+
+    Candidates are boolean MASKS over the member array and every side
+    aggregate is a vectorized numpy reduction (the ref parallelizes the
+    same sweep with threads, light_tree_builder.zig:389; the old per-member
+    python scoring was O(n^2) scalar work — minutes at 10k lights)."""
+    idx = np.asarray(members, np.int64)
+    n = len(idx)
+    if n == 2:  # only one real partition — nothing to score
+        return [int(idx[0])], [int(idx[1])]
+    lo = L.lo[idx].min(axis=0)
+    hi = L.hi[idx].max(axis=0)
     extent = np.maximum(hi - lo, 1e-20)
     bounds_sa = max(_surface_area(lo, hi), 1e-20)
-    cone = _cone_merge_many(L.cones[members])
-    two = bool(L.two_sided[members].any())
-    cone_weight = max(_cone_cost(cone[3], two), 1e-20)
+    cone_axis, cone_cos = _bound_cone(L.cones[idx])
+    two = bool(L.two_sided[idx].any())
+    cone_weight = max(_cone_cost(cone_cos, two), 1e-20)
     maxe, mine = float(extent.max()), float(extent.min())
 
-    candidates = []
-    n = len(members)
+    norm = 1.0 / max(bounds_sa * cone_weight, 1e-20)
+    best_mask, best_cost = None, None
+
+    def consider(m: np.ndarray, cost: float):
+        nonlocal best_mask, best_cost
+        if best_cost is None or cost < best_cost:
+            best_cost, best_mask = cost, m
+
+    def side_cost(part_idx: np.ndarray) -> float:
+        plo = L.lo[part_idx].min(axis=0)
+        phi = L.hi[part_idx].max(axis=0)
+        _, pcos = _bound_cone(L.cones[part_idx])
+        ptwo = bool(L.two_sided[part_idx].any())
+        return (
+            float(L.powers[part_idx].sum())
+            * _cone_cost(pcos, ptwo)
+            * _surface_area(plo, phi)
+        )
+
     if n <= 4:
         # explicit partitions (ref evaluateSplits 2/3/4-light cases)
         import itertools
 
+        reg = maxe / mine
         for k in range(1, n // 2 + 1):
-            for combo in itertools.combinations(members, k):
-                cset = set(combo)
-                candidates.append((lambda l, cs=cset: l in cs, maxe / mine))
+            for combo in itertools.combinations(range(n), k):
+                m = np.zeros(n, bool)
+                m[list(combo)] = True
+                consider(m, reg * (side_cost(idx[m]) + side_cost(idx[~m])) * norm)
     else:
-        if n <= _SWEEP_THRESHOLD:
-            positions = [(float(L.hi[l][a]), a) for l in members for a in range(3)]
-        else:
-            positions = []
-            step = maxe / _NUM_SLICES
-            for a in range(3):
-                num_steps = max(int(math.ceil(float(extent[a]) / max(step, 1e-20))), 1)
-                step_a = float(extent[a]) / num_steps
-                for i in range(1, num_steps):
-                    positions.append((float(lo[a]) + i * step_a, a))
-        for d, a in positions:
-            candidates.append((lambda l, d=d, a=a: float(L.hi[l][a]) < d, maxe / float(extent[a])))
-        # normal-cone half-space splits around the cluster cone's basis
-        t, b = vm.host_orthonormal_basis(cone[:3]) if hasattr(vm, "host_orthonormal_basis") else _onb(cone[:3])
-        for axis_v in (t, b, cone[:3]):
-            candidates.append(
-                (lambda l, v=np.asarray(axis_v, np.float32): float(np.dot(v, L.cones[l][:3])) < 0.0,
-                 maxe / mine)
-            )
+        # axis sweeps over ALL n-1 sorted boundaries, scored vectorized
+        # from prefix/suffix scans (power cumsum, running bbox, doubling
+        # cone merges) — O(n log n) per node instead of O(n^2) scalar
+        his = L.hi[idx]
+        for a in range(3):
+            order = np.argsort(his[:, a], kind="stable")
+            oi = idx[order]
+            pw = L.powers[oi].astype(np.float64)
+            lo_o, hi_o = L.lo[oi], L.hi[oi]
+            two_o = L.two_sided[oi]
+            cn_o = L.cones[oi]
 
-    best = None
-    for left_of, reg in candidates:
-        r = _evaluate_candidate(L, members, left_of, bounds_sa, cone_weight, reg)
-        if r is not None and (best is None or r[0] < best[0]):
-            best = r
-    if best is not None:
-        return best[1], best[2]
+            p_pw = np.cumsum(pw)
+            p_lo = np.minimum.accumulate(lo_o, axis=0)
+            p_hi = np.maximum.accumulate(hi_o, axis=0)
+            p_two = np.maximum.accumulate(two_o)
+            p_cos = _prefix_cone_cos(cn_o)
+            s_pw = np.cumsum(pw[::-1])[::-1]
+            s_lo = np.minimum.accumulate(lo_o[::-1], axis=0)[::-1]
+            s_hi = np.maximum.accumulate(hi_o[::-1], axis=0)[::-1]
+            s_two = np.maximum.accumulate(two_o[::-1])[::-1]
+            s_cos = _prefix_cone_cos(cn_o[::-1])[::-1]
+
+            def sa(lo_b, hi_b):
+                e = np.maximum(hi_b - lo_b, 0.0)
+                return 2.0 * (
+                    e[:, 0] * e[:, 1] + e[:, 1] * e[:, 2] + e[:, 2] * e[:, 0]
+                )
+
+            # split before element k (left = first k): valid where the
+            # sort key strictly increases (matches the `hi < d` candidates)
+            ks = np.arange(1, n)
+            valid = his[order][1:, a] > his[order][:-1, a]
+            left_c = (
+                p_pw[:-1]
+                * _cone_cost_vec(p_cos[:-1], p_two[:-1])
+                * sa(p_lo[:-1], p_hi[:-1])
+            )
+            right_c = (
+                s_pw[1:]
+                * _cone_cost_vec(s_cos[1:], s_two[1:])
+                * sa(s_lo[1:], s_hi[1:])
+            )
+            reg = maxe / float(extent[a])
+            costs = np.where(valid, reg * (left_c + right_c) * norm, np.inf)
+            k_best = int(np.argmin(costs))
+            if np.isfinite(costs[k_best]):
+                m = np.zeros(n, bool)
+                m[order[: ks[k_best]]] = True
+                consider(m, float(costs[k_best]))
+        # normal-cone half-space splits around the cluster cone's basis
+        t, b = _onb(cone_axis)
+        dirs = L.cones[idx][:, :3].astype(np.float64)
+        reg = maxe / mine
+        for axis_v in (t, b, cone_axis):
+            m = dirs @ np.asarray(axis_v, np.float64) < 0.0
+            nl = int(m.sum())
+            if nl == 0 or nl == n:
+                continue
+            consider(m, reg * (side_cost(idx[m]) + side_cost(idx[~m])) * norm)
+
+    if best_mask is not None:
+        return list(idx[best_mask]), list(idx[~best_mask])
     # every candidate exhausted: spatial median on the longest axis
     a = int(np.argmax(extent))
-    order = sorted(members, key=lambda l: float(L.centers[l][a]))
-    half = len(order) // 2
-    return order[:half], order[half:]
+    order = idx[np.argsort(L.centers[idx, a])]
+    half = n // 2
+    return list(order[:half]), list(order[half:])
 
 
 def _onb(n):
