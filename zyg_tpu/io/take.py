@@ -116,9 +116,26 @@ def _load_camera(node: dict) -> PerspectiveCamera:
         if "lens" in params:
             cam.aperture_radius = float(params["lens"].get("radius", 0.0))
         if "aperture" in params:
-            cam.aperture_radius = float(params["aperture"].get("radius", cam.aperture_radius))
+            ap = params["aperture"]
+            cam.aperture_radius = float(ap.get("radius", cam.aperture_radius))
+            # shaped bokeh (ref camera_perspective.zig setParameters):
+            # an opacity image, or a procedural blade polygon
+            shape = ap.get("shape", "")
+            if shape:
+                from ..scene.loader import load_image
+
+                cam.aperture_image = load_image(shape)
+            else:
+                cam.aperture_blades = int(ap.get("blades", 0))
+                cam.aperture_roundness = float(ap.get("roundness", 0.0))
         if "focus" in params:
-            cam.focus_distance = float(params["focus"].get("distance", 0.0))
+            fo = params["focus"]
+            cam.focus_distance = float(fo.get("distance", 0.0))
+            # autofocus through an NDC point (ref setFocus use_point)
+            if "point" in fo:
+                pt = [float(x) for x in fo["point"]]
+                cam.focus_point = (pt[0], pt[1])
+                cam.focus_offset = pt[2] if len(pt) > 2 else 0.0
         if "stereo" in params:
             cam.ipd = float(params["stereo"].get("ipd", 0.062))
         if "shutter" in params or "shutter" in body:
@@ -131,6 +148,8 @@ def _load_camera(node: dict) -> PerspectiveCamera:
             cam.shutter_open = float(sh.get("open", 0.0))
             cam.shutter_close = float(sh.get("close", 1.0))
             cam.motion_blur = bool(sh.get("motion_blur", True))
+            # bezier slope handles (ref take_loader.zig loadShutter)
+            cam.shutter_slope = tuple(float(x) for x in sh.get("slope", ()))[:8]
         trafo = read_transformation(body.get("transformation"))
         cam.rotation = trafo.rotation
         cam.position = trafo.position

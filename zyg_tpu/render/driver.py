@@ -24,6 +24,7 @@ from ..io.take import Take, IntegratorSettings
 from ..utils.progress import Progressor
 from ..scene.types import SceneData
 from . import sensor as sensor_mod
+from . import camera as camera_mod
 from .camera import PerspectiveCamera, generate_rays
 from .integrator import aov as aov_mod
 from .integrator import pt as pt_mod
@@ -104,7 +105,7 @@ def _render_samples(
         smp = SobolSampler.start_pixel(sample_index, seed)
 
         s4 = smp.sample_4d()
-        _time = smp.sample_1d()
+        _time = camera_mod.sample_shutter_time(cam_arrays, smp.sample_1d())
         smp.increment_padding()
 
         o, d = generate_rays(cam_arrays, pixel_xy, s4[..., 0:2], s4[..., 2:4])
@@ -338,12 +339,38 @@ class Driver:
 
     def start_frame(self):
         w, h = self.camera.resolution
+        self._autofocus()
         self._fb = Framebuffer.zeros(w * h)
         self._splat = jnp.zeros((w * h, 3), jnp.float32)
         self._aov = ptmis_mod.aov_init(self._aov_names, w * h)
         self._particles_traced = 0
         self._iteration = 0
         self.rays_traced = 0
+
+    def _autofocus(self):
+        """Focus at the geometry under the camera's focus point (ref
+        camera_perspective.zig updateFocus: one probe ray at start of
+        frame). No-op without a focus point or a finite aperture."""
+        cam = self.camera
+        if cam.focus_point is None or not (
+            cam.aperture_radius > 0.0 or cam.ipd > 0.0
+        ):
+            return
+        from ..scene import shapes
+
+        w, h = cam.resolution
+        px = jnp.asarray(
+            [[int(cam.focus_point[0] * w) % max(w, 1),
+              int(cam.focus_point[1] * h) % max(h, 1)]], jnp.int32
+        )
+        arrays = cam.arrays(self.layer)
+        o, d = generate_rays(arrays, px, jnp.full((1, 2), 0.5, jnp.float32))
+        hit = jax.jit(
+            functools.partial(shapes.intersect_scene, ray_class="camera")
+        )(self.scene, o, d, jnp.float32(0.0), jnp.float32(3.0e37))
+        t = float(np.asarray(hit.t)[0])
+        if np.isfinite(t) and t < 3.0e36:
+            cam.focus_distance = t + cam.focus_offset
 
     def render_particles(self, num_per_pixel: int | None = None):
         """Backward (light-tracing) pass: trace W*H*ppp light paths and

@@ -380,6 +380,12 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
             )
         wo = -s.d
 
+        # ---- metallic flakes (ref substitute_material.zig sample():
+        # jittered-grid flake field; compiled away without coverage)
+        if scene.mat_features is not None and "flakes" in scene.mat_features:
+            params, n_fl = mat.apply_flakes(scene, params, frag, wo)
+            frag = frag._replace(n=n_fl)
+
         # ---- stochastic opacity cutouts (ref material_base.zig
         # stochasticOpacity + triangle_tree.zig intersectOpacity): a hit on
         # a masked material survives with probability o(uv); rejected hits
@@ -1055,7 +1061,7 @@ def integrate_persistent(
     affine shuffle (pid = (lane + k*stride) mod n): sample k's column block
     is a CIRCULAR SHIFT, so jnp.roll (two dynamic slices — NOT a gather,
     which hits XLA's pathological minormost-axis path at ~600ms per k)."""
-    from ..camera import generate_rays
+    from ..camera import generate_rays, sample_shutter_time
     from .. import sensor as sensor_mod
 
     n = pixel_ids.shape[0]
@@ -1145,7 +1151,7 @@ def integrate_persistent(
         smp = SobolSampler(sob, dim=5)
         # camera block: consumed uniformly by every lane every iteration
         s4 = smp.sample_4d()
-        _time = smp.sample_1d()
+        _time = sample_shutter_time(cam_arrays, smp.sample_1d())
         smp.increment_padding()
         o_cam, d_cam = generate_rays(cam_arrays, xy_new, s4[..., 0:2], s4[..., 2:4])
 
