@@ -95,3 +95,60 @@ class TestInstancer:
         # ALL instances share one mesh (arena has a single root)
         assert scene.meshes.mesh_root.shape[0] == 1
         assert (np.asarray(scene.prop_mesh) == 0).all()
+
+
+class TestCheckpointResume:
+    def _take(self, filter_radius):
+        import numpy as np
+        from zyg_tpu.io.take import Take, IntegratorSettings
+        from zyg_tpu.render.camera import PerspectiveCamera
+
+        take = Take()
+        take.num_samples_per_pixel = 8
+        take.integrator = IntegratorSettings(kind="PTMIS", max_depth_surface=4)
+        take.sensor.filter_radius = filter_radius
+        cam = PerspectiveCamera(resolution=(24, 16), fov=np.deg2rad(60.0))
+        cam.position = np.array([0, 1.0, -3.8], np.float32)
+        take.cameras = [cam]
+        return take
+
+    def _roundtrip(self, take, tmp_path):
+        from zyg_tpu.render.driver import Driver
+        from zyg_tpu.scene.loader import load_scene_file
+
+        scene = load_scene_file("examples/scenes/cornell.scene")
+        d1 = Driver(take=take, scene=scene)
+        d1.start_frame()
+        d1.render_iterations(8)
+        ref = d1.resolve()
+
+        cp = str(tmp_path / "state.npz")
+        d2 = Driver(take=take, scene=scene)
+        d2.start_frame()
+        d2.render_iterations(4)
+        d2.save_state(cp)
+        d3 = Driver(take=take, scene=scene)
+        d3.start_frame()
+        d3.load_state(cp)
+        assert d3._iteration == 4
+        d3.render_iterations(4)
+        return d3.resolve(), ref
+
+    def test_filtered_path_roundtrips_exactly(self, tmp_path):
+        """On the deterministic (filtered-sensor) path, 4 spp + save/load
+        + 4 spp reproduces the uninterrupted 8 spp run exactly — the
+        seeding law depends only on (pixel, sample index)."""
+        import numpy as np
+
+        out, ref = self._roundtrip(self._take(filter_radius=1.0), tmp_path)
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+    def test_persistent_path_roundtrips_statistically(self, tmp_path):
+        """The persistent wavefront oversamples at the end of every
+        dispatch (quota relaxation), so a split run lays samples out
+        differently — the estimator must still agree in the mean."""
+        import numpy as np
+
+        out, ref = self._roundtrip(self._take(filter_radius=0.0), tmp_path)
+        assert abs(out.mean() - ref.mean()) / ref.mean() < 0.03
+        assert np.abs(out - ref).mean() < 0.05 * ref.mean() + 0.01

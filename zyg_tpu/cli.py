@@ -27,6 +27,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-tex", action="store_true")
     p.add_argument("--debug-mat", action="store_true")
     p.add_argument("-s", "--stats", action="store_true")
+    p.add_argument(
+        "--checkpoint", default="",
+        help="sensor-state file: resume from it when present, save to it "
+        "after every chunk (progressive checkpoint/restart)",
+    )
     return p
 
 
@@ -70,7 +75,23 @@ def main(argv=None) -> int:
         driver = Driver(take=take, scene=scene)
         driver.progress.quiet = False
         t0 = time.time()
-        driver.render_frame()
+        if args.checkpoint and args.num_frames == 1:
+            # progressive checkpoint/restart of one frame's accumulation
+            driver.start_frame()
+            if os.path.exists(args.checkpoint):
+                driver.load_state(args.checkpoint)
+                print(f"Resumed at sample {driver._iteration}")
+            if take.photon.num_photons > 0:
+                driver.bake_photons()
+            if take.num_particles_per_pixel > 0 and driver._particles_traced == 0:
+                driver.render_particles()
+            spp_target = take.num_samples_per_pixel
+            while driver._iteration < spp_target:
+                step = min(driver.chunk_size, spp_target - driver._iteration)
+                driver.render_iterations(step)
+                driver.save_state(args.checkpoint)
+        else:
+            driver.render_frame()
         render_time += time.time() - t0
         print(f"Render time {time.time() - t0:.3f} s")
 

@@ -563,6 +563,44 @@ class Driver:
             self.render_iterations(self.take.num_samples_per_pixel)
         return self.resolve()
 
+    def save_state(self, path: str):
+        """Checkpoint the sensor state (accumulated framebuffer/weights,
+        splats, AOVs, sample counter) so a later process can resume the
+        SAME frame mid-accumulation (ref: the reference restarts whole
+        sample ranges; here the progressive buffers round-trip exactly)."""
+        np.savez_compressed(
+            path,
+            fb_value=np.asarray(self._fb.value),
+            fb_weight=np.asarray(self._fb.weight),
+            splat=np.asarray(self._splat),
+            iteration=np.int64(self._iteration),
+            rays=np.int64(self.rays_traced),
+            particles=np.int64(self._particles_traced),
+            **{f"aov_{k}": np.asarray(v) for k, v in self._aov.items()},
+        )
+
+    def load_state(self, path: str):
+        """Restore a save_state checkpoint; render_iterations continues
+        from the saved sample index (the seeding law makes the remaining
+        samples identical to an uninterrupted run)."""
+        z = np.load(path)
+        n = self._fb.value.shape[0]
+        if z["fb_value"].shape[0] != n:
+            raise ValueError(
+                f"checkpoint resolution mismatch: {z['fb_value'].shape[0]} vs {n}"
+            )
+        self._fb = Framebuffer(
+            jnp.asarray(z["fb_value"]), jnp.asarray(z["fb_weight"])
+        )
+        self._splat = jnp.asarray(z["splat"])
+        self._iteration = int(z["iteration"])
+        self.rays_traced = int(z["rays"])
+        self._particles_traced = int(z["particles"])
+        for k in list(self._aov):
+            key = f"aov_{k}"
+            if key in z:
+                self._aov[k] = jnp.asarray(z[key])
+
     def resolve(self, tonemapped: bool = False) -> np.ndarray:
         w, h = self.camera.resolution
         img = self._fb.resolve().reshape(h, w, 3)
