@@ -152,3 +152,77 @@ class TestCheckpointResume:
         out, ref = self._roundtrip(self._take(filter_radius=0.0), tmp_path)
         assert abs(out.mean() - ref.mean()) / ref.mean() < 0.03
         assert np.abs(out - ref).mean() < 0.05 * ref.mean() + 0.01
+
+
+class TestSowGrid:
+    """Grid scatter + density maps + prototypes (ref sow/main.zig
+    scatter(); VERDICT r2 missing item 12)."""
+
+    def _terrain(self):
+        from zyg_tpu.scene import trimesh
+
+        # flat quad in the XZ plane, 10x10 around the origin
+        import numpy as np
+
+        pos = np.array(
+            [[-5, 0, -5], [5, 0, -5], [5, 0, 5], [-5, 0, 5]], np.float32
+        )
+        # wound so face normals point +y
+        idx = np.array([[0, 2, 1], [0, 3, 2]], np.int32)
+        return trimesh.HostMesh(positions=pos, indices=idx)
+
+    def test_density_controls_count(self):
+        import numpy as np
+
+        m = self._terrain()
+        p1, *_ = sow.scatter_grid(m, density=1.0, seed=3)
+        p2, *_ = sow.scatter_grid(m, density=2.0, seed=3)
+        assert len(p2) > 2.5 * len(p1)
+        # everything lands on the quad at y ~= 0
+        assert np.abs(p1[:, 1]).max() < 1e-4
+        assert np.abs(p1[:, (0, 2)]).max() <= 5.001
+
+    def test_density_map_masks_half(self):
+        import numpy as np
+
+        m = self._terrain()
+        img = np.zeros((8, 8), np.float32)
+        img[:, 4:] = 1.0  # only the +x half scatters
+        pts, *_ = sow.scatter_grid(m, density=4.0, seed=5, density_image=img)
+        assert len(pts) > 20
+        assert (pts[:, 0] > -0.01).all(), "masked half must stay empty"
+
+    def test_prototypes_and_depth_offset(self):
+        import numpy as np
+
+        m = self._terrain()
+        protos = [
+            {"file": "a.sub", "probability": 3.0, "scale_range": [0.5, 0.5]},
+            {"file": "b.sub", "probability": 1.0, "scale_range": [2.0, 2.0]},
+        ]
+        pts, rots, scales, pids = sow.scatter_grid(
+            m, density=4.0, seed=7, prototypes=protos,
+            depth_offset_range=(0.5, 0.5),
+        )
+        frac_a = (pids == 0).mean()
+        assert 0.65 < frac_a < 0.85
+        np.testing.assert_allclose(
+            np.unique(np.round(scales, 3)), [0.5, 2.0]
+        )
+        # depth offset pushes along the (up) normal
+        assert np.allclose(pts[:, 1], 0.5, atol=1e-4)
+
+    def test_merge_motion_roundtrip(self, tmp_path):
+        import numpy as np
+
+        from zyg_tpu.io.sub_mesh import read_sub_mesh, write_sub_mesh
+        from zyg_tpu.scene import trimesh
+
+        m = self._terrain()
+        f1 = np.asarray(m.positions) + np.array([0, 1.0, 0], np.float32)
+        out = str(tmp_path / "anim.sub")
+        write_sub_mesh(out, m, position_frames=[m.positions, f1])
+        with open(out, "rb") as f:
+            back = read_sub_mesh(f)
+        np.testing.assert_allclose(back.positions, m.positions)
+        np.testing.assert_array_equal(back.indices, m.indices)

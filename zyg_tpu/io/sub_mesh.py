@@ -113,8 +113,12 @@ def read_sub_mesh(stream) -> HostMesh:
     )
 
 
-def write_sub_mesh(path: str, mesh: HostMesh) -> None:
-    """Single-frame separate-stream SUB (the reference exporters' form)."""
+def write_sub_mesh(path: str, mesh: HostMesh, position_frames=None) -> None:
+    """Separate-stream SUB (the reference exporters' form).
+
+    position_frames: optional list of [V,3] arrays — a motion mesh's
+    per-frame vertex buffers (ref sow/model_sub_writer.zig writes the
+    Position stream with num_frames > 1). mesh.positions is frame 0."""
     pos = np.asarray(mesh.positions, "<f4")
     if mesh.normals is not None:
         nrm = np.asarray(mesh.normals, "<f4")
@@ -133,11 +137,19 @@ def write_sub_mesh(path: str, mesh: HostMesh) -> None:
     idx = np.asarray(mesh.indices, "<u4").reshape(-1)
     nv = len(pos)
 
+    if position_frames is not None and len(position_frames) > 1:
+        num_frames = len(position_frames)
+        pos_blob = b"".join(
+            np.asarray(f, "<f4").tobytes() for f in position_frames
+        )
+    else:
+        num_frames = 1
+        pos_blob = pos.tobytes()
     layout = [
-        {"semantic_name": "Position", "encoding": "Float32x3", "num_frames": 1},
+        {"semantic_name": "Position", "encoding": "Float32x3", "num_frames": num_frames},
         {"semantic_name": "Normal", "encoding": "Float32x3"},
     ]
-    v_blob = pos.tobytes() + nrm.tobytes()
+    v_blob = pos_blob + nrm.tobytes()
     if uv is not None:
         layout.append({"semantic_name": "Texture_coordinate", "encoding": "Float32x2"})
         v_blob += uv.tobytes()

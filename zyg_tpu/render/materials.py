@@ -205,6 +205,11 @@ def gather(materials: Materials, mat_id, medium_ior=None, textures=None, uv=None
         # (ref hair_sample.zig: h = 2*(rs.uvw[1]-0.5))
         if uv is not None:
             out_extra["hair_h"] = jnp.clip(2.0 * (uv[..., 1] - 0.5), -1.0, 1.0)
+    if "flakes" in feats:
+        # defaults; apply_flakes() (integrator, surface hits only)
+        # replaces these for lanes that land on a flake
+        out_extra["flake_on"] = jnp.zeros(kind.shape, bool)
+        out_extra["flake_cos"] = jnp.ones(kind.shape, jnp.float32)
     return {
         "_features": feats,
         **out_extra,
@@ -226,6 +231,139 @@ def gather(materials: Materials, mat_id, medium_ior=None, textures=None, uv=None
         "coat_f0": ior_to_f0(small_gather(materials.coating_ior, m), ior_out),
         "coat_alpha": coat_rough * coat_rough,
     }
+
+
+_FLAKE_A2_LIMIT = (2.0 * np.pi * (1.0 - np.cos(np.deg2rad(7.0)))) / (
+    4.0 * np.pi - 2.0 * np.pi * (1.0 - np.cos(np.deg2rad(7.0)))
+)
+
+
+def apply_flakes(scene, params, frag, wo):
+    """Metallic flakes (ref substitute_material.zig sample(): jittered-grid
+    Voronoi flakes over a triplanar object-space uv). Lanes landing on a
+    flake become mirror-metal with the flake's own fixed microfacet normal
+    (sampled from the flake's deterministic xi) and a uniform-cone lobe.
+
+    Returns (params', n') — n' replaces the shading normal for flake lanes.
+    Statically gated: only compiled when 'flakes' in mat_features."""
+    from ..core.rng import hash2_u32, hash_u32, u32_to_float
+
+    mats = scene.materials
+    m_id = jnp.maximum(frag.material, 0)
+    cov = small_gather(mats.flakes_coverage, m_id)
+    res = small_gather(mats.flakes_res, m_id)
+    fa = small_gather(mats.flakes_alpha, m_id)
+    fcol = small_gather(mats.flakes_color, m_id)
+    is_sub = params["kind"] == int(MaterialKind.SUBSTITUTE)
+
+    pr = jnp.maximum(frag.prop, 0)
+    rot = small_gather(scene.prop_rot, pr)
+    pos = small_gather(scene.prop_pos, pr)
+    op = vm.world_to_object_normal(rot, frag.p - pos)
+    on = vm.world_to_object_normal(rot, frag.n)
+    # triplanar mapping (ref material_helper.zig triplanarMapping)
+    an = jnp.abs(on)
+    ax = (an[..., 0] > an[..., 1]) & (an[..., 0] > an[..., 2])
+    ay = (an[..., 1] > an[..., 0]) & (an[..., 1] > an[..., 2]) & ~ax
+    sgn = jnp.sign(jnp.where(ax, on[..., 0], jnp.where(ay, on[..., 1], on[..., 2])))
+    u = jnp.where(
+        ax, sgn * op[..., 2], jnp.where(ay, sgn * op[..., 0], -sgn * op[..., 0])
+    ) + 0.5
+    v = jnp.where(ax, -op[..., 1], jnp.where(ay, -op[..., 2], -op[..., 1])) + 0.5
+    suv_x = res * jnp.mod(u, 1.0)
+    suv_y = res * jnp.mod(v, 1.0)
+    bx = jnp.floor(suv_x).astype(jnp.int32)
+    by = jnp.floor(suv_y).astype(jnp.int32)
+
+    # nearest of 4 flakes per cell over the 3x3 neighborhood (ref
+    # sampleFlake): flake attributes are pure hashes of the cell id, so
+    # every lane/bounce sees the same flake field
+    nearest_d = jnp.full(u.shape, 1e30, jnp.float32)
+    nearest_r = jnp.zeros(u.shape, jnp.float32)
+    nearest_x1 = jnp.zeros(u.shape, jnp.float32)
+    nearest_x2 = jnp.zeros(u.shape, jnp.float32)
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            ci = bx + dx
+            cj = by + dy
+            key = hash2_u32(
+                ci.astype(jnp.uint32) * jnp.uint32(0x9E3779B1),
+                cj.astype(jnp.uint32) ^ jnp.uint32(0x85EBCA77),
+            )
+            for _fl in range(4):
+                r1 = u32_to_float(key)
+                key = hash_u32(key ^ jnp.uint32(0x27D4EB2F))
+                r2 = u32_to_float(key)
+                key = hash_u32(key ^ jnp.uint32(0x165667B1))
+                x1 = u32_to_float(key)
+                key = hash_u32(key ^ jnp.uint32(0xC2B2AE35))
+                x2 = u32_to_float(key)
+                key = hash_u32(key ^ jnp.uint32(0x61C88647))
+                rc = u32_to_float(key)
+                key = hash_u32(key ^ jnp.uint32(0x738769B9))
+                px = ci.astype(jnp.float32) + r1
+                py = cj.astype(jnp.float32) + r2
+                d2 = (suv_x - px) ** 2 + (suv_y - py) ** 2
+                better = d2 < nearest_d
+                nearest_d = jnp.where(better, d2, nearest_d)
+                nearest_r = jnp.where(better, rc, nearest_r)
+                nearest_x1 = jnp.where(better, x1, nearest_x1)
+                nearest_x2 = jnp.where(better, x2, nearest_x2)
+
+    flake_on = is_sub & (cov > 0.0) & (nearest_r < cov)
+
+    # flake normal: GGX VNDF with the flake's deterministic xi at the
+    # residual alpha (cone aperture absorbs the rest; ref flakesA2cone)
+    a2c = jnp.minimum(jnp.float32(_FLAKE_A2_LIMIT), 0.5 * fa)
+    cos_cone = 1.0 - (2.0 * a2c) / (1.0 + a2c)
+    fa2 = jnp.maximum(fa - a2c, 1e-5)
+    t, b = vm.orthonormal_basis(frag.n)
+    wo_l = vm.world_to_frame(t, b, frag.n, wo)
+    m_l = _vndf_sample(wo_l, fa2, jnp.stack([nearest_x1, nearest_x2], -1))
+    m_w = vm.frame_to_world(t, b, frag.n, m_l)
+
+    fm = flake_on[..., None]
+    n_out = jnp.where(fm, m_w, frag.n)
+    out = dict(params)
+    out["flake_on"] = flake_on
+    out["flake_cos"] = jnp.where(flake_on, cos_cone, 1.0)
+    out["f0"] = jnp.where(fm, fcol, params["f0"])
+    out["albedo"] = jnp.where(fm, 0.0, params["albedo"])
+    out["metallic"] = jnp.where(flake_on, 1.0, params["metallic"])
+    out["color"] = jnp.where(fm, fcol, params["color"])
+    return out, n_out
+
+
+def _flake_eval(params, wo, wi, ns):
+    """Uniform-cone mirror lobe of a flake (ref substitute_sample.zig
+    evaluate flakes branch). Returns (f [N,3], pdf [N])."""
+    cos_cone = params["flake_cos"]
+    r = 2.0 * vm.dot(ns, wo)[..., None] * ns - wo
+    inside = vm.dot(wi, r) > cos_cone
+    sa = 2.0 * jnp.pi * jnp.maximum(1.0 - cos_cone, 1e-7)
+    fq = jnp.where(inside, 1.0 / sa, 0.0)
+    n_dot_wi = _clamp(vm.dot(ns, wi))
+    f = (n_dot_wi * fq * params["specular"])[..., None] * params["f0"]
+    return f, fq
+
+
+def _flake_sample(params, wo, ns, xi):
+    """Uniform cone around the mirror direction (ref glossSample flakes)."""
+    cos_cone = params["flake_cos"]
+    r = vm.safe_normalize(2.0 * vm.dot(ns, wo)[..., None] * ns - wo)
+    z = 1.0 - (1.0 - cos_cone) * xi[..., 0]
+    phi = 2.0 * jnp.pi * xi[..., 1]
+    s = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    tr, br = vm.orthonormal_basis(r)
+    wi = vm.frame_to_world(
+        tr, br, r, jnp.stack([s * jnp.cos(phi), s * jnp.sin(phi), z], -1)
+    )
+    sa = 2.0 * jnp.pi * jnp.maximum(1.0 - cos_cone, 1e-7)
+    pdf = jnp.full(cos_cone.shape, 1.0, jnp.float32) / sa
+    n_dot_wi = _clamp(vm.dot(ns, wi))
+    weight = (n_dot_wi * params["specular"])[..., None] * params["f0"]
+    ok = n_dot_wi > 1e-6
+    return wi, weight, pdf, ok
 
 
 def regularize_alpha(params, reg_alpha_prev, weight: float, caustics: bool):
@@ -505,6 +643,13 @@ def _substitute_eval(params, wo, wi, n, geo_n, t=None, b=None):
         fc, cpdf, fc_wo, atten = _coating_lobe(params, wo, wi, ns)
         f = atten[..., None] * f + fc
         pdf = fc_wo * cpdf + (1.0 - fc_wo) * pdf
+    if "flakes" in feats:
+        # flake lanes replace the whole base stack with the cone lobe
+        # (ref substitute_sample.zig evaluate: properties.flakes branch)
+        f_fl, pdf_fl = _flake_eval(params, wo, wi, ns)
+        fl = params["flake_on"]
+        f = jnp.where(fl[..., None], f_fl, f)
+        pdf = jnp.where(fl, pdf_fl, pdf)
     if "translucency" not in feats:
         ok = refl_side
         return jnp.where(ok[..., None], f, 0.0), jnp.where(ok, pdf, 0.0)
@@ -601,6 +746,22 @@ def _substitute_sample(params, wo, n, geo_n, p, xi, t_in=None, b_in=None):
         f, pdf, _ = _substitute_lobes(params, wo, wi, ns, t_in, b_in)
         ok = (vm.dot(wi, ns) > 0.0) & (pdf > 1e-10)
         weight = jnp.where(ok[..., None], f / jnp.maximum(pdf, 1e-10)[..., None], 0.0)
+        return wi, weight, pdf, ok, reg_a
+    if "flakes" in feats:
+        # flake lanes sample the uniform cone around the flake mirror
+        # direction instead of any base lobe
+        wi_f, w_f, pdf_f, ok_f = _flake_sample(params, wo, ns, xi)
+        fl = params["flake_on"]
+        wi = jnp.where(fl[..., None], wi_f, wi)
+        reg_a = jnp.where(fl, params["alpha"], reg_a)
+        f, pdf = _substitute_eval(params, wo, wi, n, geo_n, t_in, b_in)
+        ok = pdf > 1e-10
+        weight = jnp.where(
+            ok[..., None], f / jnp.maximum(pdf, 1e-10)[..., None], 0.0
+        )
+        weight = jnp.where(fl[..., None], w_f, weight)
+        pdf = jnp.where(fl, pdf_f, pdf)
+        ok = jnp.where(fl, ok_f, ok)
         return wi, weight, pdf, ok, reg_a
     f, pdf = _substitute_eval(params, wo, wi, n, geo_n, t_in, b_in)
     ok = pdf > 1e-10

@@ -148,6 +148,11 @@ class MaterialDesc:
     hair_mu_a: "np.ndarray | None" = None
     anisotropy_rotation: float = 0.0  # turns (ref anisotropy_rotation key)
     abbe: float = 0.0  # glass dispersion (ref material_provider.zig:193)
+    # metallic flakes (ref substitute_material.zig flakes_*)
+    flakes_coverage: float = 0.0
+    flakes_color: np.ndarray = field(default_factory=lambda: np.full(3, 0.8, np.float32))
+    flakes_alpha: float = 0.01
+    flakes_res: float = 4.0
 
 
 # ref material/metal_presets.zig iorAndAbsorption: complex IoR (eta, k)
@@ -333,6 +338,17 @@ def parse_material(
             elif key == "priority":
                 # nested-dielectric priority (ref material_provider.zig:189)
                 desc.priority = int(v)
+            elif key == "flakes" and isinstance(v, dict):
+                # ref material_provider.zig:326 + substitute_material.zig
+                # setFlakesRoughness/setFlakesSize
+                desc.flakes_coverage = float(v.get("coverage", 0.5))
+                if "color" in v:
+                    desc.flakes_color = _read_color(v["color"])
+                r = float(np.clip(v.get("roughness", 0.1), 0.01, 1.0))
+                desc.flakes_alpha = r * r
+                size = float(v.get("size", 0.01))
+                n_fl = 1.5396 / max(size * size, 1e-12)
+                desc.flakes_res = max(4.0, float(np.ceil(np.sqrt(n_fl / 4.0))))
             elif key == "coating" and isinstance(v, dict):
                 # ref substitute_coating.zig: thickness-attenuated clearcoat
                 desc.coating_thickness = float(v.get("thickness", 0.001))
@@ -436,6 +452,10 @@ def materials_to_table(descs: list[MaterialDesc]) -> Materials:
         hair=jnp.asarray(np.stack([_hair_constants(d) for d in descs]), jnp.float32),
         anisotropy_rotation=jnp.asarray([d.anisotropy_rotation for d in descs], jnp.float32),
         abbe=jnp.asarray([d.abbe for d in descs], jnp.float32),
+        flakes_coverage=jnp.asarray([d.flakes_coverage for d in descs], jnp.float32),
+        flakes_alpha=jnp.asarray([d.flakes_alpha for d in descs], jnp.float32),
+        flakes_res=jnp.asarray([d.flakes_res for d in descs], jnp.float32),
+        flakes_color=jnp.asarray(np.stack([d.flakes_color for d in descs]), jnp.float32),
     )
 
 
@@ -1063,6 +1083,10 @@ class SceneBuilder:
         # and the shadow re-march loop compile only when a mask exists
         if any(d.mask_tex >= 0 for d in self.materials):
             mat_features["mask"] = True
+        # metallic flakes: the 3x3x4 jittered-grid search compiles only
+        # when a material has coverage > 0
+        if any(d.flakes_coverage > 0.0 for d in self.materials):
+            mat_features["flakes"] = True
         # shadow catchers (ref vertex.zig shadow_catcher_*): dual-occlusion
         # NEE + shadow-density alpha compile only when a catcher exists
         if any(p.shadow_catcher for p in self.props):

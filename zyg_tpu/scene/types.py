@@ -92,6 +92,12 @@ class Materials(NamedTuple):
     # opacity mask texture (ref material_base.zig mask + stochasticOpacity;
     # -1 = fully opaque)
     mask_tex: jax.Array = None  # int32[M]
+    # metallic flakes (ref substitute_material.zig flakes_*): coverage 0 =
+    # off; res = jittered flake-grid resolution; alpha = flake roughness^2
+    flakes_coverage: jax.Array = None  # float32[M]
+    flakes_alpha: jax.Array = None  # float32[M]
+    flakes_res: jax.Array = None  # float32[M]
+    flakes_color: jax.Array = None  # float32[M,3]
 
     @property
     def count(self) -> int:
