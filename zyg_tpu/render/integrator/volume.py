@@ -153,11 +153,15 @@ class VolumeEvent(NamedTuple):
     emission: jax.Array = None
 
 
-def sample_interaction(scene: SceneData, medium_prop, o, d, seg_t, u_dist, vol_key):
+def sample_interaction(
+    scene: SceneData, medium_prop, o, d, seg_t, u_dist, vol_key, vol_depth=None
+):
     """Distance sampling through the enclosing medium over [0, seg_t].
 
     u_dist: Sobol uniform for the homogeneous (QMC-friendly) path; vol_key:
     per-lane uint32 evolving key for the hetero tracking stream.
+    vol_depth: per-lane volume bounce count for the dense-SSS similarity
+    relation (must match the integrator's phase-function call).
     Returns a VolumeEvent; lanes in vacuum get weight 1 / no event.
     """
     nsh = medium_prop.shape
@@ -170,7 +174,9 @@ def sample_interaction(scene: SceneData, medium_prop, o, d, seg_t, u_dist, vol_k
             jnp.ones(nsh + (3,), jnp.float32),
         )
     med_mat = medium_material(scene, medium_prop)
-    mu_t, mu_s, _g = mat.medium_coefficients(scene.materials, med_mat)
+    mu_t, mu_s, _g = mat.medium_coefficients(
+        scene.materials, med_mat, vol_depth=vol_depth
+    )
     seg = jnp.minimum(seg_t, jnp.float32(3.0e37))
     # emissive media (ref trackingEmission): e = emission of the enclosing
     # volumetric material; compiled away unless a volumetric material emits
@@ -344,12 +350,49 @@ def sample_interaction(scene: SceneData, medium_prop, o, d, seg_t, u_dist, vol_k
 def _prop_interval(scene: SceneData, prop_idx: int, shape: int, o, d, tmax):
     """[t0, t1] of the ray inside volume prop `prop_idx`.
 
-    Exact for spheres (quadratic) and everything else via the object unit
-    cube (cubes exactly; other shapes conservatively by their bound)."""
+    Exact for spheres (quadratic) and triangle meshes (the chord between
+    the next two surface crossings, ref triangle_tree.zig:353 scatter);
+    everything else via the object unit cube (cubes exactly; other shapes
+    conservatively by their bound)."""
     rot = scene.prop_rot[prop_idx]
     pos = scene.prop_pos[prop_idx]
     scale = scene.prop_scale[prop_idx]
     from ...scene.types import ShapeType
+
+    if shape == int(ShapeType.TRIANGLE_MESH) and scene.meshes is not None:
+        # SSS through mesh interiors: the chord from the next entry (or
+        # the origin, when already inside) to the following exit. Two
+        # BLAS walks; compiled only for scenes with mesh volume props.
+        from ...scene import trimesh as tm
+
+        lo = vm.world_to_object_point(rot, scale, pos, o)
+        ld = vm.world_to_object_vector(rot, scale, d)
+        n = o.shape[:-1]
+        mesh_id = scene.prop_mesh[jnp.asarray(prop_idx, jnp.int32)]
+        root = jnp.broadcast_to(scene.meshes.mesh_root[mesh_id], n)
+        big = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), n)
+        h1 = tm.traverse(scene.meshes, root, lo, ld, jnp.float32(0.0), big)
+        hit1 = h1.prim >= 0
+        pr = jnp.maximum(h1.prim, 0)
+        gn = vm.cross(scene.meshes.tri_e1[pr], scene.meshes.tri_e2[pr])
+        exiting = vm.dot(ld, gn) > 0.0  # origin already inside the mesh
+        eps = 1e-4 * jnp.maximum(h1.t, 1.0)
+        o2 = lo + (h1.t + eps)[..., None] * ld
+        r2 = jnp.where(hit1 & ~exiting, root, -1)
+        h2 = tm.traverse(scene.meshes, r2, o2, ld, jnp.float32(0.0), big)
+        t0 = jnp.where(hit1 & ~exiting, h1.t, 0.0)
+        t1 = jnp.where(
+            hit1,
+            jnp.where(
+                exiting,
+                h1.t,
+                jnp.where(h2.prim >= 0, h1.t + eps + h2.t, h1.t),
+            ),
+            0.0,
+        )
+        t0 = jnp.maximum(t0, 0.0)
+        t1 = jnp.minimum(t1, tmax)
+        return t0, jnp.maximum(t1, t0)
 
     if shape == int(ShapeType.SPHERE):
         v = pos - o

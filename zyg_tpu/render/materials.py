@@ -1131,12 +1131,19 @@ def can_evaluate(params):
     return ok
 
 
-def medium_coefficients(materials: Materials, medium_mat):
+def medium_coefficients(materials: Materials, medium_mat, vol_depth=None):
     """(mu_t, mu_s, g) of the enclosing medium; zeros in air.
 
     ref collision_coefficients.zig: mu_t = -ln(clamp(attenuation color)) /
     attenuation_distance; the single-scatter albedo comes from the
     subsurface color via the van-de-Hulst-style inversion in scattering().
+
+    vol_depth: int32[N] per-lane volume bounce count — applies the dense-
+    SSS similarity relation (ref volumetric_material.zig
+    similarityRelationScale / vanDeHulstAnisotropy): after SR_LOW volume
+    bounces g lerps toward 0 by SR_HIGH, and mu_s scales by the van de
+    Hulst factor (1-g)/(1-gs) so deep multiple scattering runs isotropic
+    at equal transport — fewer, cheaper bounces inside dense media.
     """
     inside = medium_mat >= 0
     m = jnp.maximum(medium_mat, 0)
@@ -1156,7 +1163,22 @@ def medium_coefficients(materials: Materials, medium_mat):
     # only volumetric media scatter; glass interiors absorb only
     is_volume = small_gather(materials.kind, m) == int(MaterialKind.VOLUMETRIC)
     mu_s = jnp.where((has & is_volume)[..., None], mu_s, 0.0)
-    return mu_t, mu_s, jnp.where(inside, g, 0.0)
+    g = jnp.where(inside, g, 0.0)
+    if vol_depth is not None:
+        towards0 = jnp.clip(
+            (vol_depth.astype(jnp.float32) - SR_LOW) / (SR_HIGH - SR_LOW), 0.0, 1.0
+        )
+        gs = g * (1.0 - towards0)
+        scale = (1.0 - g) / jnp.maximum(1.0 - gs, 1e-6)
+        mu_s = mu_s * scale[..., None]
+        g = gs
+    return mu_t, mu_s, g
+
+
+# dense-SSS similarity relation bounds (ref volumetric_material.zig
+# sr_low/sr_high defaults)
+SR_LOW = 16.0
+SR_HIGH = 48.0
 
 
 def hg_phase(cos_theta, g):

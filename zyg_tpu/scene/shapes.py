@@ -658,6 +658,13 @@ def build_fragment(scene: SceneData, hit: Hit, o, d, need_uv: bool | None = None
         is_mesh = (shape == int(ShapeType.TRIANGLE_MESH)) & (hit.prim >= 0)
         e1 = arena.tri_e1[pr]
         e2 = arena.tri_e2[pr]
+        if arena.tri_e1_d is not None and time is not None:
+            # deforming mesh: edges at the lane's shutter time (the
+            # geometric normal follows the deformation; per-vertex
+            # shading normals stay frame-0 — small-angle approximation)
+            tt = time[..., None]
+            e1 = e1 + tt * arena.tri_e1_d[pr]
+            e2 = e2 + tt * arena.tri_e2_d[pr]
         gn_l = vm.safe_normalize(vm.cross(e1, e2))
         w0 = 1.0 - hit.u - hit.v
         tn = arena.tri_n[pr]  # [N,3,3]

@@ -95,6 +95,14 @@ class MeshArena(NamedTuple):
     mesh_root: jax.Array  # [K] int32 root wide node per mesh
     # STATIC metadata on the dict KEY: (max_stack_depth,) — jit specializes
     meta: dict = None
+    # motion meshes (ref triangle_motion_tree.zig, shutter-endpoint form):
+    # per-triangle DELTAS frame1-frame0 of the leaf rows and shading
+    # arrays; None = static arena (the lerp compiles away). Node AABBs
+    # bound the UNION of both frames.
+    tri_rows_d: jax.Array = None  # [G, 9*LEAF_SIZE]
+    tri_p0_d: jax.Array = None  # [Tp,3]
+    tri_e1_d: jax.Array = None  # [Tp,3]
+    tri_e2_d: jax.Array = None  # [Tp,3]
 
     @property
     def num_meshes(self) -> int:
@@ -109,6 +117,9 @@ class HostMesh(NamedTuple):
     normals: np.ndarray | None = None  # [V,3]
     uvs: np.ndarray | None = None  # [V,2]
     parts: np.ndarray | None = None  # [F] part id
+    # deforming mesh: vertex positions at the shutter CLOSE endpoint
+    # (ref triangle_motion_tree.zig frames; SUB Position num_frames > 1)
+    positions_end: np.ndarray | None = None  # [V,3]
 
 
 def _pack_wide(bvh: FlatBVH, group_off: int, node_off: int):
@@ -197,6 +208,8 @@ def build_arena(meshes: list[HostMesh], return_host_info: bool = False):
     """
     all_rows, all_trirows = [], []
     all_p0, all_e1, all_e2, all_n, all_uv, all_part = [], [], [], [], [], []
+    all_trirows_d, all_p0_d, all_e1_d, all_e2_d = [], [], [], []
+    any_motion = any(m.positions_end is not None for m in meshes)
     roots = []
     host_info = []
     node_off = 0
@@ -211,12 +224,29 @@ def build_arena(meshes: list[HostMesh], return_host_info: bool = False):
         v2 = pos[idx[:, 2]]
         pmin = np.minimum(np.minimum(v0, v1), v2)
         pmax = np.maximum(np.maximum(v0, v1), v2)
+        if mesh.positions_end is not None:
+            # deforming mesh: node AABBs bound BOTH shutter endpoints
+            # (ref triangle_motion_tree.zig interval bounds)
+            pe = np.asarray(mesh.positions_end, np.float32)
+            w0, w1, w2 = pe[idx[:, 0]], pe[idx[:, 1]], pe[idx[:, 2]]
+            pmin = np.minimum(pmin, np.minimum(np.minimum(w0, w1), w2))
+            pmax = np.maximum(pmax, np.maximum(np.maximum(w0, w1), w2))
         bvh: FlatBVH = build_bvh(pmin, pmax, leaf_size=LEAF_SIZE)
 
         order = bvh.prim_order
         p0 = v0[order]
         e1 = v1[order] - p0
         e2 = v2[order] - p0
+        if any_motion:
+            if mesh.positions_end is not None:
+                p0e = w0[order]
+                e1e = w1[order] - p0e
+                e2e = w2[order] - p0e
+                dp0, de1, de2 = p0e - p0, e1e - e1, e2e - e2
+            else:
+                dp0 = np.zeros_like(p0)
+                de1 = np.zeros_like(e1)
+                de2 = np.zeros_like(e2)
 
         if mesh.normals is not None:
             nrm = np.asarray(mesh.normals, np.float32)
@@ -263,11 +293,25 @@ def build_arena(meshes: list[HostMesh], return_host_info: bool = False):
         puv[dst] = tuv[src]
         ppart[dst] = part[src]
 
-        tri_rows = np.concatenate(
-            [pp0.reshape(num_groups, -1, 3), pe1.reshape(num_groups, -1, 3),
-             pe2.reshape(num_groups, -1, 3)],
-            axis=2,  # [G, LEAF_SIZE, 9] -> interleave (p0,e1,e2) per tri
-        ).reshape(num_groups, LEAF_SIZE * 9)
+        def rows_of(a, b, c):
+            return np.concatenate(
+                [a.reshape(num_groups, -1, 3), b.reshape(num_groups, -1, 3),
+                 c.reshape(num_groups, -1, 3)],
+                axis=2,  # [G, LEAF_SIZE, 9] -> interleave (p0,e1,e2) per tri
+            ).reshape(num_groups, LEAF_SIZE * 9)
+
+        tri_rows = rows_of(pp0, pe1, pe2)
+        if any_motion:
+            pp0d = np.zeros((tp, 3), np.float32)
+            pe1d = np.zeros((tp, 3), np.float32)
+            pe2d = np.zeros((tp, 3), np.float32)
+            pp0d[dst] = dp0[src]
+            pe1d[dst] = de1[src]
+            pe2d[dst] = de2[src]
+            all_trirows_d.append(rows_of(pp0d, pe1d, pe2d))
+            all_p0_d.append(pp0d)
+            all_e1_d.append(pe1d)
+            all_e2_d.append(pe2d)
 
         rows, depth = _pack_wide(bvh, group_off, node_off)
         max_depth = max(max_depth, depth)
@@ -303,6 +347,10 @@ def build_arena(meshes: list[HostMesh], return_host_info: bool = False):
         tri_part=cat(all_part),
         mesh_root=jnp.asarray(host_roots),
         meta={(max_depth,): True},
+        tri_rows_d=cat(all_trirows_d) if any_motion else None,
+        tri_p0_d=cat(all_p0_d) if any_motion else None,
+        tri_e1_d=cat(all_e1_d) if any_motion else None,
+        tri_e2_d=cat(all_e2_d) if any_motion else None,
     )
     if return_host_info:
         return arena, host_info, {"node_rows": host_nodes, "mesh_root": host_roots}
@@ -365,11 +413,15 @@ class TState(NamedTuple):
 _COMPACT_MIN = 1 << 16
 
 
-def traverse(arena: MeshArena, root, o, d, tmin, tmax, any_hit: bool = False) -> MeshHit:
+def traverse(
+    arena: MeshArena, root, o, d, tmin, tmax, any_hit: bool = False, time=None
+) -> MeshHit:
     """Wide-BVH closest-hit traversal, vectorized over lanes.
 
     root: int32[N] per-lane root wide node (-1 = lane inactive). o/d in
     object space; t values stay in the caller's parameter units.
+    time: [N] shutter time — deforming arenas (tri_rows_d) lerp the leaf
+    triangles per lane; ignored (compiled away) for static arenas.
 
     Each iteration gathers ONE 64-float node row, slab-tests its 8 children
     and sorts them near-to-far by packing (t_near bits &~7 | slot) into one
@@ -389,8 +441,12 @@ def traverse(arena: MeshArena, root, o, d, tmin, tmax, any_hit: bool = False) ->
     """
     n = o.shape[:-1]
     root = jnp.asarray(root, jnp.int32)
+    if arena.tri_rows_d is not None and time is None:
+        time = jnp.zeros(n, jnp.float32)
     if len(n) != 1 or n[0] < 4 * _COMPACT_MIN:
-        return _traverse_stage(arena, root, o, d, tmin, tmax, any_hit, None)[0]
+        return _traverse_stage(
+            arena, root, o, d, tmin, tmax, any_hit, None, time=time
+        )[0]
 
     width = n[0]
     inv = _inv_dir(d)
@@ -398,11 +454,13 @@ def traverse(arena: MeshArena, root, o, d, tmin, tmax, any_hit: bool = False) ->
     gmap = None  # stage-local index -> original lane (None = identity)
     st = None
     o_s, d_s, inv_s = o, d, inv
+    time_s = time
     while True:
         nxt = max(width // 4, _COMPACT_MIN)
         limit = None if width <= _COMPACT_MIN else nxt
         hit, st = _traverse_stage(
-            arena, root, o_s, d_s, tmin, tmax, any_hit, limit, state=st
+            arena, root, o_s, d_s, tmin, tmax, any_hit, limit, state=st,
+            time=time_s,
         )
         if res is None:
             res = hit
@@ -423,6 +481,8 @@ def traverse(arena: MeshArena, root, o, d, tmin, tmax, any_hit: bool = False) ->
         gmap = (ls if gmap is None else gmap[ls])
         gmap = jnp.where(valid, gmap, n[0])
         o_s, d_s, inv_s = o_s[ls], d_s[ls], inv_s[ls]
+        if time_s is not None:
+            time_s = time_s[ls]
         root = None
         st = TState(
             node=st.node[ls], rank=st.rank[ls], sp=st.sp[ls],
@@ -433,7 +493,8 @@ def traverse(arena: MeshArena, root, o, d, tmin, tmax, any_hit: bool = False) ->
 
 
 def _traverse_stage(
-    arena: MeshArena, root, o, d, tmin, tmax, any_hit, live_limit, state=None
+    arena: MeshArena, root, o, d, tmin, tmax, any_hit, live_limit, state=None,
+    time=None,
 ):
     """One while_loop stage of `traverse`. With live_limit, the loop exits
     once the live-lane count drops to <= live_limit (cascade stages);
@@ -519,6 +580,11 @@ def _traverse_stage(
         # ---- leaf: one 144-float row = 16 Möller tests
         g = jnp.where(at_leaf, -cref - 2, 0)
         tr = trows[g].reshape(n + (LEAF_SIZE, 9))
+        if arena.tri_rows_d is not None:
+            # deforming mesh: lerp the whole leaf row to the lane's
+            # shutter time (one extra fat gather; static arenas skip)
+            trd = arena.tri_rows_d[g].reshape(n + (LEAF_SIZE, 9))
+            tr = tr + time[..., None, None] * trd
         tt, uu, vv, th = _tri_test(
             o[..., None, :], d[..., None, :],
             tr[..., 0:3], tr[..., 3:6], tr[..., 6:9], tmin, s.t[..., None],
@@ -797,7 +863,7 @@ def intersect_instances(
         o_l = vm.world_to_object_point(rot, scale, pos, o)
         d_l = vm.world_to_object_vector(rot, scale, d)
         root_l = jnp.where(active, row[..., 20].astype(i32), -1)
-        mh = traverse(arena, root_l, o_l, d_l, tmin, s.t, any_hit=any_hit)
+        mh = traverse(arena, root_l, o_l, d_l, tmin, s.t, any_hit=any_hit, time=tl)
         closer = mh.prim >= 0  # traversal was bounded by s.t
         return IState(
             t=jnp.where(closer, mh.t, s.t),
