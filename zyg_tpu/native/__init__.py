@@ -30,7 +30,7 @@ def _load():
     try:
         if not os.path.exists(_LIB_PATH) or os.path.getmtime(_LIB_PATH) < os.path.getmtime(src):
             subprocess.run(
-                ["g++", "-O2", "-shared", "-fPIC", "-o", _LIB_PATH, src],
+                ["g++", "-O2", "-shared", "-fPIC", "-pthread", "-o", _LIB_PATH, src],
                 check=True,
                 capture_output=True,
             )
