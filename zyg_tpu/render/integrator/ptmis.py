@@ -341,6 +341,7 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
             scene, hit, s.o, s.d, need_tangents=has_tex or has_hair, time=s.time
         )
         tex_xi = None
+        uv_alt = None
         if has_tex:
             # stochastic texture filtering (ref texture.zig:18
             # LinearStochastic is the reference default): jitter from the
@@ -348,10 +349,14 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
             kx = hash2_u32(s.vol_key ^ jnp.uint32(0xA511E9B3), s.depth.astype(jnp.uint32))
             ky = hash_u32(kx ^ jnp.uint32(0x85EBCA6B))
             tex_xi = jnp.stack([u32_to_float(kx), u32_to_float(ky)], -1)
+            if scene.mat_features is not None and "triplanar" in scene.mat_features:
+                # alternate coordinate set for Triplanar/ObjectPos
+                # textures (ref renderstate.zig triplanarSt)
+                uv_alt = mat.triplanar_uv(scene, frag)
             frag = frag._replace(
                 n=mat.apply_normal_map(
                     scene.materials, scene.textures, frag.material, frag.uv,
-                    frag.n, frag.t, frag.b, tex_xi=tex_xi,
+                    frag.n, frag.t, frag.b, tex_xi=tex_xi, uv_alt=uv_alt,
                 )
             )
         if has_media:
@@ -369,7 +374,7 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
             medium_ior = None
         params = mat.gather(
             scene.materials, frag.material, medium_ior, scene.textures, frag.uv,
-            features=scene.mat_features, tex_xi=tex_xi,
+            features=scene.mat_features, tex_xi=tex_xi, uv_alt=uv_alt,
         )
         if settings.regularize_roughness > 0.0:
             # path-space regularization: widen lobes after rough bounces
@@ -514,8 +519,8 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
                 hit.t >= RAY_MAX_T, hit.t, vm.length(frag.p - s.mis_o)
             )
             lp = ls_mod.light_hit_pdf(
-                scene, hit.prop, s.mis_o, s.d, eff_t, frag.p, frag.geo_n, frag.geo_n,
-                total_sphere=s.from_volume,
+                scene, hit.prop, s.mis_o, s.d, eff_t, frag.p, frag.geo_n, s.mis_n,
+                total_sphere=s.from_volume, hit_prim=hit.prim,
             ) * ls_mod.light_select_pdf(
                 scene, light_id, p=s.mis_o, n=s.mis_n, total_sphere=s.from_volume,
                 split_threshold=(
@@ -630,7 +635,7 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
                 Returns (contribution[N,3], active[N])."""
                 lsmp = ls_mod.sample_light(
                     scene, light_idx, nee_p, frag.geo_n, xi, total_sphere=scatter,
-                    xi3=xi3,
+                    xi3=xi3, ns=frag.n,
                 )
                 radiance = ls_mod.light_radiance(
                     scene, light_idx, lsmp.wi, lsmp.light_n, lsmp.uv,

@@ -118,7 +118,7 @@ def ior_to_f0(ior, ior_outside):
     return t * t
 
 
-def gather(materials: Materials, mat_id, medium_ior=None, textures=None, uv=None, features=None, tex_xi=None):
+def gather(materials: Materials, mat_id, medium_ior=None, textures=None, uv=None, features=None, tex_xi=None, uv_alt=None):
     """Gather per-lane material parameters + derived BSDF constants.
 
     medium_ior: IoR of the medium the ray travels in (1.0 = air).
@@ -140,9 +140,9 @@ def gather(materials: Materials, mat_id, medium_ior=None, textures=None, uv=None
         # LinearStochastic is the reference's default sampler
         # (ref texture.zig:18): one jittered texel instead of four
         samp = (
-            (lambda t, i, u: sample_stochastic(t, i, u, tex_xi))
+            (lambda t, i, u: sample_stochastic(t, i, u, tex_xi, uv_alt=uv_alt))
             if tex_xi is not None
-            else sample_bilinear
+            else (lambda t, i, u: sample_bilinear(t, i, u, uv_alt=uv_alt))
         )
         ct = small_gather(materials.color_tex, m)
         color = jnp.where(
@@ -159,7 +159,9 @@ def gather(materials: Materials, mat_id, medium_ior=None, textures=None, uv=None
         # footprint-smoothed value converges at production sample counts
         et = small_gather(materials.emission_tex, m)
         emission_scale = jnp.where(
-            (et >= 0)[..., None], sample_bilinear(textures, et, uv)[..., :3], 1.0
+            (et >= 0)[..., None],
+            sample_bilinear(textures, et, uv, uv_alt=uv_alt)[..., :3],
+            1.0,
         )
     roughness = jnp.maximum(roughness, MIN_ROUGHNESS)
     alpha = roughness * roughness
@@ -238,6 +240,26 @@ _FLAKE_A2_LIMIT = (2.0 * np.pi * (1.0 - np.cos(np.deg2rad(7.0)))) / (
 )
 
 
+def triplanar_uv(scene, frag):
+    """Object-space triplanar uv of a fragment (ref material_helper.zig
+    triplanarMapping): dominant-normal-axis planar projection, sign-fixed.
+    Feeds textures with texcoord Triplanar/ObjectPos and the flake grid."""
+    pr = jnp.maximum(frag.prop, 0)
+    rot = small_gather(scene.prop_rot, pr)
+    pos = small_gather(scene.prop_pos, pr)
+    op = vm.world_to_object_normal(rot, frag.p - pos)
+    on = vm.world_to_object_normal(rot, frag.n)
+    an = jnp.abs(on)
+    ax = (an[..., 0] > an[..., 1]) & (an[..., 0] > an[..., 2])
+    ay = (an[..., 1] > an[..., 0]) & (an[..., 1] > an[..., 2]) & ~ax
+    sgn = jnp.sign(jnp.where(ax, on[..., 0], jnp.where(ay, on[..., 1], on[..., 2])))
+    u = jnp.where(
+        ax, sgn * op[..., 2], jnp.where(ay, sgn * op[..., 0], -sgn * op[..., 0])
+    ) + 0.5
+    v = jnp.where(ax, -op[..., 1], jnp.where(ay, -op[..., 2], -op[..., 1])) + 0.5
+    return jnp.stack([u, v], -1)
+
+
 def apply_flakes(scene, params, frag, wo):
     """Metallic flakes (ref substitute_material.zig sample(): jittered-grid
     Voronoi flakes over a triplanar object-space uv). Lanes landing on a
@@ -256,20 +278,8 @@ def apply_flakes(scene, params, frag, wo):
     fcol = small_gather(mats.flakes_color, m_id)
     is_sub = params["kind"] == int(MaterialKind.SUBSTITUTE)
 
-    pr = jnp.maximum(frag.prop, 0)
-    rot = small_gather(scene.prop_rot, pr)
-    pos = small_gather(scene.prop_pos, pr)
-    op = vm.world_to_object_normal(rot, frag.p - pos)
-    on = vm.world_to_object_normal(rot, frag.n)
-    # triplanar mapping (ref material_helper.zig triplanarMapping)
-    an = jnp.abs(on)
-    ax = (an[..., 0] > an[..., 1]) & (an[..., 0] > an[..., 2])
-    ay = (an[..., 1] > an[..., 0]) & (an[..., 1] > an[..., 2]) & ~ax
-    sgn = jnp.sign(jnp.where(ax, on[..., 0], jnp.where(ay, on[..., 1], on[..., 2])))
-    u = jnp.where(
-        ax, sgn * op[..., 2], jnp.where(ay, sgn * op[..., 0], -sgn * op[..., 0])
-    ) + 0.5
-    v = jnp.where(ax, -op[..., 1], jnp.where(ay, -op[..., 2], -op[..., 1])) + 0.5
+    uv3 = triplanar_uv(scene, frag)
+    u, v = uv3[..., 0], uv3[..., 1]
     suv_x = res * jnp.mod(u, 1.0)
     suv_y = res * jnp.mod(v, 1.0)
     bx = jnp.floor(suv_x).astype(jnp.int32)
@@ -386,7 +396,7 @@ def regularize_alpha(params, reg_alpha_prev, weight: float, caustics: bool):
     return out
 
 
-def apply_normal_map(materials: Materials, textures, mat_id, uv, n, t, b, tex_xi=None):
+def apply_normal_map(materials: Materials, textures, mat_id, uv, n, t, b, tex_xi=None, uv_alt=None):
     """Perturb the shading normal by the material's tangent-space normal map
     (ref substitute material sample(): normal_map -> TBN rotate). No-op for
     lanes whose material has no map."""
@@ -397,9 +407,9 @@ def apply_normal_map(materials: Materials, textures, mat_id, uv, n, t, b, tex_xi
     m = jnp.maximum(mat_id, 0)
     nt = small_gather(materials.normal_tex, m)
     if tex_xi is not None:
-        nm = sample_stochastic(textures, jnp.maximum(nt, 0), uv, tex_xi)[..., :3] * 2.0 - 1.0
+        nm = sample_stochastic(textures, jnp.maximum(nt, 0), uv, tex_xi, uv_alt=uv_alt)[..., :3] * 2.0 - 1.0
     else:
-        nm = sample_bilinear(textures, jnp.maximum(nt, 0), uv)[..., :3] * 2.0 - 1.0
+        nm = sample_bilinear(textures, jnp.maximum(nt, 0), uv, uv_alt=uv_alt)[..., :3] * 2.0 - 1.0
     n_pert = vm.safe_normalize(
         nm[..., 0:1] * t + nm[..., 1:2] * b + jnp.maximum(nm[..., 2:3], 0.1) * n
     )

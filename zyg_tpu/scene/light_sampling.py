@@ -200,7 +200,7 @@ def sphquad_pdf(q: SphQuad, o_local, scale_x, scale_y):
 # ---------------------------------------------------------------------------
 
 
-def sample_light(scene: SceneData, light_idx, p, n, xi, total_sphere=False, xi3=None) -> LightSample:
+def sample_light(scene: SceneData, light_idx, p, n, xi, total_sphere=False, xi3=None, ns=None) -> LightSample:
     """Sample a direction to light `light_idx` from shading point p.
 
     xi: [N,2] uniforms (+ xi3 [N] when the scene has volume lights — interior
@@ -367,6 +367,28 @@ def sample_light(scene: SceneData, light_idx, p, n, xi, total_sphere=False, xi3=
 
         lo, hi = jax.lax.fori_loop(0, 24, bs_step, (lo, hi))
         tri = scene.lights.tri_idx[jnp.clip(lo, 0, scene.lights.tri_idx.shape[0] - 1)]
+        area = small_gather(scene.lights.area, li)
+        if scene.mesh_light_trees:
+            # primitive light tree over large emitters (ref
+            # light_tree.zig:520): position-aware triangle selection; the
+            # selection pdf folds into an EFFECTIVE area (area_tri / psel)
+            # so the shared pdf expression below stays sl / (cos * area)
+            from . import light_tree as lt_mod
+
+            ts_b = jnp.broadcast_to(jnp.asarray(total_sphere), u.shape)
+            n_recv = ns if ns is not None else n  # must match the hit
+            # side's n_at_origin (= mis_n, the SHADING normal)
+            for (l_const, _base), (tr, aux) in sorted(
+                scene.mesh_light_trees.items()
+            ):
+                m_l = light_idx == l_const
+                loc, psel = lt_mod.select(tr, p, n_recv, ts_b, u)
+                tri = jnp.where(m_l, aux["arena"][loc], tri)
+                area = jnp.where(
+                    m_l,
+                    aux["area"][loc] / jnp.maximum(psel, 1e-20),
+                    area,
+                )
         # object-space triangle -> world via the light prop transform
         p0 = vm.object_to_world_point(rot, scale, pos, scene.meshes.tri_p0[tri])
         e1 = vm.object_to_world_vector(rot, scale, scene.meshes.tri_e1[tri])
@@ -380,7 +402,6 @@ def sample_light(scene: SceneData, light_idx, p, n, xi, total_sphere=False, xi3=
         mt = jnp.sqrt(sl)
         mwi = axis / mt[..., None]
         cosl = jnp.abs(vm.dot(mn, mwi))
-        area = small_gather(scene.lights.area, li)
         k = int(ShapeType.TRIANGLE_MESH)
         wi_v[k] = mwi
         pdf_v[k] = sl / jnp.maximum(cosl * area, 1e-20)
@@ -593,7 +614,7 @@ def light_radiance(scene: SceneData, light_idx, wi, light_n, uv=None, vol=None):
     return out
 
 
-def light_hit_pdf(scene: SceneData, prop, ray_o, ray_d, hit_t, hit_p, hit_n, n_at_origin, total_sphere=False):
+def light_hit_pdf(scene: SceneData, prop, ray_o, ray_d, hit_t, hit_p, hit_n, n_at_origin, total_sphere=False, hit_prim=None):
     """Solid-angle pdf that NEE from ray_o would have sampled this hit —
     the light side of the MIS weight for BSDF hits (ref shape pdf fns).
     Only light shape types present in the scene are evaluated.
@@ -652,6 +673,27 @@ def light_hit_pdf(scene: SceneData, prop, ray_o, ray_d, hit_t, hit_p, hit_n, n_a
         area = small_gather(scene.lights.area, jnp.clip(li, 0, scene.lights.count - 1))
         sl = jnp.maximum(hit_t * hit_t, 1e-20)
         c = jnp.abs(vm.dot(hit_n, ray_d))
+        if scene.mesh_light_trees and hit_prim is not None:
+            # primitive-tree lights: NEE picked the hit TRIANGLE with the
+            # tree's descent pdf — the MIS density must match exactly
+            # (effective area = tri_area / p_select, same fold as the
+            # sample side)
+            from . import light_tree as lt_mod
+
+            ts_b = jnp.broadcast_to(jnp.asarray(total_sphere), hit_t.shape)
+            for (l_const, base), (tr, aux) in sorted(
+                scene.mesh_light_trees.items()
+            ):
+                lof = aux["local_of"]
+                loc = lof[jnp.clip(hit_prim - base, 0, lof.shape[0] - 1)]
+                okl = (li == l_const) & (hit_prim >= base) & (loc >= 0)
+                psel = lt_mod.pdf(
+                    tr, ray_o, n_at_origin, ts_b, jnp.maximum(loc, 0)
+                )
+                area_t = aux["area"][jnp.maximum(loc, 0)]
+                area = jnp.where(
+                    okl, area_t / jnp.maximum(psel, 1e-20), area
+                )
         vals[int(ShapeType.TRIANGLE_MESH)] = jnp.where(
             area > 0.0, sl / jnp.maximum(c * area, 1e-20), 0.0
         )

@@ -188,6 +188,22 @@ def _read_color(v) -> np.ndarray:
     return np.array([float(x) for x in v[:3]], np.float32)
 
 
+# emissive meshes below this triangle count keep the flat area CDF; above
+# it a primitive light tree drives NEE triangle selection (ref
+# light_tree.zig:520)
+_PRIM_TREE_MIN = 512
+
+
+def _read_texcoord(sampler) -> int:
+    """ref material_provider.zig readTextureSampler "texcoord":
+    UV0 (default) | Triplanar | ObjectPos."""
+    if not isinstance(sampler, dict):
+        return 0
+    return {"UV0": 0, "Triplanar": 1, "ObjectPos": 2}.get(
+        sampler.get("texcoord", "UV0"), 0
+    )
+
+
 def _read_address(sampler) -> tuple[bool, bool]:
     """ref material_provider.zig readTextureSampler "address": scalar or
     [u, v] of "Clamp"/"Repeat"."""
@@ -235,6 +251,7 @@ def parse_material(
             return builder.load_texture(
                 os.path.join(base_dir, v["file"]), srgb=srgb,
                 clamp_u=cu, clamp_v=cv2,
+                texcoord=_read_texcoord(v.get("sampler")),
             )
         if (
             builder is not None
@@ -644,9 +661,9 @@ class SceneBuilder:
 
     def load_texture(
         self, path: str, srgb: bool = False,
-        clamp_u: bool = False, clamp_v: bool = False,
+        clamp_u: bool = False, clamp_v: bool = False, texcoord: int = 0,
     ) -> int:
-        key = (path, srgb, clamp_u, clamp_v)
+        key = (path, srgb, clamp_u, clamp_v, texcoord)
         if not hasattr(self, "_tex_by_path"):
             self._tex_by_path = {}
         if key in self._tex_by_path:
@@ -654,7 +671,9 @@ class SceneBuilder:
         img = load_image(path)
         if img is None:
             return -1
-        tid = self.textures.add(img, srgb=srgb, clamp_u=clamp_u, clamp_v=clamp_v)
+        tid = self.textures.add(
+            img, srgb=srgb, clamp_u=clamp_u, clamp_v=clamp_v, texcoord=texcoord
+        )
         self._tex_by_path[key] = tid
         return tid
 
@@ -827,6 +846,51 @@ class SceneBuilder:
         e1 = w[idx[:, 1]] - w[idx[:, 0]]
         e2 = w[idx[:, 2]] - w[idx[:, 0]]
         return float(0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1).sum())
+
+    def _mesh_light_tree(self, p: PropDesc, mesh_host_info: list[dict]):
+        """Primitive light tree over one emissive mesh's triangles (ref
+        light_tree.zig:520): position/orientation-aware NEE triangle
+        selection for LARGE emitters — the flat area CDF picks far-side
+        triangles as readily as near ones.
+
+        Returns (tree, aux arrays dict, arena_base) for SceneData."""
+        from .light_tree import build_light_tree
+
+        mesh = self.meshes[p.mesh_id]
+        pos = np.asarray(mesh.positions, np.float32)
+        idx = np.asarray(mesh.indices, np.int32)
+        w = (pos * p.trafo.scale) @ p.trafo.rotation + p.trafo.position
+        v0, v1, v2 = w[idx[:, 0]], w[idx[:, 1]], w[idx[:, 2]]
+        info = mesh_host_info[p.mesh_id]
+        order = info["order"]
+        v0, v1, v2 = v0[order], v1[order], v2[order]
+        cn = np.cross(v1 - v0, v2 - v0)
+        areas = 0.5 * np.linalg.norm(cn, axis=-1)
+        nrm = cn / np.maximum(np.linalg.norm(cn, axis=-1, keepdims=True), 1e-20)
+        cent = (v0 + v1 + v2) / 3.0
+        radii = np.sqrt(
+            np.maximum.reduce(
+                [np.sum((v - cent) ** 2, axis=-1) for v in (v0, v1, v2)]
+            )
+        )
+        two = bool(self.materials[p.material].two_sided)
+        cones = np.concatenate([nrm, np.ones((len(nrm), 1), np.float32)], -1)
+        tree = build_light_tree(
+            cent.astype(np.float32), radii.astype(np.float32),
+            cones.astype(np.float32),
+            np.maximum(areas, 1e-12).astype(np.float32),
+            np.full(len(nrm), two, bool), np.ones(len(nrm), bool),
+        )
+        arena_ids = np.asarray(info["arena_ids"], np.int64)
+        base = int(arena_ids.min())
+        local_of = np.full(int(arena_ids.max()) - base + 1, -1, np.int32)
+        local_of[arena_ids - base] = np.arange(len(arena_ids), dtype=np.int32)
+        aux = {
+            "arena": jnp.asarray(arena_ids.astype(np.int32)),
+            "area": jnp.asarray(areas.astype(np.float32)),
+            "local_of": jnp.asarray(local_of),
+        }
+        return tree, aux, base
 
     def _mesh_light_cdf(self, p: PropDesc, mesh_host_info: list[dict]):
         """Per-triangle world-area CDF; triangle ids are ARENA-global
@@ -1087,6 +1151,10 @@ class SceneBuilder:
         # when a material has coverage > 0
         if any(d.flakes_coverage > 0.0 for d in self.materials):
             mat_features["flakes"] = True
+        # triplanar/object-space texture coordinates: the alternate-uv
+        # computation compiles only when a texture asks for it
+        if any(tc > 0 for tc in getattr(self.textures, "_texcoord", [])):
+            mat_features["triplanar"] = True
         # shadow catchers (ref vertex.zig shadow_catcher_*): dual-occlusion
         # NEE + shadow-density alpha compile only when a catcher exists
         if any(p.shadow_catcher for p in self.props):
@@ -1214,10 +1282,12 @@ class SceneBuilder:
                     self.density_grids[m.density_grid]
                 )
 
-        # emissive-mesh triangle CDF arena
+        # emissive-mesh triangle CDF arena (+ primitive light trees for
+        # LARGE emitters, ref light_tree.zig:520)
         light_area = []
         tri_off, tri_cnt = [], []
         tri_cdf_parts, tri_idx_parts = [], []
+        mesh_light_trees = {}
         off = 0
         for li, pi in enumerate(light_props):
             p = props[pi]
@@ -1229,6 +1299,9 @@ class SceneBuilder:
                 tri_cdf_parts.append(mcdf)
                 tri_idx_parts.append(tids)
                 off += len(tids)
+                if len(tids) >= _PRIM_TREE_MIN and not p.animation:
+                    tr, aux, base = self._mesh_light_tree(p, mesh_host_info)
+                    mesh_light_trees[(li, base)] = (tr, aux)
             else:
                 light_area.append(0.0)
                 tri_off.append(-1)
@@ -1289,6 +1362,7 @@ class SceneBuilder:
             env=env_sampler,
             vol_light_dist=vol_light_dist or None,
             portals=portals_dict or None,
+            mesh_light_trees=mesh_light_trees or None,
             animated_props=animated_props or None,
             world_center=world_center,
             world_radius=world_radius,

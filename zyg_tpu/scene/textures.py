@@ -30,6 +30,10 @@ class TextureArena(NamedTuple):
     # per-texture uv address mode (ref sampler_mode.zig Address):
     # bit0 = clamp u, bit1 = clamp v; 0 = repeat both (the default)
     address: jax.Array = None  # int32[K]
+    # per-texture coordinate set (ref sampler_mode.zig TexCoord):
+    # 0 = UV0 (the mesh uv), 1 = Triplanar, 2 = ObjectPos — non-UV0 modes
+    # read the caller's alternate (object-space) uv
+    texcoord: jax.Array = None  # int32[K]
 
     @property
     def count(self) -> int:
@@ -40,6 +44,7 @@ class TextureBuilder:
     def __init__(self):
         self._images: list[np.ndarray] = []
         self._address: list[int] = []
+        self._texcoord: list[int] = []
 
     @staticmethod
     def _convert(image: np.ndarray, srgb: bool) -> np.ndarray:
@@ -68,10 +73,11 @@ class TextureBuilder:
             rgba[..., 3] = 1.0
         return rgba
 
-    def add(self, image: np.ndarray, srgb: bool = False, clamp_u: bool = False, clamp_v: bool = False) -> int:
+    def add(self, image: np.ndarray, srgb: bool = False, clamp_u: bool = False, clamp_v: bool = False, texcoord: int = 0) -> int:
         """image: [H,W,C] uint8/uint16/float32 -> texture id."""
         self._images.append(self._convert(image, srgb))
         self._address.append((1 if clamp_u else 0) | (2 if clamp_v else 0))
+        self._texcoord.append(int(texcoord))
         return len(self._images) - 1
 
     def replace(self, tex_id: int, image: np.ndarray, srgb: bool = False) -> None:
@@ -93,13 +99,24 @@ class TextureBuilder:
             width=jnp.asarray([i.shape[1] for i in self._images], jnp.int32),
             height=jnp.asarray([i.shape[0] for i in self._images], jnp.int32),
             address=jnp.asarray(self._address, jnp.int32),
+            texcoord=jnp.asarray(self._texcoord, jnp.int32),
         )
 
 
-def sample_bilinear(arena: TextureArena, tex_id, uv):
+def _select_uv(arena: TextureArena, tid, uv, uv_alt):
+    """Per-texture coordinate-set selection (ref texture_sampler.zig:
+    Triplanar/ObjectPos read rs.triplanarSt instead of rs.uv)."""
+    if uv_alt is None or arena.texcoord is None:
+        return uv
+    tc = arena.texcoord[tid]
+    return jnp.where((tc > 0)[..., None], uv_alt, uv)
+
+
+def sample_bilinear(arena: TextureArena, tex_id, uv, uv_alt=None):
     """Bilinear sample with wrap addressing. tex_id int32[N], uv [N,2].
     Returns [N,4]; tex_id < 0 returns ones (callers select)."""
     tid = jnp.maximum(tex_id, 0)
+    uv = _select_uv(arena, tid, uv, uv_alt)
     w = arena.width[tid]
     h = arena.height[tid]
     off = arena.offset[tid]
@@ -148,7 +165,7 @@ def sample_nearest(arena: TextureArena, tex_id, uv):
     return arena.data[off + yi * w + xi]
 
 
-def sample_stochastic(arena: TextureArena, tex_id, uv, xi):
+def sample_stochastic(arena: TextureArena, tex_id, uv, xi, uv_alt=None):
     """One-texel stochastic bilinear sample (ref texture.zig: the
     reference's DEFAULT sampler is LinearStochastic).
 
@@ -157,6 +174,7 @@ def sample_stochastic(arena: TextureArena, tex_id, uv, xi):
     weight — so E[sample] equals sample_bilinear at 1/4 the gathers.
     tex_id int32[N], uv [N,2], xi [N,2]. Returns [N,4]."""
     tid = jnp.maximum(tex_id, 0)
+    uv = _select_uv(arena, tid, uv, uv_alt)
     w = arena.width[tid]
     h = arena.height[tid]
     off = arena.offset[tid]

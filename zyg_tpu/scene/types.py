@@ -188,6 +188,13 @@ class SceneData(NamedTuple):
     # STATIC dict {(light_index, portal_prop): portal.PortalDist} — the
     # int keys ride the treedef, values are device distributions
     portals: dict = None
+    # primitive light trees over LARGE emissive meshes (ref
+    # light_tree.zig:520 primitive trees): STATIC dict
+    # {(light_index, arena_base): (LightTree-over-triangles,
+    #  {"arena": local->arena tri id, "area": local tri areas,
+    #   "local_of": arena-offset -> local (-1 pad)})}. Small emitters stay
+    # on the flat area CDF.
+    mesh_light_trees: dict = None
     # motion blur (ref scene/space.zig keyframed transforms): shutter-end
     # transforms for animated props; per-lane time slerps between the two.
     # STATIC dict {prop_index: shape_type} — scenes without motion compile
