@@ -531,7 +531,12 @@ def _traverse_stage(
         return go & (s.it < 65536)
 
     def body(s: TState):
-        row = rows[s.node]  # [N, 8B] fat gather
+        # a lane's cursor (s.node) is either a wide node (>= 0, processed
+        # at child rank s.rank) or a DIRECTLY-popped leaf group (<= -2,
+        # from the hybrid stack encoding below)
+        at_direct_leaf = s.live & (s.node <= -2)
+        is_node_lane = s.node >= 0
+        row = rows[jnp.maximum(s.node, 0)]  # [N, 8B] fat gather
         # ---- slab-test all B children on row column slices
         B = BRANCH
         lox = (row[..., 0 * B : 1 * B] - o[..., 0:1]) * inv[..., 0:1]
@@ -551,6 +556,7 @@ def _traverse_stage(
         refs = row[..., 6 * B : 7 * B]
         nearc = jnp.maximum(jnp.maximum(near, tmin), 0.0)
         hit = (nearc <= far) & (refs != -1.0) & (nearc < s.t[..., None])
+        hit = hit & is_node_lane[..., None]
 
         # ---- pack sortable keys: (t_near bits & ~(B-1)) | slot; misses +inf
         tbits = jax.lax.bitcast_convert_type(nearc, i32) & i32(~(B - 1))
@@ -562,23 +568,31 @@ def _traverse_stage(
             k[b] = jnp.maximum(ka, kb)
         h = jnp.sum(hit, axis=-1).astype(i32)
 
-        # ---- rank-th nearest child
+        # ---- rank-th nearest child (+ the (rank+1)-th for direct pushes)
         key_r = jnp.zeros(n, i32)
+        key_r1 = jnp.zeros(n, i32)
         for j in range(B):
             key_r = jnp.where(s.rank == j, k[j], key_r)
+            key_r1 = jnp.where(s.rank + 1 == j, k[j], key_r1)
         slot_r = key_r & (B - 1)
+        slot_r1 = key_r1 & (B - 1)
         tn_r = jax.lax.bitcast_convert_type(key_r & i32(~(B - 1)), jnp.float32)
-        valid = s.live & (s.rank < h) & (tn_r < s.t)
+        valid = s.live & is_node_lane & (s.rank < h) & (tn_r < s.t)
 
         cref = jnp.zeros(n, jnp.float32)
+        cref1 = jnp.zeros(n, jnp.float32)
         for j in range(B):
             cref = jnp.where(slot_r == j, refs[..., j], cref)
+            cref1 = jnp.where(slot_r1 == j, refs[..., j], cref1)
         cref = cref.astype(i32)
+        cref1 = cref1.astype(i32)
         descend = valid & (cref >= 0)
-        at_leaf = valid & (cref <= -2)
+        at_leaf = (valid & (cref <= -2)) | at_direct_leaf
 
         # ---- leaf: one 144-float row = 16 Möller tests
-        g = jnp.where(at_leaf, -cref - 2, 0)
+        g = jnp.where(
+            at_direct_leaf, -s.node - 2, jnp.where(at_leaf, -cref - 2, 0)
+        )
         tr = trows[g].reshape(n + (LEAF_SIZE, 9))
         if arena.tri_rows_d is not None:
             # deforming mesh: lerp the whole leaf row to the lane's
@@ -603,16 +617,27 @@ def _traverse_stage(
         u_b = jnp.where(found, u16, s.u)
         v_b = jnp.where(found, v16, s.v)
 
-        # ---- continuation: descend pushes (node, rank+1) if ranks remain
+        # ---- continuation. Hybrid stack encoding (low bit): EVEN entry
+        # 2*(node*B + rank) = rank-resume (re-slab the parent, exact
+        # pruning); ODD entry 2*cref + 1 = a DIRECT child ref. When
+        # exactly ONE hit child remains after the current rank, push it
+        # directly — its pop skips the parent re-gather + re-slab
+        # iteration entirely (the common h==2 node costs one slab, not
+        # two). Same one-slot-per-level stack bound either way.
         more = valid & (s.rank + 1 < h)
         push = descend & more
-        ent = s.node * BRANCH + (s.rank + 1)
+        last_one = s.rank + 2 == h  # the (rank+1)-th child is the last
+        ent = jnp.where(
+            last_one,
+            cref1 * 2 + 1,
+            (s.node * BRANCH + (s.rank + 1)) * 2,
+        )
         onehot = iota_s == s.sp[..., None]
         stack = jnp.where(push[..., None] & onehot, ent[..., None], s.stack)
         sp = s.sp + push.astype(i32)
 
         # leaf with remaining ranks continues at (node, rank+1) directly
-        stay = at_leaf & more
+        stay = at_leaf & more & ~at_direct_leaf
         # pop when: pruned/exhausted, or leaf processed with no ranks left
         need_pop = s.live & ~descend & ~stay
         blocked = s.live & found if any_hit else None
@@ -628,9 +653,25 @@ def _traverse_stage(
         if any_hit:
             live = live & ~blocked
 
-        node = jnp.where(descend, cref, jnp.where(can_pop, top // BRANCH, s.node))
+        top_direct = (top & 1) == 1
+        top_ref = jnp.right_shift(top - 1, 1)  # arithmetic: leaf refs < 0
+        top_node = jnp.right_shift(top, 1) // BRANCH
+        top_rank = jnp.right_shift(top, 1) % BRANCH
+        node = jnp.where(
+            descend,
+            cref,
+            jnp.where(
+                can_pop, jnp.where(top_direct, top_ref, top_node), s.node
+            ),
+        )
         rank = jnp.where(
-            descend, 0, jnp.where(stay, s.rank + 1, jnp.where(can_pop, top % BRANCH, s.rank))
+            descend,
+            0,
+            jnp.where(
+                stay,
+                s.rank + 1,
+                jnp.where(can_pop & ~top_direct, top_rank, jnp.where(can_pop, 0, s.rank)),
+            ),
         )
         return TState(
             node=node, rank=rank, sp=sp, stack=stack, live=live,
