@@ -530,12 +530,57 @@ def _traverse_stage(
         go = alive > (0 if live_limit is None else live_limit)
         return go & (s.it < 65536)
 
-    def body(s: TState):
-        # a lane's cursor (s.node) is either a wide node (>= 0, processed
-        # at child rank s.rank) or a DIRECTLY-popped leaf group (<= -2,
-        # from the hybrid stack encoding below)
-        at_direct_leaf = s.live & (s.node <= -2)
-        is_node_lane = s.node >= 0
+    def pop_step(s: TState, need_pop, found, t_b, p_b, u_b, v_b, descend, cref, stay, sp, stack):
+        """Shared continuation/pop logic over the hybrid stack encoding
+        (low bit): EVEN entry 2*(node*B + rank) = rank-resume (re-slab
+        the parent, exact pruning); ODD entry 2*cref + 1 = a DIRECT
+        child ref (node OR parked leaf) — its pop skips the parent
+        re-gather + re-slab iteration entirely."""
+        blocked = s.live & found if any_hit else None
+        if any_hit:
+            need_pop = need_pop & ~blocked
+        can_pop = need_pop & (sp > 0)
+        top = jnp.sum(
+            jnp.where((iota_s == (sp - 1)[..., None]) & can_pop[..., None], stack, 0),
+            axis=-1,
+        )
+        sp = sp - can_pop.astype(i32)
+        live = s.live & ~(need_pop & ~can_pop)
+        if any_hit:
+            live = live & ~blocked
+
+        top_direct = (top & 1) == 1
+        top_ref = jnp.right_shift(top - 1, 1)  # arithmetic: leaf refs < 0
+        top_node = jnp.right_shift(top, 1) // BRANCH
+        top_rank = jnp.right_shift(top, 1) % BRANCH
+        node = jnp.where(
+            descend,
+            cref,
+            jnp.where(
+                can_pop, jnp.where(top_direct, top_ref, top_node), s.node
+            ),
+        )
+        rank = jnp.where(
+            descend,
+            0,
+            jnp.where(
+                stay,
+                s.rank + 1,
+                jnp.where(can_pop & ~top_direct, top_rank, jnp.where(can_pop, 0, s.rank)),
+            ),
+        )
+        return TState(
+            node=node, rank=rank, sp=sp, stack=stack, live=live,
+            t=t_b, prim=p_b, u=u_b, v=v_b, it=s.it + 1,
+        )
+
+    def node_body(s: TState):
+        """NODE phase: lanes at wide nodes descend one child; a leaf
+        child PARKS (node' = leaf ref <= -2) for a later LEAF phase.
+        Parked lanes idle. No triangle-row gathers in this phase — the
+        576-byte leaf row is ~4x a node gather (measured), so batching
+        leaf tests into dedicated iterations pays for the idling."""
+        is_node_lane = s.live & (s.node >= 0)
         row = rows[jnp.maximum(s.node, 0)]  # [N, 8B] fat gather
         # ---- slab-test all B children on row column slices
         B = BRANCH
@@ -577,7 +622,7 @@ def _traverse_stage(
         slot_r = key_r & (B - 1)
         slot_r1 = key_r1 & (B - 1)
         tn_r = jax.lax.bitcast_convert_type(key_r & i32(~(B - 1)), jnp.float32)
-        valid = s.live & is_node_lane & (s.rank < h) & (tn_r < s.t)
+        valid = is_node_lane & (s.rank < h) & (tn_r < s.t)
 
         cref = jnp.zeros(n, jnp.float32)
         cref1 = jnp.zeros(n, jnp.float32)
@@ -586,13 +631,34 @@ def _traverse_stage(
             cref1 = jnp.where(slot_r1 == j, refs[..., j], cref1)
         cref = cref.astype(i32)
         cref1 = cref1.astype(i32)
-        descend = valid & (cref >= 0)
-        at_leaf = (valid & (cref <= -2)) | at_direct_leaf
+        # a leaf child PARKS exactly like a node descend (node' = cref)
+        descend = valid & (cref != -1)
 
-        # ---- leaf: one 144-float row = 16 Möller tests
-        g = jnp.where(
-            at_direct_leaf, -s.node - 2, jnp.where(at_leaf, -cref - 2, 0)
+        more = valid & (s.rank + 1 < h)
+        push = descend & more
+        last_one = s.rank + 2 == h  # the (rank+1)-th child is the last
+        ent = jnp.where(
+            last_one,
+            cref1 * 2 + 1,
+            (s.node * BRANCH + (s.rank + 1)) * 2,
         )
+        onehot = iota_s == s.sp[..., None]
+        stack = jnp.where(push[..., None] & onehot, ent[..., None], s.stack)
+        sp = s.sp + push.astype(i32)
+
+        # idle parked lanes are neither descending nor popping
+        need_pop = is_node_lane & ~descend
+        falses = jnp.zeros(n, bool)
+        return pop_step(
+            s, need_pop, falses, s.t, s.prim, s.u, s.v, descend, cref,
+            falses, sp, stack,
+        )
+
+    def leaf_body(s: TState):
+        """LEAF phase: every parked lane Möller-tests its 144-float
+        triangle row, then pops; node lanes idle this iteration."""
+        at_leaf = s.live & (s.node <= -2)
+        g = jnp.where(at_leaf, -s.node - 2, 0)
         tr = trows[g].reshape(n + (LEAF_SIZE, 9))
         if arena.tri_rows_d is not None:
             # deforming mesh: lerp the whole leaf row to the lane's
@@ -617,66 +683,20 @@ def _traverse_stage(
         u_b = jnp.where(found, u16, s.u)
         v_b = jnp.where(found, v16, s.v)
 
-        # ---- continuation. Hybrid stack encoding (low bit): EVEN entry
-        # 2*(node*B + rank) = rank-resume (re-slab the parent, exact
-        # pruning); ODD entry 2*cref + 1 = a DIRECT child ref. When
-        # exactly ONE hit child remains after the current rank, push it
-        # directly — its pop skips the parent re-gather + re-slab
-        # iteration entirely (the common h==2 node costs one slab, not
-        # two). Same one-slot-per-level stack bound either way.
-        more = valid & (s.rank + 1 < h)
-        push = descend & more
-        last_one = s.rank + 2 == h  # the (rank+1)-th child is the last
-        ent = jnp.where(
-            last_one,
-            cref1 * 2 + 1,
-            (s.node * BRANCH + (s.rank + 1)) * 2,
+        falses = jnp.zeros(n, bool)
+        zeros = jnp.zeros(n, i32)
+        return pop_step(
+            s, at_leaf, found & at_leaf, t_b, p_b, u_b, v_b, falses,
+            zeros, falses, s.sp, s.stack,
         )
-        onehot = iota_s == s.sp[..., None]
-        stack = jnp.where(push[..., None] & onehot, ent[..., None], s.stack)
-        sp = s.sp + push.astype(i32)
 
-        # leaf with remaining ranks continues at (node, rank+1) directly
-        stay = at_leaf & more & ~at_direct_leaf
-        # pop when: pruned/exhausted, or leaf processed with no ranks left
-        need_pop = s.live & ~descend & ~stay
-        blocked = s.live & found if any_hit else None
-        if any_hit:
-            need_pop = need_pop & ~blocked
-        can_pop = need_pop & (sp > 0)
-        top = jnp.sum(
-            jnp.where((iota_s == (sp - 1)[..., None]) & can_pop[..., None], stack, 0),
-            axis=-1,
-        )
-        sp = sp - can_pop.astype(i32)
-        live = s.live & ~(need_pop & ~can_pop)
-        if any_hit:
-            live = live & ~blocked
-
-        top_direct = (top & 1) == 1
-        top_ref = jnp.right_shift(top - 1, 1)  # arithmetic: leaf refs < 0
-        top_node = jnp.right_shift(top, 1) // BRANCH
-        top_rank = jnp.right_shift(top, 1) % BRANCH
-        node = jnp.where(
-            descend,
-            cref,
-            jnp.where(
-                can_pop, jnp.where(top_direct, top_ref, top_node), s.node
-            ),
-        )
-        rank = jnp.where(
-            descend,
-            0,
-            jnp.where(
-                stay,
-                s.rank + 1,
-                jnp.where(can_pop & ~top_direct, top_rank, jnp.where(can_pop, 0, s.rank)),
-            ),
-        )
-        return TState(
-            node=node, rank=rank, sp=sp, stack=stack, live=live,
-            t=t_b, prim=p_b, u=u_b, v=v_b, it=s.it + 1,
-        )
+    def body(s: TState):
+        # scalar phase pick: run a LEAF iteration once parked lanes reach
+        # half the live set (or nothing but parked lanes remains)
+        parked = jnp.sum(s.live & (s.node <= -2))
+        alive = jnp.sum(s.live)
+        do_leaf = (parked * 3 >= alive) & (parked > 0)
+        return jax.lax.cond(do_leaf, leaf_body, node_body, s)
 
     final = jax.lax.while_loop(cond, body, state)
     hit = MeshHit(t=final.t, prim=final.prim, u=final.u, v=final.v, iters=final.it)
