@@ -56,6 +56,9 @@ def main(argv=None) -> int:
                 break
     cam0 = take.cameras[0]
     t_a, t_b = cam0.frame_interval(args.start_frame)
+    from .io import resource
+
+    resource.set_frame(args.start_frame)
     scene = load_scene_file(scene_path, time0=t_a, time1=t_b)
     print(f"Loading time {time.time() - t0:.3f} s")
 
@@ -69,8 +72,10 @@ def main(argv=None) -> int:
         frame = args.start_frame + fi
         if fi > 0:
             # re-resolve animated transforms for this frame's shutter span
-            # (ref cli/main.zig per-frame graph.simulate + scene.compile)
+            # (ref cli/main.zig per-frame graph.simulate + scene.compile);
+            # static resources hit the cache, '#'-sequences reload
             t_a, t_b = cam0.frame_interval(frame)
+            resource.set_frame(frame)
             scene = load_scene_file(scene_path, time0=t_a, time1=t_b)
         driver = Driver(take=take, scene=scene)
         driver.progress.quiet = False

@@ -331,8 +331,13 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
         sw = s.split["w"][..., None] if split_on else jnp.float32(1.0)
 
         primary = s.depth == 0
+        # dead lanes get tmax=0: their stale rays fall out of the BVH
+        # cascades immediately instead of re-tracing every iteration (the
+        # persistent drain phase was paying full-width mesh traversals
+        # for a handful of live lanes)
+        ray_tmax = jnp.where(s.alive, jnp.float32(RAY_MAX_T), 0.0)
         hit = shapes.intersect_scene(
-            scene, s.o, s.d, jnp.float32(0.0), jnp.float32(RAY_MAX_T),
+            scene, s.o, s.d, jnp.float32(0.0), ray_tmax,
             "reflection", primary=primary, time=s.time,
         )
         has_tex = scene.textures is not None
@@ -687,6 +692,9 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
                     & (lsmp.pdf > 0.0) & (jnp.max(f, axis=-1) > 0.0)
                 )
                 shadow_tmax = jnp.where(lsmp.infinite, jnp.float32(RAY_MAX_T) * 0.9, slen)
+                # inactive lanes skip the shadow traversal (tmax=0 ->
+                # mesh/curve cascades see them dead)
+                shadow_tmax = jnp.where(nee_active, shadow_tmax, 0.0)
                 if has_mask:
                     blocked = shapes.occluded_masked(
                         scene, shadow_o, sdir, jnp.float32(0.0), shadow_tmax,

@@ -126,18 +126,39 @@ def flatten_curves(curves: HostCurves, max_segments: int = 16):
     )
 
 
-def build_arena(shapes: list[HostCurves]) -> CurveArena:
+def _flatten_and_build(curves: "HostCurves"):
+    """Flatten strands to rounded-cone segments + SAH build (the heavy
+    host-side work, runs on the BLAS pool for async builds)."""
+    pa, ra, pb, rb, u0, u1, sid = flatten_curves(curves)
+    pmin = np.minimum(pa - ra[:, None], pb - rb[:, None])
+    pmax = np.maximum(pa + ra[:, None], pb + rb[:, None])
+    bvh: FlatBVH = build_bvh(pmin, pmax)
+    return (pa, ra, pb, rb, u0, u1, sid), bvh
+
+
+def submit_blas_build(curves: "HostCurves"):
+    """Async curve-BLAS build (ref shape_provider.zig:127 async commit);
+    returns a Future consumed by build_arena's `prebuilt`."""
+    from .trimesh import _blas_pool
+
+    return _blas_pool().submit(_flatten_and_build, curves)
+
+
+def build_arena(
+    shapes: list[HostCurves], prebuilt: list | None = None
+) -> CurveArena:
     """BVH per curve shape over segment AABBs, packed into one arena."""
     all_rows, all_segrows, all_strand = [], [], []
     roots = []
     node_off = 0
     group_off = 0
 
-    for curves in shapes:
-        pa, ra, pb, rb, u0, u1, sid = flatten_curves(curves)
-        pmin = np.minimum(pa - ra[:, None], pb - rb[:, None])
-        pmax = np.maximum(pa + ra[:, None], pb + rb[:, None])
-        bvh: FlatBVH = build_bvh(pmin, pmax)
+    for ci, curves in enumerate(shapes):
+        fut = prebuilt[ci] if prebuilt is not None else None
+        if fut is not None:
+            (pa, ra, pb, rb, u0, u1, sid), bvh = fut.result()
+        else:
+            (pa, ra, pb, rb, u0, u1, sid), bvh = _flatten_and_build(curves)
         order = bvh.prim_order
         seg = np.concatenate(
             [pa[order], ra[order, None], pb[order], rb[order, None],

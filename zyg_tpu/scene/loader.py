@@ -420,16 +420,25 @@ def _load_density_grid(v, base_dir: str):
             sharpness=float(p.get("sharpness", 2.0)),
         ) * float(p.get("scale", 1.0))
     if "file" in v:
-        path = os.path.join(base_dir, v["file"])
-        try:
-            if path.endswith(".npy"):
-                return np.asarray(np.load(path), np.float32)
-            if path.endswith(".sub"):
-                from ..io.sub import read_sub_volume
+        from ..io.resource import GLOBAL as _rc
 
-                return read_sub_volume(path)
-        except (OSError, ValueError):
+        def _load(path):
+            try:
+                if path.endswith(".npy"):
+                    return np.asarray(np.load(path), np.float32)
+                if path.endswith(".sub"):
+                    from ..io.sub import read_sub_volume
+
+                    return read_sub_volume(path)
+            except (OSError, ValueError):
+                return None
             return None
+
+        # volume sequences (smoke_####.sub) resolve per frame; static
+        # grids cache across the frame loop (ref cache.zig:131)
+        return _rc.get_or_load(
+            "grid", os.path.join(base_dir, v["file"]), (), _load
+        )
     return None
 
 
@@ -668,7 +677,12 @@ class SceneBuilder:
             self._tex_by_path = {}
         if key in self._tex_by_path:
             return self._tex_by_path[key]
-        img = load_image(path)
+        # decoded pixels ride the process-wide variant-keyed cache (ref
+        # resource/cache.zig:86): per-frame scene rebuilds skip the IO +
+        # decode for static names; '#'-patterned sequences reload
+        from ..io.resource import GLOBAL as _rc
+
+        img = _rc.get_or_load("image", path, (), load_image)
         if img is None:
             return -1
         tid = self.textures.add(
@@ -733,6 +747,34 @@ class SceneBuilder:
         if name and name in self._mesh_by_name:
             return self._mesh_by_name[name]
         self.meshes.append(mesh)
+        # async BLAS build (ref shape_provider.zig:127): the SAH build runs
+        # on a pool thread while the rest of the scene loads. Named meshes
+        # cache the build future process-wide (content-fingerprinted) so a
+        # frame loop's per-frame scene rebuilds skip static SAH builds
+        # (ref resource/cache.zig:86 variant entries).
+        if not hasattr(self, "_mesh_builds"):
+            self._mesh_builds = []
+        from .trimesh import submit_blas_build
+
+        if name:
+            import zlib
+
+            from ..io.resource import GLOBAL as _rc
+
+            pos = np.asarray(mesh.positions)
+            idx = np.asarray(mesh.indices)
+            fp = (
+                pos.shape, idx.shape,
+                zlib.crc32(pos[:: max(1, len(pos) // 64)].tobytes()),
+                zlib.crc32(idx[:: max(1, len(idx) // 64)].tobytes()),
+                mesh.positions_end is not None,
+            )
+            fut = _rc.get_or_load(
+                "blas", name, fp, lambda _: submit_blas_build(mesh)
+            )
+        else:
+            fut = submit_blas_build(mesh)
+        self._mesh_builds.append(fut)
         mid = len(self.meshes) - 1
         if name:
             self._mesh_by_name[name] = mid
@@ -744,7 +786,11 @@ class SceneBuilder:
             return self._curves_by_name[name]
         if not hasattr(self, "curve_shapes"):
             self.curve_shapes = []
+            self._curve_builds = []
         self.curve_shapes.append(curves)
+        from .curves import submit_blas_build as submit_curve_build
+
+        self._curve_builds.append(submit_curve_build(curves))
         cid = len(self.curve_shapes) - 1
         if name:
             self._curves_by_name[name] = cid
@@ -1052,7 +1098,9 @@ class SceneBuilder:
 
         if self.meshes:
             meshes, mesh_host_info, mesh_host_arena = build_arena(
-                self.meshes, return_host_info=True
+                self.meshes,
+                return_host_info=True,
+                prebuilt=getattr(self, "_mesh_builds", None),
             )
         else:
             meshes, mesh_host_info, mesh_host_arena = None, [], None
@@ -1062,7 +1110,9 @@ class SceneBuilder:
         if getattr(self, "curve_shapes", None) and curve_props:
             from .curves import build_arena as build_curve_arena
 
-            curve_arena = build_curve_arena(self.curve_shapes)
+            curve_arena = build_curve_arena(
+                self.curve_shapes, prebuilt=getattr(self, "_curve_builds", None)
+            )
         point_arena = None
         point_props = [i for i, p in enumerate(props) if p.cloud_id >= 0]
         if getattr(self, "point_clouds", None) and point_props:
@@ -1492,8 +1542,16 @@ def _load_entities(entities, parent: Transformation, local_materials, builder: S
                 if fname in builder._curves_by_name:
                     curve_id = builder._curves_by_name[fname]
                 else:
-                    with open_stream(os.path.join(base_dir, fname)) as f:
-                        curve_id = builder.add_curves(read_hair(f), fname)
+                    from ..io.resource import GLOBAL as _rc
+
+                    def _load_hair(path):
+                        with open_stream(path) as f:
+                            return read_hair(f)
+
+                    hair = _rc.get_or_load(
+                        "hair", os.path.join(base_dir, fname), (), _load_hair
+                    )
+                    curve_id = builder.add_curves(hair, fname)
                 shape = int(ShapeType.CURVES)
             elif "file" in shape_node:
                 from ..io.mesh import load_mesh_file
@@ -1511,8 +1569,10 @@ def _load_entities(entities, parent: Transformation, local_materials, builder: S
                 if fname in builder._mesh_by_name:
                     mesh_id = builder._mesh_by_name[fname]
                 else:
+                    from ..io.resource import GLOBAL as _rc
+
                     path = fname if fname.startswith("proc:") else os.path.join(base_dir, fname)
-                    mesh = load_mesh_file(path)
+                    mesh = _rc.get_or_load("mesh", path, (), load_mesh_file)
                     mesh_id = builder.add_mesh(mesh, fname) if mesh is not None else -1
                 shape = int(ShapeType.TRIANGLE_MESH) if mesh_id >= 0 else None
             else:

@@ -196,7 +196,51 @@ def _pack_wide(bvh: FlatBVH, group_off: int, node_off: int):
     return rows, (max(depths) + 1 if depths else 1)
 
 
-def build_arena(meshes: list[HostMesh], return_host_info: bool = False):
+_BLAS_POOL = None
+
+
+def _blas_pool():
+    global _BLAS_POOL
+    if _BLAS_POOL is None:
+        import concurrent.futures
+
+        _BLAS_POOL = concurrent.futures.ThreadPoolExecutor(
+            max_workers=4, thread_name_prefix="blas"
+        )
+    return _BLAS_POOL
+
+
+def _mesh_bounds(mesh: HostMesh):
+    """Per-triangle AABBs; deforming meshes bound BOTH shutter endpoints
+    (ref triangle_motion_tree.zig interval bounds)."""
+    pos = np.asarray(mesh.positions, np.float32)
+    idx = np.asarray(mesh.indices, np.int32)
+    v0, v1, v2 = pos[idx[:, 0]], pos[idx[:, 1]], pos[idx[:, 2]]
+    pmin = np.minimum(np.minimum(v0, v1), v2)
+    pmax = np.maximum(np.maximum(v0, v1), v2)
+    if mesh.positions_end is not None:
+        pe = np.asarray(mesh.positions_end, np.float32)
+        w0, w1, w2 = pe[idx[:, 0]], pe[idx[:, 1]], pe[idx[:, 2]]
+        pmin = np.minimum(pmin, np.minimum(np.minimum(w0, w1), w2))
+        pmax = np.maximum(pmax, np.maximum(np.maximum(w0, w1), w2))
+    return pmin, pmax
+
+
+def submit_blas_build(mesh: HostMesh):
+    """Async BLAS build (ref shape_provider.zig:127 async commit): the SAH
+    build runs on a pool thread (the native builder releases the GIL for
+    the C call) while scene loading continues; build_arena consumes the
+    future. Returns a concurrent.futures.Future[FlatBVH]."""
+    return _blas_pool().submit(
+        lambda: build_bvh(*_mesh_bounds(mesh), leaf_size=LEAF_SIZE)
+    )
+
+
+def build_arena(
+    meshes: list[HostMesh],
+    return_host_info: bool = False,
+    prebuilt: list | None = None,
+):
     """Build per-mesh wide BVHs and pack everything into one arena.
 
     With return_host_info, also returns a per-mesh list of dicts
@@ -216,22 +260,20 @@ def build_arena(meshes: list[HostMesh], return_host_info: bool = False):
     group_off = 0
     max_depth = 1
 
-    for mesh in meshes:
+    for mi, mesh in enumerate(meshes):
         pos = np.asarray(mesh.positions, np.float32)
         idx = np.asarray(mesh.indices, np.int32)
         v0 = pos[idx[:, 0]]
         v1 = pos[idx[:, 1]]
         v2 = pos[idx[:, 2]]
-        pmin = np.minimum(np.minimum(v0, v1), v2)
-        pmax = np.maximum(np.maximum(v0, v1), v2)
         if mesh.positions_end is not None:
-            # deforming mesh: node AABBs bound BOTH shutter endpoints
-            # (ref triangle_motion_tree.zig interval bounds)
             pe = np.asarray(mesh.positions_end, np.float32)
             w0, w1, w2 = pe[idx[:, 0]], pe[idx[:, 1]], pe[idx[:, 2]]
-            pmin = np.minimum(pmin, np.minimum(np.minimum(w0, w1), w2))
-            pmax = np.maximum(pmax, np.maximum(np.maximum(w0, w1), w2))
-        bvh: FlatBVH = build_bvh(pmin, pmax, leaf_size=LEAF_SIZE)
+        fut = prebuilt[mi] if prebuilt is not None else None
+        if fut is not None:
+            bvh: FlatBVH = fut.result()
+        else:
+            bvh = build_bvh(*_mesh_bounds(mesh), leaf_size=LEAF_SIZE)
 
         order = bvh.prim_order
         p0 = v0[order]
@@ -410,7 +452,7 @@ class TState(NamedTuple):
 
 # below this width, live-lane compaction stages are not worth their
 # compile/scatter overhead; also the floor width of the cascade
-_COMPACT_MIN = 1 << 16
+_COMPACT_MIN = 1 << 10
 
 
 def traverse(
