@@ -261,3 +261,40 @@ class TestOversampling:
         # unbiased: means agree within MC noise
         ratio = img1.mean() / img0.mean()
         assert abs(ratio - 1.0) < 0.05, f"oversample bias: {ratio}"
+
+
+class TestDrainCascade:
+    """Compacted wavefront drain: once issuance ends, in-flight survivors
+    cascade into 4x-narrower PathStates (the trimesh.traverse pattern on
+    the whole wavefront). Per-lane arithmetic is untouched, so the image
+    must match the undrained loop to float tolerance."""
+
+    def test_drain_matches_full_width(self, monkeypatch):
+        from zyg_tpu.io.take import load_take_file
+        from zyg_tpu.render.integrator import ptmis
+        import jax.numpy as jnp
+
+        take = load_take_file(os.path.join(EXAMPLES, "takes", "cornell.take"))
+        take.cameras[0].resolution = (32, 32)
+        scene = load_scene_file(take.scene_filename)
+        n = 32 * 32
+        ids = jnp.arange(n, dtype=jnp.uint32)
+        ys, xs = np.divmod(np.arange(n), 32)
+        pxy = jnp.asarray(np.stack([xs, ys], -1), jnp.int32)
+        cam = take.cameras[0].arrays(0)
+        st = ptmis.PtmisSettings(max_depth=4)
+
+        def run():
+            acc, rays, _, iters, counts = ptmis.integrate_persistent(
+                scene, cam, pxy, ids, jnp.int32(0), 8, 8, st,
+                frame_width=32, oversample_slack=4,
+            )
+            return np.asarray(acc), int(rays), int(iters), np.asarray(counts)
+
+        monkeypatch.setattr(ptmis, "_DRAIN_MIN", 1 << 30)
+        acc0, rays0, it0, c0 = run()
+        monkeypatch.setattr(ptmis, "_DRAIN_MIN", 16)
+        acc1, rays1, it1, c1 = run()
+        assert rays1 == rays0  # same per-lane work, relocated
+        np.testing.assert_array_equal(c1, c0)
+        np.testing.assert_allclose(acc1, acc0, rtol=1e-5, atol=1e-6)

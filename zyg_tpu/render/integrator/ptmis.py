@@ -998,6 +998,11 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
 # ---------------------------------------------------------------------------
 
 
+# smallest wavefront-drain stage width (tests lower it to exercise the
+# cascade at tiny dispatch sizes)
+_DRAIN_MIN = 1 << 13
+
+
 class PersistentState(NamedTuple):
     path: PathState  # path.result holds the CURRENT sample's IValue sums
     acc: jax.Array  # [N,3] clamped, accumulated finished samples (by PIXEL)
@@ -1136,8 +1141,29 @@ def integrate_persistent(
             + sensor_mod.clamp_radiance(cur.indirect, clamp_max[2])
         )
 
+    # ---- drain cascade (the trimesh.traverse pattern applied to the whole
+    # wavefront): once issuance ends, the loop pays full width for a
+    # shrinking set of in-flight paths — the tail is ~max path length
+    # (measured: 25 of 91 Cornell iterations, 14 of 21 on the trefoil).
+    # Instead, exit the main loop when the in-flight count drops under
+    # n/4, flatnonzero-compact the survivors into a 4x smaller PathState
+    # and continue there, cascading down. Survivor contributions bypass
+    # the column accumulator: each drained lane finishes exactly ONE
+    # sample (no regen), collected at stage end by a single pid scatter.
+    drain_stages = []
+    if shuffled and not settings.collect_aovs:
+        wd = n
+        while wd // 4 >= _DRAIN_MIN:
+            wd = wd // 4
+            drain_stages.append(wd)
+
+    def inflight_count(p: PathState):
+        return jnp.sum((p.alive | split_pending(p)).astype(jnp.int32))
+
     def cond(ps: PersistentState):
         can_start = (ps.issued < target) & jnp.any(ps.done < kmax)
+        if drain_stages:
+            return can_start | (inflight_count(ps.path) > drain_stages[0])
         return jnp.any(ps.path.alive | split_pending(ps.path)) | can_start
 
     def step(ps: PersistentState):
@@ -1250,6 +1276,58 @@ def integrate_persistent(
 
     final = jax.lax.while_loop(cond, step, state)
     acc = final.acc
+    num_rays = final.path.rays
+    iters = final.iters
+    drain_adds = []  # (pid, rgb, finished) per stage
+    if drain_stages:
+        path = final.path
+        width_cur = n
+        for si, wd in enumerate(drain_stages):
+            sel = path.alive | split_pending(path)
+            idx = jnp.flatnonzero(sel, size=wd, fill_value=width_cur)
+            safe = jnp.minimum(idx, width_cur - 1)
+            valid = idx < width_cur
+
+            def g(a):
+                if a.ndim == 0 or a.shape[0] != width_cur:
+                    return a
+                return a[safe]
+
+            path = jax.tree.map(g, path)
+            path = path._replace(alive=path.alive & valid)
+            if path.split:
+                path = path._replace(
+                    split={
+                        **path.split,
+                        "pending": path.split["pending"] & valid,
+                    }
+                )
+            nxt = drain_stages[si + 1] if si + 1 < len(drain_stages) else 0
+
+            def dcond(c, _nxt=nxt):
+                p, it = c
+                return (inflight_count(p) > _nxt) & (it < jnp.int32(65536))
+
+            def dstep(c):
+                p, it = c
+                p = resume_split(p)
+                p = body(p)
+                return (p, it + 1)
+
+            path, dit = jax.lax.while_loop(
+                dcond, dstep, (path, jnp.int32(0))
+            )
+            iters = iters + dit
+            fin = valid & ~(path.alive | split_pending(path))
+            drain_adds.append(
+                (
+                    path.pid,
+                    jnp.where(fin[..., None], clamp_cur(path.result), 0.0),
+                    fin,
+                )
+            )
+            width_cur = wd
+        num_rays = path.rays
     counts = None
     if shuffled:
         # unpermute: pixel p's sample k lives in lane (p - (first_it+k)*S)
@@ -1264,4 +1342,10 @@ def integrate_persistent(
             )
         acc = out[0:3].T
         counts = out[3]
-    return acc, final.path.rays, final.path.aov, final.iters, counts
+        for pid_s, rgb_s, fin_s in drain_adds:
+            tgt = jnp.where(fin_s, pid_s.astype(jnp.int32), jnp.int32(n))
+            acc = acc.at[tgt].add(rgb_s, mode="drop")
+            counts = counts.at[tgt].add(
+                fin_s.astype(jnp.float32), mode="drop"
+            )
+    return acc, num_rays, final.path.aov, iters, counts
