@@ -233,3 +233,40 @@ class TestDistribution3D:
             want = g[y0:y1, x0:x1].sum()
             got = float(sat.integral(x0, y0, x1, y1))
             np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+class TestEncoding:
+    """Octahedral normal + unorm/snorm packing (ref base encoding +
+    vector.zig octEncode; vertex_buffer.zig stores normals compressed)."""
+
+    def test_oct_roundtrip_accuracy(self, rng_np):
+        import numpy as np
+        from zyg_tpu.core import encoding as enc
+
+        n = rng_np.standard_normal((4096, 3)).astype(np.float32)
+        n /= np.linalg.norm(n, axis=-1, keepdims=True)
+        w = enc.oct_normal_pack(n)
+        assert w.dtype == np.uint32 and w.shape == (4096,)
+        back = np.asarray(enc.oct_normal_unpack(w))
+        dots = np.clip(np.sum(n * back, axis=-1), -1, 1)
+        err = np.arccos(dots)
+        assert err.max() < 2e-3, f"max angular error {err.max()}"
+
+    def test_oct_decode_on_device(self, rng_np):
+        import jax.numpy as jnp
+        import numpy as np
+        from zyg_tpu.core import encoding as enc
+
+        n = rng_np.standard_normal((256, 3)).astype(np.float32)
+        n /= np.linalg.norm(n, axis=-1, keepdims=True)
+        w = jnp.asarray(enc.oct_normal_pack(n))
+        back = np.asarray(enc.oct_normal_unpack(w))
+        assert np.abs(np.linalg.norm(back, axis=-1) - 1).max() < 1e-5
+
+    def test_unorm16(self):
+        import numpy as np
+        from zyg_tpu.core import encoding as enc
+
+        x = np.linspace(0, 1, 1000, dtype=np.float32)
+        q = enc.unorm16_pack(x)
+        assert np.abs(np.asarray(enc.unorm16_unpack(q)) - x).max() < 1e-4

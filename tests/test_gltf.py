@@ -88,9 +88,12 @@ class TestGltf:
             {"entities": [{"type": "Prop", "shape": {"file": "r.gltf"}}]},
             base_dir=str(tmp_path),
         )
-        tn = np.asarray(scene.meshes.tri_n)
-        # second prop's triangles (last 2 REAL rows — the padded arena may
-        # end with degenerate all-zero padding) have flipped normals
-        real = np.abs(tn).sum(axis=(1, 2)) > 0
+        from zyg_tpu.core import encoding as enc
+
+        words = np.asarray(scene.meshes.tri_n)  # uint32[Tp,3] oct-packed
+        tn = np.asarray(enc.oct_normal_unpack(words))  # [Tp,3,3]
+        # second prop's triangles (last 2 REAL rows — padding slots pack
+        # the zero vector, word 0) have flipped normals
+        real = words.sum(axis=1) > 0
         last_real = np.flatnonzero(real)[-1]
         assert tn[last_real, :, 1].max() < 0.0

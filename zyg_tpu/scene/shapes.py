@@ -667,7 +667,9 @@ def build_fragment(scene: SceneData, hit: Hit, o, d, need_uv: bool | None = None
             e2 = e2 + tt * arena.tri_e2_d[pr]
         gn_l = vm.safe_normalize(vm.cross(e1, e2))
         w0 = 1.0 - hit.u - hit.v
-        tn = arena.tri_n[pr]  # [N,3,3]
+        from ..core import encoding as enc
+
+        tn = enc.oct_normal_unpack(arena.tri_n[pr])  # uint32[N,3] -> [N,3,3]
         ns_l = (
             w0[..., None] * tn[..., 0, :]
             + hit.u[..., None] * tn[..., 1, :]

@@ -89,7 +89,9 @@ class MeshArena(NamedTuple):
     tri_p0: jax.Array  # [Tp,3] (padded)
     tri_e1: jax.Array  # [Tp,3]
     tri_e2: jax.Array  # [Tp,3]
-    tri_n: jax.Array  # [Tp,3,3] vertex normals
+    tri_n: jax.Array  # uint32[Tp,3] per-vertex shading normals,
+    # oct-snorm16x2 encoded (ref vertex_buffer.zig compressed normals;
+    # core/encoding.py) — one third the f32 footprint
     tri_uv: jax.Array  # [Tp,3,2]
     tri_part: jax.Array  # [Tp] int32 part index (per-part materials)
     mesh_root: jax.Array  # [K] int32 root wide node per mesh
@@ -368,7 +370,11 @@ def build_arena(
         all_p0.append(pp0)
         all_e1.append(pe1)
         all_e2.append(pe2)
-        all_n.append(pn)
+        # shading normals pack to oct-snorm16x2 words (padding slots are
+        # zero vectors -> encode to a valid word; never read)
+        from ..core import encoding as enc
+
+        all_n.append(enc.oct_normal_pack(pn))
         all_uv.append(puv)
         all_part.append(ppart)
         roots.append(node_off)
@@ -384,7 +390,7 @@ def build_arena(
         tri_p0=cat(all_p0),
         tri_e1=cat(all_e1),
         tri_e2=cat(all_e2),
-        tri_n=cat(all_n),
+        tri_n=cat(all_n),  # packed uint32 oct normals
         tri_uv=cat(all_uv),
         tri_part=cat(all_part),
         mesh_root=jnp.asarray(host_roots),
