@@ -37,10 +37,11 @@ def _load():
         lib = ctypes.CDLL(_LIB_PATH)
         f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
         i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
-        lib.zyg_build_bvh.restype = ctypes.c_int
-        lib.zyg_build_bvh.argtypes = [
+        lib.zyg_build_bvh2.restype = ctypes.c_int
+        lib.zyg_build_bvh2.argtypes = [
             f32p, f32p, ctypes.c_int, ctypes.c_int,
             f32p, f32p, i32p, i32p, i32p, i32p, i32p, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int),
         ]
         _lib = lib
     except (OSError, subprocess.CalledProcessError):
@@ -59,18 +60,22 @@ def build_bvh_native(prim_min: np.ndarray, prim_max: np.ndarray, leaf_size: int 
     pmin = np.ascontiguousarray(prim_min, np.float32)
     pmax = np.ascontiguousarray(prim_max, np.float32)
     n = pmin.shape[0]
-    cap = max(2 * n, 4)
+    # spatial-split duplication budget (SBVH-lite, ref builder_base.zig
+    # spatial splits): straddling references may duplicate up to 25%
+    prim_cap = n + n // 4 + 16
+    cap = max(2 * prim_cap, 4)
     nodes_min = np.empty((cap, 3), np.float32)
     nodes_max = np.empty((cap, 3), np.float32)
     hit_link = np.empty(cap, np.int32)
     miss_link = np.empty(cap, np.int32)
     first_prim = np.empty(cap, np.int32)
     prim_count = np.empty(cap, np.int32)
-    prim_order = np.empty(n, np.int32)
-    m = lib.zyg_build_bvh(
+    prim_order = np.empty(prim_cap, np.int32)
+    nprims = ctypes.c_int(0)
+    m = lib.zyg_build_bvh2(
         pmin, pmax, n, leaf_size,
         nodes_min, nodes_max, hit_link, miss_link, first_prim, prim_count,
-        prim_order, cap,
+        prim_order, cap, prim_cap, ctypes.byref(nprims),
     )
     if m <= 0:
         return None
@@ -81,5 +86,5 @@ def build_bvh_native(prim_min: np.ndarray, prim_max: np.ndarray, leaf_size: int 
         miss_link=miss_link[:m].copy(),
         first_prim=first_prim[:m].copy(),
         prim_count=prim_count[:m].copy(),
-        prim_order=prim_order,
+        prim_order=prim_order[: nprims.value].copy(),
     )

@@ -786,6 +786,7 @@ class SceneBuilder:
             return self._curves_by_name[name]
         if not hasattr(self, "curve_shapes"):
             self.curve_shapes = []
+        if not hasattr(self, "_curve_builds"):
             self._curve_builds = []
         self.curve_shapes.append(curves)
         from .curves import submit_blas_build as submit_curve_build
@@ -908,8 +909,14 @@ class SceneBuilder:
         w = (pos * p.trafo.scale) @ p.trafo.rotation + p.trafo.position
         v0, v1, v2 = w[idx[:, 0]], w[idx[:, 1]], w[idx[:, 2]]
         info = mesh_host_info[p.mesh_id]
-        order = info["order"]
-        v0, v1, v2 = v0[order], v1[order], v2[order]
+        order = np.asarray(info["order"])
+        # spatial splits duplicate straddling refs — the tree samples the
+        # FIRST copy of each triangle only; every copy's hit maps to that
+        # canonical local entry below, keeping both pdf sides consistent
+        _, sel = np.unique(order, return_index=True)
+        sel = np.sort(sel)
+        ord_u = order[sel]
+        v0, v1, v2 = v0[ord_u], v1[ord_u], v2[ord_u]
         cn = np.cross(v1 - v0, v2 - v0)
         areas = 0.5 * np.linalg.norm(cn, axis=-1)
         nrm = cn / np.maximum(np.linalg.norm(cn, axis=-1, keepdims=True), 1e-20)
@@ -929,10 +936,13 @@ class SceneBuilder:
         )
         arena_ids = np.asarray(info["arena_ids"], np.int64)
         base = int(arena_ids.min())
+        # every arena copy of a triangle maps to its canonical local entry
+        local_by_tri = np.full(int(order.max()) + 1, -1, np.int32)
+        local_by_tri[ord_u] = np.arange(len(ord_u), dtype=np.int32)
         local_of = np.full(int(arena_ids.max()) - base + 1, -1, np.int32)
-        local_of[arena_ids - base] = np.arange(len(arena_ids), dtype=np.int32)
+        local_of[arena_ids - base] = local_by_tri[order]
         aux = {
-            "arena": jnp.asarray(arena_ids.astype(np.int32)),
+            "arena": jnp.asarray(arena_ids[sel].astype(np.int32)),
             "area": jnp.asarray(areas.astype(np.float32)),
             "local_of": jnp.asarray(local_of),
         }
@@ -949,11 +959,17 @@ class SceneBuilder:
         e2 = w[idx[:, 2]] - w[idx[:, 0]]
         areas = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
         info = mesh_host_info[p.mesh_id]
-        areas = areas[info["order"]]  # BVH leaf order
+        order = np.asarray(info["order"])
+        # dedupe spatially-split copies: CDF over first copies only (a
+        # duplicated entry would double its triangle's sampling weight
+        # while the uniform-area pdf stayed 1/total — bias)
+        _, sel = np.unique(order, return_index=True)
+        sel = np.sort(sel)
+        areas = areas[order[sel]]  # BVH leaf order, canonical copies
         total = max(float(areas.sum()), 1e-20)
         cdf = np.cumsum(areas / total).astype(np.float32)
         cdf[-1] = 1.0
-        return cdf, info["arena_ids"], total
+        return cdf, np.asarray(info["arena_ids"])[sel], total
 
     def build(self, time0: float = 0.0, time1: float | None = None) -> SceneData:
         """Compile to device arrays. [time0, time1] is the frame's shutter
