@@ -169,6 +169,13 @@ def _render_samples(
     return fb, rays, {}
 
 
+# pixel-tile lane bound for heavy scenes that are NOT mesh-only (volume
+# grids / photon gathers: nested loops without compaction cascades).
+# Measured on smoke.take (v5e, 8spp steady state): 64k 1.22 / 256k 1.39 /
+# 2M 1.36 Mrays/s — dead-lane masking made medium tiles safe + fastest
+_HEAVY_TILE = 1 << 18
+
+
 @dataclass
 class Driver:
     """Progressive frame renderer for one camera."""
@@ -459,7 +466,7 @@ class Driver:
             and self.scene.points is None
             and self.take.photon.num_photons <= 0
         )
-        tile_n = 1 << 21 if mesh_only else 65536
+        tile_n = 1 << 21 if mesh_only else _HEAVY_TILE
         tile = min(n_pixels, tile_n) if can_tile else n_pixels
         self.progress.start(num * ((n_pixels + tile - 1) // tile))
         done = 0
