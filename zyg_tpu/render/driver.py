@@ -244,15 +244,16 @@ class Driver:
         # (expensive under shuffling), so only shuffle when no AOVs ride
         self._frame_width = w if (persistent and not self._aov_names) else 0
         lt = self.scene.light_tree
-        self._light_split_depth = (
-            2
-            if (
-                lt is not None
-                and lt.num_finite >= 16
-                and self.take.integrator.light_split_threshold > 0.0
+        # static pick budget 2^S (+1 infinite) per vertex stands in for the
+        # ref's dynamic <=64 splits (light_tree.zig:249): every lane pays
+        # the full width, so scale S with the light count where the
+        # variance win covers it (16+ lights -> 4 picks, 256+ -> 8)
+        if lt is not None and self.take.integrator.light_split_threshold > 0.0:
+            self._light_split_depth = (
+                3 if lt.num_finite >= 256 else 2 if lt.num_finite >= 16 else 0
             )
-            else 0
-        )
+        else:
+            self._light_split_depth = 0
         # chunking: the persistent-wavefront path (PTMIS/PTDL, box filter)
         # streams samples through resident lanes, so its footprint does not
         # grow with spp — run all samples in one dispatch. The scan path

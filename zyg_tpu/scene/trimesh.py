@@ -40,7 +40,11 @@ from ..core import vecmath as vm
 from ..core.gather import small_gather
 from .bvh import build_bvh, FlatBVH
 
-LEAF_SIZE = 16  # triangles per leaf row (padded; degenerate pads never hit)
+LEAF_SIZE = 12  # triangles per leaf row (padded; degenerate pads never
+# hit). 12 tris = 108-float rows (432B) duck the >512B gather-latency
+# cliff (measured 13.98 vs 11.67 ns/lane); trefoil 1M-ray sweep: L=16
+# 2.72/3.11, L=14 2.92/3.26, L=12 2.96/3.28, L=8 2.97/3.15 Mrays/s
+# (coherent/incoherent)
 BRANCH = 8  # wide-BVH branching factor (power of two)
 _MISS_KEY = jnp.int32(0x7F800000)  # +inf bit pattern: sorts after any hit
 
