@@ -766,6 +766,9 @@ class TlasHit(NamedTuple):
     u: jax.Array  # [N]
     v: jax.Array  # [N]
     prop: jax.Array  # int32[N] prop index of the hit instance (-1 miss)
+    iters: jax.Array = None  # int32 scalar: dense-pick loop trips (the
+    # number of candidate instances the WORST lane actually visited —
+    # sublinearity diagnostic; bounded by ninst+1)
 
 
 class InstanceTable(NamedTuple):
@@ -991,7 +994,10 @@ def intersect_instances(
         )
 
     final = jax.lax.while_loop(cond, body, state)
-    return TlasHit(t=final.t, prim=final.prim, u=final.u, v=final.v, prop=final.prop)
+    return TlasHit(
+        t=final.t, prim=final.prim, u=final.u, v=final.v, prop=final.prop,
+        iters=final.it,
+    )
 
 
 def _np_quat(rot) -> np.ndarray:
