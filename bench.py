@@ -105,12 +105,39 @@ def bench_mesh():
     return driver.rays_traced / dt / 1e6
 
 
+def bench_volume():
+    """BASELINE config 4: heterogeneous smoke volume (smoke.take), 8spp
+    steady state — the delta-tracking + residual-ratio path."""
+    import jax
+
+    from zyg_tpu.io.take import load_take_file
+    from zyg_tpu.scene.loader import load_scene_file
+    from zyg_tpu.render.driver import Driver
+
+    take = load_take_file(os.path.join(REPO, "examples/takes/smoke.take"))
+    scene = load_scene_file(take.scene_filename)
+    driver = Driver(take=take, scene=scene)
+    driver.start_frame()
+    driver.render_iterations(driver.chunk_size)
+    jax.block_until_ready(driver._fb)
+    driver.start_frame()
+    t0 = time.perf_counter()
+    driver.render_iterations(8)
+    jax.block_until_ready(driver._fb)
+    dt = time.perf_counter() - t0
+    return driver.rays_traced / dt / 1e6
+
+
 def main() -> None:
     mrays = bench_cornell()
     try:
         mesh_mrays = round(bench_mesh(), 3)
     except Exception:
         mesh_mrays = None
+    try:
+        vol_mrays = round(bench_volume(), 3)
+    except Exception:
+        vol_mrays = None
     print(
         json.dumps(
             {
@@ -119,6 +146,7 @@ def main() -> None:
                 "unit": "Mrays/s",
                 "vs_baseline": round(mrays / NORTH_STAR_MRAYS, 4),
                 "mesh_trefoil_720p_mrays": mesh_mrays,
+                "volume_smoke_mrays": vol_mrays,
             }
         )
     )

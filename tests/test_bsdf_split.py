@@ -187,3 +187,43 @@ class TestStaticGating:
         assert not ptmis_mod._split_enabled(scene, settings)
         gl = glass_scene()
         assert ptmis_mod._split_enabled(gl, settings)
+
+
+class TestDrainWithSplits:
+    """The wavefront drain compaction must carry the one-deep BSDF-split
+    resume slot intact: a lane whose parked fresnel branch survives
+    compaction resumes it in the narrow stage (same sample, same result
+    accumulator). Equal-seed images must match the undrained loop."""
+
+    def test_drain_matches_full_width_with_glass(self, monkeypatch):
+        import jax.numpy as jnp
+        from zyg_tpu.render.integrator import ptmis
+
+        scene = glass_scene(rough=False)
+        w, h = 32, 24
+        n = w * h
+        ids = jnp.arange(n, dtype=jnp.uint32)
+        ys, xs = np.divmod(np.arange(n), w)
+        pxy = jnp.asarray(np.stack([xs, ys], -1), jnp.int32)
+        take = Take()
+        take.integrator = IntegratorSettings(
+            kind="PTMIS", max_depth_surface=12, bsdf_split=True
+        )
+        cam = PerspectiveCamera(resolution=(w, h), fov=np.deg2rad(45.0))
+        cam.position = np.array([0, 0.3, -5.0], np.float32)
+        st = ptmis.PtmisSettings(max_depth=12, bsdf_split=True)
+
+        def run():
+            acc, rays, _, iters, counts = ptmis.integrate_persistent(
+                scene, cam.arrays(0), pxy, ids, jnp.int32(0), 8, 8, st,
+                frame_width=w, oversample_slack=4,
+            )
+            return np.asarray(acc), int(rays), np.asarray(counts)
+
+        monkeypatch.setattr(ptmis, "_DRAIN_MIN", 1 << 30)
+        acc0, rays0, c0 = run()
+        monkeypatch.setattr(ptmis, "_DRAIN_MIN", 16)
+        acc1, rays1, c1 = run()
+        assert rays1 == rays0
+        np.testing.assert_array_equal(c1, c0)
+        np.testing.assert_allclose(acc1, acc0, rtol=1e-5, atol=1e-6)

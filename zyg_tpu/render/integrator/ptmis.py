@@ -1314,6 +1314,16 @@ def integrate_persistent(
             def dstep(c):
                 p, it = c
                 p = resume_split(p)
+                # replicate the full-width step's camera block EXACTLY:
+                # it consumes one 5-dim Sobol block per iteration on every
+                # lane (advancing run_seed) even when nothing regenerates —
+                # skipping it here would put drained lanes on a different
+                # (equally valid, but not bit-identical) stream
+                smp_d = SobolSampler(p.sobol, dim=5)
+                smp_d.sample_4d()
+                smp_d.sample_1d()
+                smp_d.increment_padding()
+                p = p._replace(sobol=smp_d.arrays)
                 p = body(p)
                 return (p, it + 1)
 
