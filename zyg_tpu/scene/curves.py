@@ -273,36 +273,89 @@ def _cone_test(o, dn, pa, ra, pb, rb, tmin, tmax):
     return t, s, hit
 
 
+class TState(NamedTuple):
+    ptr: jax.Array
+    t: jax.Array  # in |d| units (caller's parameterization)
+    prim: jax.Array
+    s: jax.Array
+
+
+# floor width of the curve-traversal compaction cascade (see
+# trimesh.traverse — same divergence economics: the while_loop pays the
+# slowest lane, so wide dispatches stage-compact the live set)
+_COMPACT_MIN = 1 << 14
+
+
 def traverse(arena: CurveArena, root, o, d, tmin, tmax, any_hit: bool = False) -> CurveHit:
     """Threaded-BVH closest-hit over curve segments (object space).
 
     Same two-gather structure as trimesh.traverse; the leaf test is the
     rounded-cone quadratic. d may be non-unit (instance scale): the cone
     test runs on the normalized direction and t rescales back to d units.
+    Wide dispatches run the live-lane compaction cascade (width/4 stages,
+    as trimesh.traverse).
     """
     n = o.shape[:-1]
-    dlen = jnp.maximum(vm.length(d), 1e-20)
-    dn = d / dlen[..., None]
-    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-20, jnp.where(d < 0, -1e-20, 1e-20), d)
-
-    class TState(NamedTuple):
-        ptr: jax.Array
-        t: jax.Array  # in |d| units (caller's parameterization)
-        prim: jax.Array
-        s: jax.Array
-
+    root = jnp.asarray(root, jnp.int32)
     state = TState(
         ptr=root,
         t=jnp.broadcast_to(tmax, n).astype(jnp.float32),
         prim=jnp.full(n, -1, jnp.int32),
         s=jnp.zeros(n, jnp.float32),
     )
+    if len(n) != 1 or n[0] < 4 * _COMPACT_MIN:
+        st = _traverse_stage(arena, state, o, d, tmin, any_hit, None)
+        return CurveHit(t=st.t, prim=st.prim, s=st.s)
+
+    width = n[0]
+    res = None
+    gmap = None
+    o_s, d_s = o, d
+    st = state
+    while True:
+        nxt = max(width // 4, _COMPACT_MIN)
+        limit = None if width <= _COMPACT_MIN else nxt
+        st = _traverse_stage(arena, st, o_s, d_s, tmin, any_hit, limit)
+        if res is None:
+            res = st
+        else:
+            upd = lambda full, part: full.at[gmap].set(part, mode="drop")
+            res = TState(
+                ptr=res.ptr, t=upd(res.t, st.t),
+                prim=upd(res.prim, st.prim), s=upd(res.s, st.s),
+            )
+        if limit is None:
+            return CurveHit(t=res.t, prim=res.prim, s=res.s)
+        live = st.ptr >= 0
+        if any_hit:
+            live = live & (st.prim < 0)
+        lidx = jnp.flatnonzero(live, size=nxt, fill_value=width)
+        ls = jnp.minimum(lidx, width - 1)
+        valid = lidx < width
+        gmap = (ls if gmap is None else gmap[ls])
+        gmap = jnp.where(valid, gmap, n[0])
+        o_s, d_s = o_s[ls], d_s[ls]
+        st = TState(
+            ptr=jnp.where(valid, st.ptr[ls], -1),
+            t=st.t[ls], prim=st.prim[ls], s=st.s[ls],
+        )
+        width = nxt
+
+
+def _traverse_stage(
+    arena: CurveArena, state: TState, o, d, tmin, any_hit, live_limit
+) -> TState:
+    n = o.shape[:-1]
+    dlen = jnp.maximum(vm.length(d), 1e-20)
+    dn = d / dlen[..., None]
+    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-20, jnp.where(d < 0, -1e-20, 1e-20), d)
 
     def cond(st: TState):
         active = st.ptr >= 0
         if any_hit:
             active = active & (st.prim < 0)
-        return jnp.any(active)
+        alive = jnp.sum(active)
+        return alive > (0 if live_limit is None else live_limit)
 
     def body(st: TState):
         ptr = jnp.maximum(st.ptr, 0)
@@ -347,8 +400,7 @@ def traverse(arena: CurveArena, root, o, d, tmin, tmax, any_hit: bool = False) -
         nxt = jnp.where(st.ptr < 0, -1, nxt)
         return TState(ptr=nxt, t=t_b, prim=p_b, s=s_b)
 
-    final = jax.lax.while_loop(cond, body, state)
-    return CurveHit(t=final.t, prim=final.prim, s=final.s)
+    return jax.lax.while_loop(cond, body, state)
 
 
 def segment_fields(arena: CurveArena, prim):

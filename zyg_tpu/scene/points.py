@@ -149,28 +149,76 @@ def _sphere_test(o, d, c, r, tmin, tmax):
     return t, ok
 
 
+class TState(NamedTuple):
+    ptr: jax.Array
+    t: jax.Array
+    prim: jax.Array
+
+
+# compaction-cascade floor (see trimesh/curves traverse: the while_loop
+# pays the slowest lane; wide dispatches stage-compact the live set)
+_COMPACT_MIN = 1 << 12
+
+
 def traverse(arena: PointArena, root, o, d, tmin, tmax, time=None, any_hit: bool = False) -> PointHit:
-    """Threaded-BVH traversal over motion spheres (object space)."""
+    """Threaded-BVH traversal over motion spheres (object space).
+    Wide dispatches run the live-lane compaction cascade."""
     n = o.shape[:-1]
-    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-20, jnp.where(d < 0, -1e-20, 1e-20), d)
+    root = jnp.asarray(root, jnp.int32)
     tl = jnp.zeros(n, jnp.float32) if time is None else time
-
-    class TState(NamedTuple):
-        ptr: jax.Array
-        t: jax.Array
-        prim: jax.Array
-
     state = TState(
         ptr=root,
         t=jnp.broadcast_to(tmax, n).astype(jnp.float32),
         prim=jnp.full(n, -1, jnp.int32),
     )
+    if len(n) != 1 or n[0] < 4 * _COMPACT_MIN:
+        st = _traverse_stage(arena, state, o, d, tl, tmin, any_hit, None)
+        return PointHit(t=st.t, prim=st.prim)
+
+    width = n[0]
+    res = None
+    gmap = None
+    o_s, d_s, tl_s = o, d, tl
+    st = state
+    while True:
+        nxt = max(width // 4, _COMPACT_MIN)
+        limit = None if width <= _COMPACT_MIN else nxt
+        st = _traverse_stage(arena, st, o_s, d_s, tl_s, tmin, any_hit, limit)
+        if res is None:
+            res = st
+        else:
+            upd = lambda full, part: full.at[gmap].set(part, mode="drop")
+            res = TState(
+                ptr=res.ptr, t=upd(res.t, st.t), prim=upd(res.prim, st.prim)
+            )
+        if limit is None:
+            return PointHit(t=res.t, prim=res.prim)
+        live = st.ptr >= 0
+        if any_hit:
+            live = live & (st.prim < 0)
+        lidx = jnp.flatnonzero(live, size=nxt, fill_value=width)
+        ls = jnp.minimum(lidx, width - 1)
+        valid = lidx < width
+        gmap = (ls if gmap is None else gmap[ls])
+        gmap = jnp.where(valid, gmap, n[0])
+        o_s, d_s, tl_s = o_s[ls], d_s[ls], tl_s[ls]
+        st = TState(
+            ptr=jnp.where(valid, st.ptr[ls], -1), t=st.t[ls], prim=st.prim[ls]
+        )
+        width = nxt
+
+
+def _traverse_stage(
+    arena: PointArena, state: TState, o, d, tl, tmin, any_hit, live_limit
+) -> TState:
+    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-20, jnp.where(d < 0, -1e-20, 1e-20), d)
 
     def cond(st: TState):
         active = st.ptr >= 0
         if any_hit:
             active = active & (st.prim < 0)
-        return jnp.any(active)
+        alive = jnp.sum(active)
+        return alive > (0 if live_limit is None else live_limit)
 
     def body(st: TState):
         ptr = jnp.maximum(st.ptr, 0)
@@ -210,8 +258,7 @@ def traverse(arena: PointArena, root, o, d, tmin, tmax, time=None, any_hit: bool
         nxt = jnp.where(st.ptr < 0, -1, nxt)
         return TState(ptr=nxt, t=t_b, prim=p_b)
 
-    final = jax.lax.while_loop(cond, body, state)
-    return PointHit(t=final.t, prim=final.prim)
+    return jax.lax.while_loop(cond, body, state)
 
 
 def point_center(arena: PointArena, prim, time=None):
