@@ -38,13 +38,16 @@ def bench_cornell():
     driver.render_iterations(driver.chunk_size)
     jax.block_until_ready(driver._fb)
 
-    # timed run
-    driver.start_frame()
-    t0 = time.perf_counter()
-    driver.render_iterations(take.num_samples_per_pixel)
-    jax.block_until_ready(driver._fb)
-    dt = time.perf_counter() - t0
-    return driver.rays_traced / dt / 1e6
+    # best-of-3: single timed runs over the axon tunnel stall erratically
+    # (15-200s observed for a binary that then runs in 3s)
+    best = float("inf")
+    for _ in range(3):
+        driver.start_frame()
+        t0 = time.perf_counter()
+        driver.render_iterations(take.num_samples_per_pixel)
+        jax.block_until_ready(driver._fb)
+        best = min(best, time.perf_counter() - t0)
+    return driver.rays_traced / best / 1e6
 
 
 def bench_mesh():
@@ -97,12 +100,14 @@ def bench_mesh():
     driver.render_iterations(driver.chunk_size)
     jax.block_until_ready(driver._fb)
 
-    driver.start_frame()
-    t0 = time.perf_counter()
-    driver.render_iterations(take.num_samples_per_pixel)
-    jax.block_until_ready(driver._fb)
-    dt = time.perf_counter() - t0
-    return driver.rays_traced / dt / 1e6
+    best = float("inf")
+    for _ in range(3):
+        driver.start_frame()
+        t0 = time.perf_counter()
+        driver.render_iterations(take.num_samples_per_pixel)
+        jax.block_until_ready(driver._fb)
+        best = min(best, time.perf_counter() - t0)
+    return driver.rays_traced / best / 1e6
 
 
 def bench_volume():
@@ -120,12 +125,14 @@ def bench_volume():
     driver.start_frame()
     driver.render_iterations(driver.chunk_size)
     jax.block_until_ready(driver._fb)
-    driver.start_frame()
-    t0 = time.perf_counter()
-    driver.render_iterations(8)
-    jax.block_until_ready(driver._fb)
-    dt = time.perf_counter() - t0
-    return driver.rays_traced / dt / 1e6
+    best = float("inf")
+    for _ in range(3):
+        driver.start_frame()
+        t0 = time.perf_counter()
+        driver.render_iterations(8)
+        jax.block_until_ready(driver._fb)
+        best = min(best, time.perf_counter() - t0)
+    return driver.rays_traced / best / 1e6
 
 
 def main() -> None:
