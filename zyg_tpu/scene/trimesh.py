@@ -747,7 +747,7 @@ def _traverse_stage(
         # half the live set (or nothing but parked lanes remains)
         parked = jnp.sum(s.live & (s.node <= -2))
         alive = jnp.sum(s.live)
-        do_leaf = (parked * 3 >= alive) & (parked > 0)
+        do_leaf = (parked * 2 >= alive) & (parked > 0)
         return jax.lax.cond(do_leaf, leaf_body, node_body, s)
 
     final = jax.lax.while_loop(cond, body, state)
