@@ -189,3 +189,43 @@ class TestShadowTransmittance:
         )
         got = float(tr.mean())
         assert abs(got - expect) < 0.02 + 0.05 * expect, f"{got} vs {expect}"
+
+
+class TestTrackingCascade:
+    """The hetero-tracking compaction cascade must be bit-exact with the
+    full-width loop (per-lane math unchanged; lanes only relocate)."""
+
+    def test_cascade_matches_full_width(self, monkeypatch):
+        import jax.numpy as jnp
+        from zyg_tpu.core.rng import hash_u32
+
+        scene = hetero_scene(
+            [0.6, 0.6, 0.6], [0.4, 0.4, 0.4], 0.5,
+            {"procedural": {"type": "fbm", "resolution": 16, "octaves": 3,
+                            "seed": 3, "scale": 2.0}},
+        )
+        n = 256
+        rng = np.random.default_rng(5)
+        o = jnp.asarray(
+            np.stack([rng.uniform(-0.4, 0.4, n), rng.uniform(-0.4, 0.4, n),
+                      np.full(n, -3.0)], -1), jnp.float32)
+        d0 = rng.standard_normal((n, 3)) * 0.1 + np.array([0, 0, 1.0])
+        d = jnp.asarray(d0 / np.linalg.norm(d0, axis=-1, keepdims=True), jnp.float32)
+        prop = jnp.zeros((n,), jnp.int32)  # the volume prop
+        seg = jnp.full((n,), 6.0, jnp.float32)
+        u = jnp.asarray(rng.uniform(0, 1, n), jnp.float32)
+        key = hash_u32(jnp.arange(n, dtype=jnp.uint32))
+
+        def run():
+            ev = vol_mod.sample_interaction(scene, prop, o, d, seg, u, key)
+            return (np.asarray(ev.scatter), np.asarray(ev.absorb),
+                    np.asarray(ev.p), np.asarray(ev.weight))
+
+        monkeypatch.setattr(vol_mod, "_TRACK_MIN", 1 << 30)
+        s0, a0, p0, w0 = run()
+        monkeypatch.setattr(vol_mod, "_TRACK_MIN", 16)
+        s1, a1, p1, w1 = run()
+        np.testing.assert_array_equal(s1, s0)
+        np.testing.assert_array_equal(a1, a0)
+        np.testing.assert_allclose(p1, p0, rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(w1, w0, rtol=1e-6, atol=1e-6)

@@ -153,6 +153,11 @@ class VolumeEvent(NamedTuple):
     emission: jax.Array = None
 
 
+# hetero-tracking compaction floor (tests lower it to exercise the
+# cascade at tiny widths)
+_TRACK_MIN = 1 << 13
+
+
 def sample_interaction(
     scene: SceneData, medium_prop, o, d, seg_t, u_dist, vol_key, vol_depth=None
 ):
@@ -240,83 +245,106 @@ def sample_interaction(
         1.0 / jnp.maximum(sdims * jnp.abs(ld_safe), 1e-12), axis=-1
     )
 
-    def cell_exit_t(t):
-        """Ray t at which the CURRENT supergrid cell is left (t in the
-        caller's units; cell walls live in unit-cube object space)."""
-        p_l = lo + t[..., None] * ld
-        cell = jnp.floor(jnp.clip((p_l + 0.5) * sdims, 0.0, sdims - 1.0))
-        step_pos = (ld > 0.0).astype(jnp.float32)
-        wall = (cell + step_pos) / jnp.maximum(sdims, 1.0) - 0.5
-        t_ax = (wall - p_l) * inv
-        return t + jnp.maximum(jnp.min(t_ax, axis=-1), 0.0) + t_cell_eps
-
-    def cond(c):
-        key, t, w, done, scat, absb, emis, it = c
-        # the iteration cap is pure insurance: cell hops advance t by a
-        # strictly positive step, but a NaN ray (t compares all-false)
-        # would otherwise spin this loop forever
-        return jnp.any(~done) & (it < jnp.uint32(16384))
-
-    def step(c):
-        key, t, w, done, scat, absb, emis, it = c
-        u1 = u32_to_float(hash2_u32(key, jnp.uint32(0)))
-        u2 = u32_to_float(hash2_u32(key, jnp.uint32(1)))
-        r3 = jnp.stack(
-            [u32_to_float(hash2_u32(key, jnp.uint32(k))) for k in (2, 3, 4)], -1
-        )
-        # local majorant of the current macrocell
-        p_cur = lo + t[..., None] * ld
-        uvw_cur = jnp.clip(p_cur + 0.5, 0.0, 1.0)
-        maj_loc = grids_mod.local_majorant(arena, grid, uvw_cur)
-        mu_loc = maj_loc * mu_t_max
-        t_cell = cell_exit_t(t)
-        t_cand = t - jnp.log(jnp.maximum(1.0 - u1, 1e-7)) / jnp.maximum(mu_loc, 1e-12)
-        # empty/thin cell or flight past the wall: hop to the next cell
-        crossed = (mu_loc <= 1e-9) | (t_cand > t_cell)
-        t_new = jnp.where(crossed, t_cell, t_cand)
-        exited = t_new >= seg
-        collide = ~exited & ~crossed
-        p = o + t_new[..., None] * d
-        uvw = _object_uvw(scene, medium_prop, p)
-        dens = grids_mod.sample_density_stochastic(arena, grid, uvw, r3)
-        mu_t_x = dens[..., None] * mu_t
-        mu_s_x = dens[..., None] * mu_s
-        mu_a_x = mu_t_x - mu_s_x
-        mu_loc_s = jnp.maximum(mu_loc, 1e-12)
-        ps = jnp.mean(mu_s_x, axis=-1) / mu_loc_s
-        pa = jnp.mean(mu_a_x, axis=-1) / mu_loc_s
-        pn = jnp.maximum(1.0 - ps - pa, 1e-7)
-        scat_now = collide & (u2 < ps)
-        abs_now = collide & ~scat_now & (u2 < ps + pa)
-        w_scat = mu_s_x / jnp.maximum(mu_loc_s * ps, 1e-20)[..., None]
-        w_null = (mu_loc_s[..., None] - mu_t_x) / (mu_loc_s * pn)[..., None]
-        act = ~done
-        if emissive:
-            # analog absorption collects emission (ref trackingEmission):
-            # li = w * mu_a(x)/(mu_maj*pa) * e — uses the PRE-kill weight
-            w_abs = mu_a_x / jnp.maximum(mu_loc_s * pa, 1e-20)[..., None]
-            emis = jnp.where(
-                (act & abs_now)[..., None], w * w_abs * e_med, emis
-            )
-        w = jnp.where(
-            (act & scat_now)[..., None],
-            w * w_scat,
-            jnp.where(
-                (act & abs_now)[..., None],
-                0.0,
-                jnp.where((act & collide)[..., None], w * w_null, w),
-            ),
-        )
-        scat = scat | (act & scat_now)
-        absb = absb | (act & abs_now)
-        t = jnp.where(act, jnp.minimum(t_new, seg), t)
-        done = done | exited | scat_now | abs_now
-        return (
-            hash_u32(key ^ jnp.uint32(0x9E3779B9)),
-            t, w, done, scat, absb, emis, it + jnp.uint32(1),
-        )
-
     n = seg.shape
+    C = {
+        "lo": lo, "ld": ld, "inv": inv, "seg": seg, "mu_t": mu_t,
+        "mu_s": mu_s, "mu_t_max": mu_t_max, "grid": grid, "sdims": sdims,
+        "eps": t_cell_eps, "o": o, "d": d, "mp": medium_prop,
+    }
+    if emissive:
+        C["e_med"] = e_med
+
+    def track_stage(C, S, live_limit):
+        """One tracking stage: runs until <= live_limit lanes remain
+        un-done (None = to completion). Same macrocell walk as before —
+        the cascade around it only relocates lanes."""
+        lo, ld, inv = C["lo"], C["ld"], C["inv"]
+        seg, mu_t, mu_s = C["seg"], C["mu_t"], C["mu_s"]
+        mu_t_max, grid, sdims = C["mu_t_max"], C["grid"], C["sdims"]
+        t_cell_eps, o, d, medium_prop = C["eps"], C["o"], C["d"], C["mp"]
+        e_med = C.get("e_med")
+
+        def cell_exit_t(t):
+            """Ray t at which the CURRENT supergrid cell is left (t in the
+            caller's units; cell walls live in unit-cube object space)."""
+            p_l = lo + t[..., None] * ld
+            cell = jnp.floor(jnp.clip((p_l + 0.5) * sdims, 0.0, sdims - 1.0))
+            step_pos = (ld > 0.0).astype(jnp.float32)
+            wall = (cell + step_pos) / jnp.maximum(sdims, 1.0) - 0.5
+            t_ax = (wall - p_l) * inv
+            return t + jnp.maximum(jnp.min(t_ax, axis=-1), 0.0) + t_cell_eps
+
+        def cond(c):
+            key, t, w, done, scat, absb, emis, it = c
+            # the iteration cap is pure insurance: cell hops advance t by
+            # a strictly positive step, but a NaN ray (t compares
+            # all-false) would otherwise spin this loop forever
+            alive = jnp.sum((~done).astype(jnp.int32))
+            lim = 0 if live_limit is None else live_limit
+            return (alive > lim) & (it < jnp.uint32(16384))
+
+        def step(c):
+            key, t, w, done, scat, absb, emis, it = c
+            u1 = u32_to_float(hash2_u32(key, jnp.uint32(0)))
+            u2 = u32_to_float(hash2_u32(key, jnp.uint32(1)))
+            r3 = jnp.stack(
+                [u32_to_float(hash2_u32(key, jnp.uint32(k))) for k in (2, 3, 4)], -1
+            )
+            # local majorant of the current macrocell
+            p_cur = lo + t[..., None] * ld
+            uvw_cur = jnp.clip(p_cur + 0.5, 0.0, 1.0)
+            maj_loc = grids_mod.local_majorant(arena, grid, uvw_cur)
+            mu_loc = maj_loc * mu_t_max
+            t_cell = cell_exit_t(t)
+            t_cand = t - jnp.log(jnp.maximum(1.0 - u1, 1e-7)) / jnp.maximum(mu_loc, 1e-12)
+            # empty/thin cell or flight past the wall: hop to the next cell
+            crossed = (mu_loc <= 1e-9) | (t_cand > t_cell)
+            t_new = jnp.where(crossed, t_cell, t_cand)
+            exited = t_new >= seg
+            collide = ~exited & ~crossed
+            p = o + t_new[..., None] * d
+            uvw = _object_uvw(scene, medium_prop, p)
+            dens = grids_mod.sample_density_stochastic(arena, grid, uvw, r3)
+            mu_t_x = dens[..., None] * mu_t
+            mu_s_x = dens[..., None] * mu_s
+            mu_a_x = mu_t_x - mu_s_x
+            mu_loc_s = jnp.maximum(mu_loc, 1e-12)
+            ps = jnp.mean(mu_s_x, axis=-1) / mu_loc_s
+            pa = jnp.mean(mu_a_x, axis=-1) / mu_loc_s
+            pn = jnp.maximum(1.0 - ps - pa, 1e-7)
+            scat_now = collide & (u2 < ps)
+            abs_now = collide & ~scat_now & (u2 < ps + pa)
+            w_scat = mu_s_x / jnp.maximum(mu_loc_s * ps, 1e-20)[..., None]
+            w_null = (mu_loc_s[..., None] - mu_t_x) / (mu_loc_s * pn)[..., None]
+            act = ~done
+            if e_med is not None:
+                # analog absorption collects emission (ref
+                # trackingEmission): li = w * mu_a(x)/(mu_maj*pa) * e —
+                # uses the PRE-kill weight
+                w_abs = mu_a_x / jnp.maximum(mu_loc_s * pa, 1e-20)[..., None]
+                emis = jnp.where(
+                    (act & abs_now)[..., None], w * w_abs * e_med, emis
+                )
+            w = jnp.where(
+                (act & scat_now)[..., None],
+                w * w_scat,
+                jnp.where(
+                    (act & abs_now)[..., None],
+                    0.0,
+                    jnp.where((act & collide)[..., None], w * w_null, w),
+                ),
+            )
+            scat = scat | (act & scat_now)
+            absb = absb | (act & abs_now)
+            t = jnp.where(act, jnp.minimum(t_new, seg), t)
+            done = done | exited | scat_now | abs_now
+            return (
+                hash_u32(key ^ jnp.uint32(0x9E3779B9)),
+                t, w, done, scat, absb, emis, it + jnp.uint32(1),
+            )
+
+        return jax.lax.while_loop(cond, step, S)
+
     init = (
         jnp.asarray(vol_key, jnp.uint32),
         jnp.zeros(n, jnp.float32),
@@ -327,9 +355,45 @@ def sample_interaction(
         jnp.zeros(n + (3,), jnp.float32),
         jnp.uint32(0),
     )
-    _, ht_t, ht_w, _, ht_scat, ht_abs, ht_emis, _ = jax.lax.while_loop(
-        cond, step, init
-    )
+    if len(n) != 1 or n[0] < 4 * _TRACK_MIN:
+        _, ht_t, ht_w, _, ht_scat, ht_abs, ht_emis, _ = track_stage(
+            C, init, None
+        )
+    else:
+        # live-lane compaction cascade (the trimesh.traverse pattern): the
+        # while_loop pays the slowest lane's macrocell count at full width
+        width = n[0]
+        S = init
+        res = None
+        gmap = None
+        while True:
+            nxt = max(width // 4, _TRACK_MIN)
+            limit = None if width <= _TRACK_MIN else nxt
+            S = track_stage(C, S, limit)
+            key_s, t_s, w_s, done_s, scat_s, abs_s, emis_s, _ = S
+            if res is None:
+                res = (t_s, w_s, scat_s, abs_s, emis_s)
+            else:
+                upd = lambda full, part: full.at[gmap].set(part, mode="drop")
+                res = (
+                    upd(res[0], t_s), upd(res[1], w_s), upd(res[2], scat_s),
+                    upd(res[3], abs_s), upd(res[4], emis_s),
+                )
+            if limit is None:
+                break
+            live = ~done_s
+            lidx = jnp.flatnonzero(live, size=nxt, fill_value=width)
+            ls = jnp.minimum(lidx, width - 1)
+            valid = lidx < width
+            gmap = (ls if gmap is None else gmap[ls])
+            gmap = jnp.where(valid, gmap, n[0])
+            C = jax.tree.map(lambda a: a[ls], C)
+            S = (
+                key_s[ls], t_s[ls], w_s[ls], done_s[ls] | ~valid,
+                scat_s[ls], abs_s[ls], emis_s[ls], jnp.uint32(0),
+            )
+            width = nxt
+        ht_t, ht_w, ht_scat, ht_abs, ht_emis = res
 
     scatter = jnp.where(hetero, ht_scat, h_scatter)
     absorb = hetero & ht_abs
