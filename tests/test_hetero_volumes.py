@@ -221,11 +221,19 @@ class TestTrackingCascade:
             return (np.asarray(ev.scatter), np.asarray(ev.absorb),
                     np.asarray(ev.p), np.asarray(ev.weight))
 
+        def run_tr():
+            return np.asarray(
+                vol_mod.transmittance(scene, o, d, seg, key)
+            )
+
         monkeypatch.setattr(vol_mod, "_TRACK_MIN", 1 << 30)
         s0, a0, p0, w0 = run()
+        tr0 = run_tr()
         monkeypatch.setattr(vol_mod, "_TRACK_MIN", 16)
         s1, a1, p1, w1 = run()
+        tr1 = run_tr()
         np.testing.assert_array_equal(s1, s0)
         np.testing.assert_array_equal(a1, a0)
         np.testing.assert_allclose(p1, p0, rtol=1e-6, atol=1e-6)
         np.testing.assert_allclose(w1, w0, rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(tr1, tr0, rtol=1e-6, atol=1e-6)

@@ -387,7 +387,9 @@ def sample_interaction(
             valid = lidx < width
             gmap = (ls if gmap is None else gmap[ls])
             gmap = jnp.where(valid, gmap, n[0])
-            C = jax.tree.map(lambda a: a[ls], C)
+            C = jax.tree.map(
+                lambda a: a[ls] if (a.ndim and a.shape[0] == width) else a, C
+            )
             S = (
                 key_s[ls], t_s[ls], w_s[ls], done_s[ls] | ~valid,
                 scat_s[ls], abs_s[ls], emis_s[ls], jnp.uint32(0),
@@ -572,51 +574,109 @@ def _prop_transmittance(
         t_ax = (wall - p_l) * inv_l
         return t + jnp.maximum(jnp.min(t_ax, axis=-1), 0.0) + t_cell_eps
 
-    def cond(c):
-        key, t, trv, done, it = c
-        # iteration cap = insurance against NaN rays (all-false compares
-        # would otherwise never set `done` and hang the dispatch)
-        return jnp.any(~done) & (it < jnp.uint32(16384))
+    C = {
+        "lo": lo, "ld": ld, "inv": inv_l, "sdims": sdims, "eps": t_cell_eps,
+        "t1": t1, "mu_t": mu_t, "mu_t_max": mu_t_max, "grid": grid_b,
+        "prop": prop_b, "o": o, "d": d,
+    }
 
-    def step(c):
-        key, t, trv, done, it = c
-        u1 = u32_to_float(hash2_u32(key, jnp.uint32(0)))
-        r3 = jnp.stack(
-            [u32_to_float(hash2_u32(key, jnp.uint32(k))) for k in (1, 2, 3)], -1
-        )
-        p_cur = lo + t[..., None] * ld
-        uvw_cur = jnp.clip(p_cur + 0.5, 0.0, 1.0)
-        maj_loc = grids_mod.local_majorant(arena, grid_b, uvw_cur)
-        mu_r = jnp.maximum(maj_loc - d_min, 0.0) * mu_t_max  # residual maj
-        t_cell = cell_exit_t(t)
-        t_cand = t - jnp.log(jnp.maximum(1.0 - u1, 1e-7)) / jnp.maximum(mu_r, 1e-12)
-        crossed = (mu_r <= 1e-9) | (t_cand > t_cell)
-        t_new = jnp.where(crossed, t_cell, t_cand)
-        exited = t_new >= t1
-        collide = ~exited & ~crossed
-        p = o + t_new[..., None] * d
-        uvw = _object_uvw(scene, prop_b, p)
-        dens = grids_mod.sample_density_stochastic(arena, grid_b, uvw, r3)
-        mu_res_x = jnp.maximum(dens - d_min, 0.0)[..., None] * mu_t
-        ratio = jnp.clip(1.0 - mu_res_x / jnp.maximum(mu_r, 1e-12)[..., None], 0.0, 1.0)
-        act = ~done & collide
-        trv = jnp.where(act[..., None], trv * ratio, trv)
-        t = jnp.where(~done, t_new, t)
-        done = done | exited | (jnp.max(trv, axis=-1) < 1e-5)
-        return (
-            hash_u32(key ^ jnp.uint32(0x85EBCA6B)),
-            t, trv, done, it + jnp.uint32(1),
-        )
+    def track_stage(C, S, live_limit):
+        lo, ld, inv_l = C["lo"], C["ld"], C["inv"]
+        sdims, t_cell_eps, t1 = C["sdims"], C["eps"], C["t1"]
+        mu_t, mu_t_max = C["mu_t"], C["mu_t_max"]
+        grid_b, prop_b, o, d = C["grid"], C["prop"], C["o"], C["d"]
+
+        def cell_exit_t(t):
+            p_l = lo + t[..., None] * ld
+            cell = jnp.floor(jnp.clip((p_l + 0.5) * sdims, 0.0, sdims - 1.0))
+            step_pos = (ld > 0.0).astype(jnp.float32)
+            wall = (cell + step_pos) / jnp.maximum(sdims, 1.0) - 0.5
+            t_ax = (wall - p_l) * inv_l
+            return t + jnp.maximum(jnp.min(t_ax, axis=-1), 0.0) + t_cell_eps
+
+        def cond(c):
+            key, t, trv, done, it = c
+            # iteration cap = insurance against NaN rays (all-false
+            # compares would otherwise never set `done`)
+            alive = jnp.sum((~done).astype(jnp.int32))
+            lim = 0 if live_limit is None else live_limit
+            return (alive > lim) & (it < jnp.uint32(16384))
+
+        def step(c):
+            key, t, trv, done, it = c
+            u1 = u32_to_float(hash2_u32(key, jnp.uint32(0)))
+            r3 = jnp.stack(
+                [u32_to_float(hash2_u32(key, jnp.uint32(k))) for k in (1, 2, 3)], -1
+            )
+            p_cur = lo + t[..., None] * ld
+            uvw_cur = jnp.clip(p_cur + 0.5, 0.0, 1.0)
+            maj_loc = grids_mod.local_majorant(arena, grid_b, uvw_cur)
+            mu_r = jnp.maximum(maj_loc - d_min, 0.0) * mu_t_max  # residual maj
+            t_cell = cell_exit_t(t)
+            t_cand = t - jnp.log(jnp.maximum(1.0 - u1, 1e-7)) / jnp.maximum(mu_r, 1e-12)
+            crossed = (mu_r <= 1e-9) | (t_cand > t_cell)
+            t_new = jnp.where(crossed, t_cell, t_cand)
+            exited = t_new >= t1
+            collide = ~exited & ~crossed
+            p = o + t_new[..., None] * d
+            uvw = _object_uvw(scene, prop_b, p)
+            dens = grids_mod.sample_density_stochastic(arena, grid_b, uvw, r3)
+            mu_res_x = jnp.maximum(dens - d_min, 0.0)[..., None] * mu_t
+            ratio = jnp.clip(1.0 - mu_res_x / jnp.maximum(mu_r, 1e-12)[..., None], 0.0, 1.0)
+            act = ~done & collide
+            trv = jnp.where(act[..., None], trv * ratio, trv)
+            t = jnp.where(~done, t_new, t)
+            done = done | exited | (jnp.max(trv, axis=-1) < 1e-5)
+            return (
+                hash_u32(key ^ jnp.uint32(0x85EBCA6B)),
+                t, trv, done, it + jnp.uint32(1),
+            )
+
+        return jax.lax.while_loop(cond, step, S)
 
     # per-prop RNG stream salt (was the python-loop index; the prop id
     # keeps it deterministic under the scan)
     salt = jnp.asarray(prop_idx, jnp.uint32) * jnp.uint32(0x6C078965) + jnp.uint32(1)
+    n = seg.shape
     init = (
         jnp.asarray(vol_key, jnp.uint32) ^ salt,
         t0,
-        jnp.ones(seg.shape + (3,), jnp.float32),
+        jnp.ones(n + (3,), jnp.float32),
         ~inside,
         jnp.uint32(0),
     )
-    _, _, trv, _, _ = jax.lax.while_loop(cond, step, init)
+    if len(n) != 1 or n[0] < 4 * _TRACK_MIN:
+        _, _, trv, _, _ = track_stage(C, init, None)
+    else:
+        # live-lane compaction cascade (as sample_interaction): most
+        # shadow rays never enter the grid, so the live set collapses fast
+        width = n[0]
+        S = init
+        trv = None
+        gmap = None
+        while True:
+            nxt = max(width // 4, _TRACK_MIN)
+            limit = None if width <= _TRACK_MIN else nxt
+            S = track_stage(C, S, limit)
+            key_s, t_s, trv_s, done_s, _ = S
+            if trv is None:
+                trv = trv_s
+            else:
+                trv = trv.at[gmap].set(trv_s, mode="drop")
+            if limit is None:
+                break
+            live = ~done_s
+            lidx = jnp.flatnonzero(live, size=nxt, fill_value=width)
+            ls = jnp.minimum(lidx, width - 1)
+            valid = lidx < width
+            gmap = (ls if gmap is None else gmap[ls])
+            gmap = jnp.where(valid, gmap, n[0])
+            C = jax.tree.map(
+                lambda a: a[ls] if (a.ndim and a.shape[0] == width) else a, C
+            )
+            S = (
+                key_s[ls], t_s[ls], trv_s[ls], done_s[ls] | ~valid,
+                jnp.uint32(0),
+            )
+            width = nxt
     return jnp.where(inside[..., None], tr_control * trv, 1.0)
