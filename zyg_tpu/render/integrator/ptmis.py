@@ -420,7 +420,10 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
         # ---- medium transport: distance sampling in the enclosing medium
         # (homogeneous closed form / heterogeneous delta tracking; see
         # integrator/volume.py)
-        u_dist = smp.sample_1d()
+        # distance-sampling dim only exists in scenes with media (the ref's
+        # volume integrator draws lazily inside the medium; a vacuum scene
+        # never consumes it)
+        u_dist = smp.sample_1d() if has_media else None
         if has_media:
             # dense-SSS similarity relation: the phase g and the distance
             # sampler must use the SAME depth-scaled coefficients
