@@ -47,6 +47,85 @@ class TestIt:
         out = it.op_denoise(noisy, albedo=albedo)
         assert np.abs(out - clean).mean() < np.abs(noisy - clean).mean() * 0.5
 
+    def test_add_average_mul(self, rng_np):
+        # ref it/operator.zig .Add/.Average/.Mul over the full input list
+        a = rng_np.random((8, 8, 3)).astype(np.float32)
+        b = rng_np.random((8, 8, 3)).astype(np.float32)
+        np.testing.assert_allclose(it.op_add([a, b]), a + b, rtol=1e-6)
+        np.testing.assert_allclose(it.op_average([a, b]), (a + b) / 2, rtol=1e-6)
+        np.testing.assert_allclose(it.op_mul([a, b]), a * b, rtol=1e-6)
+
+    def test_max_value(self):
+        img = np.zeros((4, 4, 3), np.float32)
+        out = it.op_max_value(img, (0.1, 0.2, 0.3))
+        assert np.allclose(out[0, 0], [0.1, 0.2, 0.3])
+
+    def test_over(self):
+        # front image half-transparent: result = front + back*(1-alpha)
+        front = np.full((4, 4, 3), 0.2, np.float32)
+        back = np.full((4, 4, 3), 1.0, np.float32)
+        alpha = np.full((4, 4, 1), 0.5, np.float32)
+        out = it.op_over([front, back], [alpha, None])
+        assert np.allclose(out, 0.2 + 1.0 * 0.5)
+        # opaque front ignores the back layer
+        out2 = it.op_over([front, back], [None, None])
+        assert np.allclose(out2, front)
+
+    def test_anaglyph(self):
+        left = np.zeros((4, 4, 3), np.float32)
+        left[..., 0] = 0.7
+        right = np.zeros((4, 4, 3), np.float32)
+        right[..., 1] = 0.3
+        right[..., 2] = 0.9
+        out = it.op_anaglyph(left, right, tonemapper="Linear")
+        assert np.allclose(out[..., 0], 0.7)
+        assert np.allclose(out[..., 1], 0.3)
+        assert np.allclose(out[..., 2], 0.9)
+
+    def test_cli_operator_flags(self, tmp_path, rng_np):
+        a = rng_np.random((8, 8, 3)).astype(np.float32)
+        b = rng_np.random((8, 8, 3)).astype(np.float32)
+        pa = self._write(tmp_path, "a.exr", a)
+        pb = self._write(tmp_path, "b.exr", b)
+        out = str(tmp_path / "sum.exr")
+        assert it.main([pa, pb, "--add", "-o", out]) == 0
+        got = it.load_image(out)
+        np.testing.assert_allclose(got, a + b, atol=1e-3)
+
+
+class TestAgxLooks:
+    def test_looks_differ_and_default_matches_reference_cli(self):
+        import jax.numpy as jnp
+
+        from zyg_tpu.render import sensor
+
+        c = jnp.asarray(
+            np.linspace(0.01, 4.0, 48, dtype=np.float32).reshape(4, 4, 3)
+        )
+        outs = {
+            look: np.asarray(sensor.tonemap_agx(c, look))
+            for look in sensor.AGX_LOOKS
+        }
+        # every look produces a distinct grade
+        names = list(outs)
+        for i, a in enumerate(names):
+            for b in names[i + 1:]:
+                assert np.abs(outs[a] - outs[b]).max() > 1e-3, (a, b)
+        # the CDL grade itself matches the reference formula
+        # (ref agx.zig:38: luma + sat * (pow(val*slope, power) - luma))
+        v = np.array([[0.3, 0.5, 0.2]], np.float32)
+        got = np.asarray(sensor._agx_look(jnp.asarray(v), "Punchy"))
+        luma = 0.2126 * v[..., 0] + 0.7152 * v[..., 1] + 0.072 * v[..., 2]
+        want = luma[..., None] + 1.4 * (v**1.35 - luma[..., None])
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+        # the bare tonemap() entry point defaults to Substitute
+        # (ref cli/take_loader.zig:267)
+        via_entry = np.asarray(sensor.tonemap(c, "AgX"))
+        np.testing.assert_allclose(via_entry, outs["Substitute"], atol=1e-6)
+        # all outputs clamped to [0,1]
+        for o in outs.values():
+            assert o.min() >= 0.0 and o.max() <= 1.0
+
 
 class TestSow:
     def test_scatter_on_surface(self, tmp_path):

@@ -253,7 +253,13 @@ def load_take_dict(root: dict, base_dir: str = "") -> Take:
         if "tonemapper" in pp:
             for tname, tbody in pp["tonemapper"].items():
                 take.sensor.tonemapper = tname
-                take.sensor.exposure = float(tbody.get("exposure", 0.0)) if isinstance(tbody, dict) else 0.0
+                if isinstance(tbody, dict):
+                    take.sensor.exposure = float(tbody.get("exposure", 0.0))
+                    # AgX look (ref agx.zig Look; the reference CLI defaults
+                    # the bare "AgX" key to Substitute)
+                    take.sensor.look = str(tbody.get("look", take.sensor.look))
+                else:
+                    take.sensor.exposure = 0.0
 
     exp = root.get("export")
     if isinstance(exp, dict):

@@ -617,7 +617,12 @@ class Driver:
             # the forward image (BDPT t=1 convention; ref driver.zig:269)
             img = img + (self._splat / self._particles_traced).reshape(h, w, 3)
         if tonemapped:
-            img = sensor_mod.tonemap(img, self.take.sensor.tonemapper, self.take.sensor.exposure)
+            img = sensor_mod.tonemap(
+                img,
+                self.take.sensor.tonemapper,
+                self.take.sensor.exposure,
+                look=getattr(self.take.sensor, "look", "Substitute"),
+            )
         return np.asarray(jax.device_get(img))
 
     def resolve_aov(self, name: str) -> np.ndarray:

@@ -33,6 +33,7 @@ class SensorSettings:
     alpha_transparency: bool = False
     tonemapper: str = "Linear"
     exposure: float = 0.0
+    look: str = "Substitute"  # AgX ASC-CDL look (ref agx.zig Look)
 
 
 class Framebuffer(NamedTuple):
@@ -193,8 +194,33 @@ _AGX_OUTSET = np.array(
 )
 
 
-def tonemap_agx(c, look: str = "none"):
-    """AgX (Benjamin Wrensch / Troy Sobotka approximation)."""
+# ASC CDL parameters per AgX look (ref agx.zig:38-69): (slope, power, sat).
+# The reference CLI maps the bare "AgX" tonemapper key to Substitute
+# (cli/take_loader.zig:267); Default/Golden/Punchy select the other looks.
+AGX_LOOKS = {
+    "Default": ((1.0, 1.0, 1.0), 1.0, 1.0),
+    "Substitute": ((1.0, 1.0, 1.0), 1.1, 1.05),
+    "Golden": ((1.0, 0.9, 0.5), 0.8, 0.8),
+    "Punchy": ((1.0, 1.0, 1.0), 1.35, 1.4),
+}
+
+
+def _agx_look(v, look: str):
+    """ASC CDL grade in AgX space (ref agx.zig:38 `look`)."""
+    slope, power, sat = AGX_LOOKS.get(look, AGX_LOOKS["Default"])
+    luma = (
+        0.2126 * v[..., 0:1] + 0.7152 * v[..., 1:2] + 0.072 * v[..., 2:3]
+    )
+    p = jnp.power(jnp.maximum(v * jnp.asarray(slope, v.dtype), 0.0), power)
+    return luma + sat * (p - luma)
+
+
+def tonemap_agx(c, look: str = "Substitute"):
+    """AgX (Benjamin Wrensch / Troy Sobotka approximation; ref agx.zig).
+
+    Pipeline matches the reference: inset -> log2 encode -> sigmoid ->
+    look (ASC CDL) -> outset -> 2.2-exponent EOTF back to linear Rec.709
+    (ref agx.zig:80 `eotf`)."""
     min_ev, max_ev = -12.47393, 4.026069
     c = c @ jnp.asarray(_AGX_INSET).T
     c = jnp.clip(jnp.log2(jnp.maximum(c, 1e-10)), min_ev, max_ev)
@@ -211,8 +237,9 @@ def tonemap_agx(c, look: str = "none"):
         + 0.1191 * x
         - 0.00232
     )
+    v = _agx_look(jnp.maximum(v, 0.0), look)
     v = v @ jnp.asarray(_AGX_OUTSET).T
-    return jnp.clip(v, 0.0, 1.0)
+    return jnp.clip(jnp.power(jnp.clip(v, 0.0, 1.0), 2.2), 0.0, 1.0)
 
 
 TONEMAPPERS = {
@@ -223,6 +250,9 @@ TONEMAPPERS = {
 }
 
 
-def tonemap(c, name: str = "Linear", exposure: float = 0.0):
+def tonemap(c, name: str = "Linear", exposure: float = 0.0, look: str | None = None):
     f = TONEMAPPERS.get(name, tonemap_linear)
-    return f(c * (2.0**exposure))
+    scaled = c * (2.0**exposure)
+    if name == "AgX":
+        return f(scaled, look if look is not None else "Substitute")
+    return f(scaled)

@@ -1,10 +1,16 @@
 """`it` — image toolbox (ref: src/it/).
 
-Operators, mirroring the reference CLI surface:
+Operators, mirroring the reference CLI surface (it/operator.zig Class):
   --diff A B ...     difference images + RMSE/max stats (the de-facto
                      regression harness, ref it/operator.zig Diff)
   --denoise          joint bilateral denoise using albedo/normal/depth AOVs
                      (ref it/denoise.zig)
+  --add              sum of all inputs (ref operator.zig .Add)
+  --average          mean of all inputs (.Average)
+  --mul              product of all inputs (.Mul)
+  --over             alpha-over composite front-to-back (.Over)
+  --max-value R G B  elementwise max against a constant floor (.MaxValue)
+  --anaglyph         red/cyan stereo merge of an image pair (.Anaglyph)
   --down N           integer box down-sample
   --blur S           gaussian blur
   --cat              horizontal concatenation
@@ -104,6 +110,68 @@ def op_cat(images: list[np.ndarray]) -> np.ndarray:
     return np.concatenate(padded, axis=1)
 
 
+def _common_hw(images: list[np.ndarray]):
+    h = min(i.shape[0] for i in images)
+    w = min(i.shape[1] for i in images)
+    return [i[:h, :w] for i in images]
+
+
+def op_add(images: list[np.ndarray]) -> np.ndarray:
+    """Sum of all inputs (ref it/operator.zig .Add)."""
+    images = _common_hw(images)
+    return np.sum(images, axis=0)
+
+
+def op_average(images: list[np.ndarray]) -> np.ndarray:
+    """Mean of all inputs (ref .Average: factor = 1/len)."""
+    images = _common_hw(images)
+    return np.mean(images, axis=0)
+
+
+def op_mul(images: list[np.ndarray]) -> np.ndarray:
+    """Product of all inputs (ref .Mul)."""
+    images = _common_hw(images)
+    out = images[0].copy()
+    for i in images[1:]:
+        out *= i
+    return out
+
+
+def op_max_value(img: np.ndarray, floor) -> np.ndarray:
+    """Elementwise max against a constant (ref .MaxValue)."""
+    return np.maximum(img, np.asarray(floor, np.float32))
+
+
+def op_over(images: list[np.ndarray], alphas: list[np.ndarray | None]) -> np.ndarray:
+    """Front-to-back over composite: color += other * (1 - alpha) with the
+    running alpha accumulating the same way (ref .Over). Inputs without an
+    alpha channel are treated as opaque."""
+    images = _common_hw(images)
+    h, w, _ = images[0].shape
+    color = images[0].copy()
+    a = alphas[0]
+    alpha = np.ones((h, w, 1), np.float32) if a is None else a[:h, :w]
+    for img, a in zip(images[1:], alphas[1:]):
+        oa = np.ones((h, w, 1), np.float32) if a is None else a[:h, :w]
+        color = color + img * (1.0 - alpha)
+        alpha = alpha + oa * (1.0 - alpha)
+    return color
+
+
+def op_anaglyph(a: np.ndarray, b: np.ndarray, tonemapper: str = "Linear") -> np.ndarray:
+    """Red/cyan stereo merge: R from the left eye, GB from the right
+    (ref .Anaglyph; both eyes are tonemapped first)."""
+    if tonemapper:
+        import jax.numpy as jnp
+
+        from ..render.sensor import tonemap
+
+        a = np.asarray(tonemap(jnp.asarray(a), tonemapper))
+        b = np.asarray(tonemap(jnp.asarray(b), tonemapper))
+    a, b = _common_hw([a, b])
+    return np.concatenate([a[..., 0:1], b[..., 1:3]], axis=-1)
+
+
 def op_denoise(color: np.ndarray, albedo=None, normal=None, depth=None, radius: int = 3,
                sigma_color: float = 0.25, sigma_feature: float = 0.2) -> np.ndarray:
     """Joint bilateral filter guided by AOVs (ref it/denoise.zig)."""
@@ -144,6 +212,12 @@ def main(argv=None) -> int:
     p.add_argument("--down", type=int, default=0)
     p.add_argument("--blur", type=float, default=0.0)
     p.add_argument("--cat", action="store_true")
+    p.add_argument("--add", action="store_true")
+    p.add_argument("--average", action="store_true")
+    p.add_argument("--mul", action="store_true")
+    p.add_argument("--over", action="store_true")
+    p.add_argument("--anaglyph", action="store_true")
+    p.add_argument("--max-value", nargs=3, type=float, metavar=("R", "G", "B"))
     p.add_argument("--tonemap", default="")
     p.add_argument("-o", "--output", default="it_out.png")
     args = p.parse_args(argv)
@@ -178,6 +252,20 @@ def main(argv=None) -> int:
             normal=companion(args.normal, "shading_normal"),
             depth=companion(args.depth, "depth"),
         )
+    if args.add:
+        img = op_add(imgs)
+    if args.average:
+        img = op_average(imgs)
+    if args.mul:
+        img = op_mul(imgs)
+    if args.over:
+        img = op_over(imgs, [None] * len(imgs))
+    if args.anaglyph:
+        if len(imgs) < 2:
+            raise SystemExit("it: --anaglyph needs an image pair")
+        img = op_anaglyph(imgs[0], imgs[1], args.tonemap or "Linear")
+    if args.max_value is not None:
+        img = op_max_value(img, args.max_value)
     if args.down > 1:
         img = op_downsample(img, args.down)
     if args.blur > 0:
