@@ -233,6 +233,114 @@ class TestCheckpointResume:
         assert np.abs(out - ref).mean() < 0.05 * ref.mean() + 0.01
 
 
+class TestSowParticles:
+    """Ballistic particle generator/exporter (ref particle_generator.zig,
+    particle_exporter.zig) + the point-motion render path."""
+
+    def test_burst_ballistics(self):
+        pos, rad = sow.simulate_burst(64, 24, seed=3)
+        assert pos.shape == (24, 64, 3) and rad is None
+        # all particles start on the r=0.01 sphere
+        np.testing.assert_allclose(
+            np.linalg.norm(pos[0], axis=-1), 0.01, atol=1e-5
+        )
+        # under gravity the mean height drops over time
+        assert pos[-1][:, 1].mean() < pos[1][:, 1].mean()
+        # speed stays near launch speed after one step (drag ~ cancels
+        # gravity except for the net (g - 1) m/s^2 on down-fliers)
+        step_d = np.linalg.norm(pos[2] - pos[1], axis=-1) * sow._PARTICLE_FPS
+        assert step_d.max() <= 2.0 + 8.8 / sow._PARTICLE_FPS + 1e-3
+
+    def test_sparks_lifecycle(self):
+        pos, rad = sow.simulate_sparks(128, 80, radius=0.004, seed=1)
+        assert rad.shape == (80, 128)
+        # frame 0 is all hidden; later frames have visible flying sparks
+        assert rad[0].max() == 0.0
+        assert (rad[40] > 0).sum() > 10
+        # visible sparks sit above the emitter (cone opens around +y)
+        vis = rad[20] > 0
+        if vis.any():
+            assert pos[20][vis][:, 1].mean() > 0.0
+
+    def test_rain_falls_from_rect(self):
+        pos, rad = sow.simulate_rain(64, 60, radius=0.002, seed=2)
+        vis = rad[50] > 0
+        assert vis.sum() > 5
+        # drops are below the y=0 emitter plane and inside the rect extent
+        assert (pos[50][vis][:, 1] <= 0.0).all()
+        assert np.abs(pos[50][vis][:, 0]).max() <= 0.27 + 1e-5
+
+    def test_export_load_resolve_roundtrip(self, tmp_path):
+        from zyg_tpu.io.mesh import load_point_cloud_file
+        from zyg_tpu.scene.points import resolve_motion
+
+        pos, rad = sow.simulate_sparks(32, 16, radius=0.004, seed=5)
+        out = str(tmp_path / "sparks.json")
+        sow.write_particles(out, pos, rad, 0.004)
+        cloud = load_point_cloud_file(out)
+        assert cloud.position_frames.shape == (16, 32, 3)
+        assert cloud.radius_frames.shape == (16, 32)
+        assert cloud.fps == 120.0
+        # resolve at a mid-frame time: lerp of the bracketing frames
+        t0 = 5.25 / 120.0
+        flat = resolve_motion(cloud, t0, t0)
+        want = 0.75 * pos[5] + 0.25 * pos[6]
+        np.testing.assert_allclose(flat.positions, want, atol=1e-5)
+        np.testing.assert_allclose(flat.radii, rad[5], atol=1e-7)
+        assert flat.positions_end is None
+        # a shutter span returns both endpoints
+        span = resolve_motion(cloud, 5.0 / 120.0, 6.0 / 120.0)
+        np.testing.assert_allclose(span.positions, pos[5], atol=1e-5)
+        np.testing.assert_allclose(span.positions_end, pos[6], atol=1e-5)
+
+    def test_cli_and_render_with_motion_blur(self, tmp_path):
+        import json as _json
+
+        from zyg_tpu.io.take import Take
+        from zyg_tpu.render.camera import PerspectiveCamera
+        from zyg_tpu.render.driver import Driver
+        from zyg_tpu.scene.loader import load_scene_file
+
+        part = str(tmp_path / "rain.json")
+        rc = sow.main([
+            "particles", "--kind", "rain", "--count", "200", "--frames", "48",
+            "--radius", "0.02", "-o", part,
+        ])
+        assert rc == 0
+        scene_doc = {
+            "materials": [
+                {"name": "drop", "rendering": {"Substitute": {
+                    "color": [0.7, 0.7, 0.9], "roughness": 0.3}}},
+                {"name": "glow", "rendering": {"Light": {
+                    "emittance": {"spectrum": [1, 1, 1], "value": 40.0}}}},
+            ],
+            "entities": [
+                {"type": "Prop", "shape": {"file": "rain.json"},
+                 "materials": ["drop"]},
+                {"type": "Light", "shape": {"type": "Rectangle"},
+                 "materials": ["glow"],
+                 "transformation": {"position": [0, 1.5, 0],
+                                    "rotation": [-90, 0, 0],
+                                    "scale": [1, 1, 1]}},
+            ],
+        }
+        spath = str(tmp_path / "rain.scene")
+        with open(spath, "w") as f:
+            _json.dump(scene_doc, f)
+        # shutter spans sim frames 36..38 (0.3s..0.316s)
+        scene = load_scene_file(spath, time0=36 / 120.0, time1=38 / 120.0)
+        assert scene.points is not None
+        take = Take()
+        take.num_samples_per_pixel = 4
+        cam = PerspectiveCamera(resolution=(24, 24))
+        cam.position = np.array([0, -0.3, -1.6], np.float32)
+        take.cameras = [cam]
+        take.integrator.kind = "PTMIS"
+        img = Driver(take=take, scene=scene).render_frame()
+        assert np.isfinite(img).all()
+        assert img.mean() > 1e-4  # drops + light visible
+
+
 class TestSowGrid:
     """Grid scatter + density maps + prototypes (ref sow/main.zig
     scatter(); VERDICT r2 missing item 12)."""

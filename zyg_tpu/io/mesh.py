@@ -130,15 +130,38 @@ def load_mesh_file(path: str) -> HostMesh | None:
 
 def load_point_cloud_file(path: str):
     """JSON geometry with point_list topology -> HostPoints
-    (ref shape_provider.zig PointList branch; sow writes these)."""
+    (ref shape_provider.zig PointList branch; sow writes these).
+
+    Two vertex layouts are accepted:
+    - flat "positions" (+ optional "radii"/"positions_end"): a static or
+      two-endpoint cloud;
+    - the reference particle-exporter layout (particle_exporter.zig):
+      "vertices": {"positions": [[...frame0...], [...frame1...]],
+      "radius_samples": [...]} plus "frames_per_second"/"start_frame" —
+      a full simulation stack resolved per render frame."""
     from ..scene.points import HostPoints
 
     with open(path) as f:
         root = json.load(f)
     geo = root.get("geometry", root)
-    pos = np.asarray(geo.get("positions", geo.get("vertices")), np.float32).reshape(-1, 3)
-    r = geo.get("radii")
+    verts = geo.get("vertices")
     radius = float(geo.get("point_radius", 0.01))
+    if isinstance(verts, dict) and isinstance(verts.get("positions"), list) \
+            and verts["positions"] and isinstance(verts["positions"][0], list):
+        pf = np.asarray(verts["positions"], np.float32)
+        pf = pf.reshape(pf.shape[0], -1, 3)  # [F,P,3]
+        rs = verts.get("radius_samples")
+        rf = np.asarray(rs, np.float32).reshape(pf.shape[0], -1) if rs else None
+        return HostPoints(
+            positions=pf[0],
+            radii=(rf[0] if rf is not None else np.full(pf.shape[1], radius, np.float32)),
+            position_frames=pf,
+            radius_frames=rf,
+            fps=float(geo.get("frames_per_second", 0.0)) or 120.0,
+            start_frame=int(geo.get("start_frame", 0)),
+        )
+    pos = np.asarray(geo.get("positions", verts), np.float32).reshape(-1, 3)
+    r = geo.get("radii")
     radii = (
         np.asarray(r, np.float32).reshape(-1)
         if r is not None

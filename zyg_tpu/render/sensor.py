@@ -222,7 +222,9 @@ def tonemap_agx(c, look: str = "Substitute"):
     look (ASC CDL) -> outset -> 2.2-exponent EOTF back to linear Rec.709
     (ref agx.zig:80 `eotf`)."""
     min_ev, max_ev = -12.47393, 4.026069
-    c = c @ jnp.asarray(_AGX_INSET).T
+    # the stored matrices are column-stochastic (columns sum to 1): apply
+    # as c @ M so neutral axis maps to neutral (a .T here tints whites)
+    c = c @ jnp.asarray(_AGX_INSET)
     c = jnp.clip(jnp.log2(jnp.maximum(c, 1e-10)), min_ev, max_ev)
     x = (c - min_ev) / (max_ev - min_ev)
     # 6th-order sigmoid approximation
@@ -238,7 +240,7 @@ def tonemap_agx(c, look: str = "Substitute"):
         - 0.00232
     )
     v = _agx_look(jnp.maximum(v, 0.0), look)
-    v = v @ jnp.asarray(_AGX_OUTSET).T
+    v = v @ jnp.asarray(_AGX_OUTSET)
     return jnp.clip(jnp.power(jnp.clip(v, 0.0, 1.0), 2.2), 0.0, 1.0)
 
 

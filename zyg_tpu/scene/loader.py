@@ -1133,8 +1133,13 @@ class SceneBuilder:
         point_props = [i for i, p in enumerate(props) if p.cloud_id >= 0]
         if getattr(self, "point_clouds", None) and point_props:
             from .points import build_arena as build_point_arena
+            from .points import resolve_motion
 
-            point_arena = build_point_arena(self.point_clouds)
+            # frame-sequence clouds (sow particles) resolve to this frame's
+            # shutter span here; static clouds pass through unchanged
+            point_arena = build_point_arena(
+                [resolve_motion(c, time0, time1) for c in self.point_clouds]
+            )
         texture_arena = self.textures.build()
 
         # participating media: volumetric-material props never binary-block

@@ -29,6 +29,47 @@ class HostPoints(NamedTuple):
     positions: np.ndarray  # [P,3] shutter-open positions
     radii: np.ndarray  # [P] per-point radii
     positions_end: np.ndarray | None = None  # [P,3] shutter-close (motion)
+    # frame-sequence clouds (ref point_motion_data.zig + sow particle
+    # exporter): the full simulation stack; resolve_motion() samples it to
+    # the flat fields above for one frame's shutter span at build time.
+    position_frames: np.ndarray | None = None  # [F,P,3]
+    radius_frames: np.ndarray | None = None  # [F,P]
+    fps: float = 0.0  # simulation frames per second
+    start_frame: int = 0
+
+
+def resolve_motion(cloud: HostPoints, t0: float, t1: float) -> HostPoints:
+    """Sample a frame-sequence cloud at a shutter span [t0, t1] seconds.
+
+    ref point_motion_data.zig positionAndRadiusAt: absolute time maps to
+    simulation frame i = t * fps - start_frame, positions lerp between the
+    bracketing frames. Radii take the shutter-open sample (a zero radius
+    is how sparks/rain hide dead particles; ref particle_generator.zig
+    out_radius = 0 on spawn/expiry frames)."""
+    if cloud.position_frames is None:
+        return cloud
+    pf = np.asarray(cloud.position_frames, np.float32)
+    F = pf.shape[0]
+
+    def sample(t):
+        x = t * cloud.fps - cloud.start_frame
+        i = int(np.clip(np.floor(x), 0, max(F - 2, 0)))
+        frac = np.float32(np.clip(x - i, 0.0, 1.0))
+        if F == 1:
+            return pf[0], 0
+        return (1.0 - frac) * pf[i] + frac * pf[min(i + 1, F - 1)], i
+
+    p0, i0 = sample(t0)
+    p1, _ = sample(t1)
+    if cloud.radius_frames is not None:
+        radii = np.asarray(cloud.radius_frames, np.float32)[i0]
+    else:
+        radii = cloud.radii
+    return HostPoints(
+        positions=p0,
+        radii=radii,
+        positions_end=p1 if t1 > t0 else None,
+    )
 
 
 @jax.tree_util.register_pytree_node_class

@@ -288,6 +288,162 @@ def write_point_cloud(path: str, points, radius: float = 0.01) -> None:
         )
 
 
+# ---------------------------------------------------------------------------
+# ballistic particle generators (ref sow/particle/particle_generator.zig)
+# ---------------------------------------------------------------------------
+
+_PARTICLE_FPS = 120
+
+
+def _sphere_uniform(rng, n):
+    z = 1.0 - 2.0 * rng.random(n)
+    phi = 2.0 * np.pi * rng.random(n)
+    s = np.sqrt(np.maximum(1.0 - z * z, 0.0))
+    return np.stack([s * np.cos(phi), s * np.sin(phi), z], -1).astype(np.float32)
+
+
+def _cone_uniform(rng, n, cos_max: float):
+    """Uniform directions in a cone around +Y (ref smpl.coneUniform)."""
+    z = 1.0 - rng.random(n) * (1.0 - cos_max)
+    phi = 2.0 * np.pi * rng.random(n)
+    s = np.sqrt(np.maximum(1.0 - z * z, 0.0))
+    # reference cones open around +y for the spark fountain
+    return np.stack([s * np.cos(phi), z, s * np.sin(phi)], -1).astype(np.float32)
+
+
+def simulate_burst(count: int, frames: int, seed: int = 0):
+    """Radial burst: particles leave a small sphere at 2 m/s and fly under
+    gravity with unit linear drag (ref particle_generator.zig generate/
+    simulate). Returns positions [F,N,3]; radius is constant."""
+    rng = np.random.default_rng(seed)
+    s = _sphere_uniform(rng, count)
+    pos = np.empty((frames, count, 3), np.float32)
+    pos[0] = s * 0.01
+    vel = s * 2.0
+    step = 1.0 / _PARTICLE_FPS
+    g = np.array([0.0, -9.8, 0.0], np.float32)
+    for f in range(1, frames):
+        pos[f] = pos[f - 1] + step * vel
+        nv = vel / np.maximum(np.linalg.norm(vel, axis=-1, keepdims=True), 1e-12)
+        vel = vel + step * (-nv + g)
+    return pos, None
+
+
+def simulate_sparks(count: int, frames: int, radius: float, seed: int = 0):
+    """Spark fountain: respawning cone-directed particles with per-frame
+    radii that hide dead/spawning sparks (ref generateSparks/simulateSparks:
+    cone 0.9, speed 3, lifetime 0.24+0.12*u, drag + gravity)."""
+    rng = np.random.default_rng(seed)
+    step = 1.0 / _PARTICLE_FPS
+    g = np.array([0.0, -9.8, 0.0], np.float32)
+    pos = np.zeros((frames, count, 3), np.float32)
+    rad = np.zeros((frames, count), np.float32)
+    vel = np.ones((count, 3), np.float32)
+    # stagger initial ages so spawns spread over one lifetime
+    ages = np.floor((-rng.random(count) * 0.32) / step).astype(np.int64)
+    max_ages = np.zeros(count, np.int64)
+    for f in range(1, frames):
+        respawn = ages >= max_ages
+        waiting = (~respawn) & (ages < 0)
+        flying = (~respawn) & (ages >= 0)
+
+        n_r = int(respawn.sum())
+        if n_r:
+            pos[f][respawn] = _sphere_uniform(rng, n_r) * 0.005
+            rad[f][respawn] = 0.0
+            vel[respawn] = _cone_uniform(rng, n_r, 0.9) * 3.0
+            ages[respawn] = -2
+            max_ages[respawn] = ((0.24 + 0.12 * rng.random(n_r)) / step).astype(np.int64)
+        pos[f][waiting] = pos[f - 1][waiting]
+        rad[f][waiting] = 0.0
+        if flying.any():
+            p = pos[f - 1][flying] + step * vel[flying]
+            v = vel[flying]
+            nv = v / np.maximum(np.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+            vel[flying] = v + step * (-nv + g)
+            pos[f][flying] = p
+            rad[f][flying] = np.where(ages[flying] >= max_ages[flying] - 1, 0.0, radius)
+        ages += 1
+    return pos, rad
+
+
+def simulate_rain(count: int, frames: int, radius: float, seed: int = 0,
+                  extent: float = 0.27, gravity: float = -7.0, max_age: float = 0.4):
+    """Cornell rain: drops spawn on a horizontal rectangle and free-fall
+    (ref generateCornellRain/simulateCornellRain)."""
+    rng = np.random.default_rng(seed)
+    step = 1.0 / _PARTICLE_FPS
+    pos = np.zeros((frames, count, 3), np.float32)
+    rad = np.zeros((frames, count), np.float32)
+    vel = np.zeros((count, 3), np.float32)
+    ages = (-(rng.random(count) * max_age / step)).astype(np.int64) - 2
+    max_ages = np.zeros(count, np.int64)
+    for f in range(1, frames):
+        respawn = ages >= max_ages
+        waiting = (~respawn) & (ages < 0)
+        flying = (~respawn) & (ages >= 0)
+
+        n_r = int(respawn.sum())
+        if n_r:
+            uv = rng.random((n_r, 2)).astype(np.float32)
+            rect = extent * (2.0 * (uv - 0.5))
+            pos[f][respawn] = np.stack(
+                [rect[:, 0], np.zeros(n_r, np.float32), rect[:, 1]], -1
+            )
+            rad[f][respawn] = 0.0
+            vel[respawn] = 0.0
+            ages[respawn] = -2
+            max_ages[respawn] = int(max_age / step)
+        pos[f][waiting] = pos[f - 1][waiting]
+        rad[f][waiting] = 0.0
+        if flying.any():
+            pos[f][flying] = pos[f - 1][flying] + step * vel[flying]
+            vel[flying, 1] += step * gravity
+            rad[f][flying] = np.where(ages[flying] >= max_ages[flying] - 1, 0.0, radius)
+        ages += 1
+    return pos, rad
+
+
+def write_particles(path: str, positions, radii, radius: float,
+                    fps: int = _PARTICLE_FPS, start_frame: int = 0) -> None:
+    """Reference particle-exporter JSON (ref particle_exporter.zig write):
+    point_list geometry whose vertices carry the whole frame stack.
+    A negative start_frame shifts the simulation earlier, so render time 0
+    already shows developed particles."""
+    positions = np.asarray(positions, np.float32)
+    doc = {
+        "geometry": {
+            "parts": [{"material_index": 0, "start_index": 0, "num_indices": 0}],
+            "primitive_topology": "point_list",
+            "frames_per_second": int(fps),
+            "start_frame": int(start_frame),
+            "point_radius": float(radius),
+            "vertices": {
+                # 5 decimals keep sub-0.1mm precision at scene scale while
+                # roughly halving the JSON size
+                "positions": [
+                    [round(float(x), 5) for x in frame.ravel()]
+                    for frame in positions
+                ],
+            },
+        }
+    }
+    if radii is not None:
+        doc["geometry"]["vertices"]["radius_samples"] = [
+            [round(float(x), 5) for x in frame]
+            for frame in np.asarray(radii, np.float32)
+        ]
+    with open(path, "w") as f:
+        json.dump(doc, f)
+
+
+PARTICLE_KINDS = {
+    "burst": lambda count, frames, radius, seed: simulate_burst(count, frames, seed),
+    "sparks": simulate_sparks,
+    "rain": simulate_rain,
+}
+
+
 def merge_motion(frame_paths: list[str], out: str):
     """Triangle motion merger (ref sow/triangle_motion_merger.zig): N
     topologically identical per-frame meshes -> ONE SUB model whose
@@ -349,7 +505,13 @@ def run_project(proj: dict, out: str, seed: int = 0):
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="sow", description="asset baker")
-    p.add_argument("mode", choices=["scatter", "points", "grid", "project", "merge-motion"])
+    p.add_argument("mode", choices=["scatter", "points", "grid", "project", "merge-motion", "particles"])
+    p.add_argument("--kind", default="sparks", choices=sorted(PARTICLE_KINDS),
+                   help="particle generator (particles mode)")
+    p.add_argument("--frames", type=int, default=60,
+                   help="simulation frames at 120 fps (particles mode)")
+    p.add_argument("--start-frame", type=int, default=0,
+                   help="frame offset of the export (particles mode)")
     p.add_argument("inputs", nargs="*", help="project file / motion frames")
     p.add_argument("--mesh", default="")
     p.add_argument("--prototype", default="proc:sphere")
@@ -362,6 +524,17 @@ def main(argv=None) -> int:
     p.add_argument("-o", "--output", required=True)
     args = p.parse_args(argv)
 
+    if args.mode == "particles":
+        pos, rad = PARTICLE_KINDS[args.kind](
+            args.count, args.frames, args.radius, args.seed
+        )
+        write_particles(args.output, pos, rad, args.radius,
+                        start_frame=args.start_frame)
+        print(
+            f"sow: simulated {args.count} {args.kind} particles x "
+            f"{args.frames} frames -> {args.output}"
+        )
+        return 0
     if args.mode == "merge-motion":
         merge_motion(args.inputs, args.output)
         return 0
