@@ -56,22 +56,6 @@ def _row_floats(branch: int) -> int:
     return 8 * branch
 
 
-def _sort_network(n: int):
-    """Batcher odd-even mergesort comparator pairs (19 for n=8, 63 for 16)."""
-    pairs = []
-    p = 1
-    while p < n:
-        k = p
-        while k >= 1:
-            for j in range(k % p, n - k, 2 * k):
-                for i in range(min(k, n - j - k)):
-                    if (i + j) // (2 * p) == (i + j + k) // (2 * p):
-                        pairs.append((i + j, i + j + k))
-            k //= 2
-        p *= 2
-    return pairs
-
-
 class MeshArena(NamedTuple):
     """All meshes of the scene, concatenated.
 
@@ -435,23 +419,11 @@ def _inv_dir(d):
     return 1.0 / jnp.where(jnp.abs(d) < 1e-20, jnp.where(d < 0, -1e-20, 1e-20), d)
 
 
-# optimal 19-comparator sorting network for 8 keys
-_SORT8 = [
-    (0, 1), (2, 3), (4, 5), (6, 7),
-    (0, 2), (1, 3), (4, 6), (5, 7),
-    (1, 2), (5, 6), (0, 4), (3, 7),
-    (1, 5), (2, 6),
-    (1, 4), (3, 6),
-    (2, 4), (3, 5),
-    (3, 4),
-]
-
-
 class TState(NamedTuple):
     node: jax.Array  # [N] current wide node
-    rank: jax.Array  # [N] child rank to process at `node`
+    mask: jax.Array  # [N] remaining-children bitmask at `node`
     sp: jax.Array  # [N] stack pointer
-    stack: jax.Array  # [N, D] int32 continuations (node*8 + rank)
+    stack: jax.Array  # [N, D] int32 continuations (see _traverse_stage)
     live: jax.Array  # [N] bool
     t: jax.Array
     prim: jax.Array
@@ -476,13 +448,14 @@ def traverse(
     triangles per lane; ignored (compiled away) for static arenas.
 
     Each iteration gathers ONE 64-float node row, slab-tests its 8 children
-    and sorts them near-to-far by packing (t_near bits &~7 | slot) into one
-    int32 key (t >= 0 so float bits sort as ints; misses get +inf bits).
-    The lane then processes its continuation rank: descend into the rank-th
-    nearest child (leaf children Möller-test a 144-float row in the same
-    iteration), pushing (node*8, rank+1) so remaining children resume
-    later. Because ranks re-slab on resume, pruning against the shrunken
-    best t is exact and pushed state is ONE int32 per level.
+    and packs (t_near bits &~7 | slot) into int32 keys (t >= 0 so float
+    bits order as ints; misses get +inf bits). The lane descends the
+    NEAREST child remaining in its bitmask — a single masked min-reduction
+    over the 8 keys; no sort network, no rank select chains (those chains
+    measured 6ns/lane-iter of unfused [N] selects, 2.5x the whole slab) —
+    and pushes (node, mask & ~nearest) so the siblings resume later.
+    Because resumes re-slab the node, pruning against the shrunken best t
+    is exact and pushed state is ONE int32 per level.
 
     Divergence control: a lax.while_loop pays the SLOWEST lane's iteration
     count on every lane (measured: max 121 vs mean ~30 on the trefoil
@@ -537,7 +510,7 @@ def traverse(
             time_s = time_s[ls]
         root = None
         st = TState(
-            node=st.node[ls], rank=st.rank[ls], sp=st.sp[ls],
+            node=st.node[ls], mask=st.mask[ls], sp=st.sp[ls],
             stack=st.stack[ls], live=st.live[ls] & valid, t=st.t[ls],
             prim=st.prim[ls], u=st.u[ls], v=st.v[ls], it=jnp.int32(0),
         )
@@ -562,7 +535,7 @@ def _traverse_stage(
     if state is None:
         state = TState(
             node=jnp.maximum(jnp.broadcast_to(root, n), 0),
-            rank=jnp.zeros(n, i32),
+            mask=jnp.full(n, (1 << BRANCH) - 1, i32),
             sp=jnp.zeros(n, i32),
             stack=jnp.zeros(n + (stack_d,), i32),
             live=jnp.broadcast_to(root, n) >= 0,
@@ -582,12 +555,13 @@ def _traverse_stage(
         go = alive > (0 if live_limit is None else live_limit)
         return go & (s.it < 65536)
 
-    def pop_step(s: TState, need_pop, found, t_b, p_b, u_b, v_b, descend, cref, stay, sp, stack):
+    def pop_step(s: TState, need_pop, found, t_b, p_b, u_b, v_b, descend, cref, sp, stack):
         """Shared continuation/pop logic over the hybrid stack encoding
-        (low bit): EVEN entry 2*(node*B + rank) = rank-resume (re-slab
-        the parent, exact pruning); ODD entry 2*cref + 1 = a DIRECT
-        child ref (node OR parked leaf) — its pop skips the parent
-        re-gather + re-slab iteration entirely."""
+        (low bit): EVEN entry 2*(node*256 + mask) = mask-resume (re-slab
+        the node, min-reduce over the remaining-children bits — exact
+        pruning against the shrunken best t); ODD entry 2*cref + 1 = a
+        DIRECT child ref (node OR parked leaf) — its pop skips the
+        parent re-gather + re-slab iteration entirely."""
         blocked = s.live & found if any_hit else None
         if any_hit:
             need_pop = need_pop & ~blocked
@@ -601,10 +575,12 @@ def _traverse_stage(
         if any_hit:
             live = live & ~blocked
 
+        full = i32((1 << BRANCH) - 1)
         top_direct = (top & 1) == 1
         top_ref = jnp.right_shift(top - 1, 1)  # arithmetic: leaf refs < 0
-        top_node = jnp.right_shift(top, 1) // BRANCH
-        top_rank = jnp.right_shift(top, 1) % BRANCH
+        top_even = jnp.right_shift(top, 1)  # even entries are >= 0
+        top_node = top_even // 256
+        top_mask = top_even % 256
         node = jnp.where(
             descend,
             cref,
@@ -612,17 +588,13 @@ def _traverse_stage(
                 can_pop, jnp.where(top_direct, top_ref, top_node), s.node
             ),
         )
-        rank = jnp.where(
-            descend,
-            0,
-            jnp.where(
-                stay,
-                s.rank + 1,
-                jnp.where(can_pop & ~top_direct, top_rank, jnp.where(can_pop, 0, s.rank)),
-            ),
+        mask = jnp.where(
+            descend | (can_pop & top_direct),
+            full,
+            jnp.where(can_pop, top_mask, s.mask),
         )
         return TState(
-            node=node, rank=rank, sp=sp, stack=stack, live=live,
+            node=node, mask=mask, sp=sp, stack=stack, live=live,
             t=t_b, prim=p_b, u=u_b, v=v_b, it=s.it + 1,
         )
 
@@ -655,44 +627,40 @@ def _traverse_stage(
         hit = (nearc <= far) & (refs != -1.0) & (nearc < s.t[..., None])
         hit = hit & is_node_lane[..., None]
 
-        # ---- pack sortable keys: (t_near bits & ~(B-1)) | slot; misses +inf
+        # ---- pack keys: (t_near bits & ~(B-1)) | slot; misses and
+        # children outside the lane's remaining-mask get +inf bits
+        iota_b = jnp.arange(B, dtype=i32)
+        elig = hit & (((s.mask[..., None] >> iota_b) & 1) != 0)
         tbits = jax.lax.bitcast_convert_type(nearc, i32) & i32(~(B - 1))
-        keys = jnp.where(hit, tbits | jnp.arange(B, dtype=i32), _MISS_KEY | jnp.arange(B, dtype=i32))
-        k = [keys[..., j] for j in range(B)]
-        for a, b in _sort_network(B):
-            ka, kb = k[a], k[b]
-            k[a] = jnp.minimum(ka, kb)
-            k[b] = jnp.maximum(ka, kb)
-        h = jnp.sum(hit, axis=-1).astype(i32)
+        keys = jnp.where(elig, tbits | iota_b, _MISS_KEY | iota_b)
 
-        # ---- rank-th nearest child (+ the (rank+1)-th for direct pushes)
-        key_r = jnp.zeros(n, i32)
-        key_r1 = jnp.zeros(n, i32)
-        for j in range(B):
-            key_r = jnp.where(s.rank == j, k[j], key_r)
-            key_r1 = jnp.where(s.rank + 1 == j, k[j], key_r1)
-        slot_r = key_r & (B - 1)
-        slot_r1 = key_r1 & (B - 1)
-        tn_r = jax.lax.bitcast_convert_type(key_r & i32(~(B - 1)), jnp.float32)
-        valid = is_node_lane & (s.rank < h) & (tn_r < s.t)
-
-        cref = jnp.zeros(n, jnp.float32)
-        cref1 = jnp.zeros(n, jnp.float32)
-        for j in range(B):
-            cref = jnp.where(slot_r == j, refs[..., j], cref)
-            cref1 = jnp.where(slot_r1 == j, refs[..., j], cref1)
-        cref = cref.astype(i32)
-        cref1 = cref1.astype(i32)
+        # ---- nearest remaining child: one masked min-reduction
+        key_min = jnp.min(keys, axis=-1)
+        valid = is_node_lane & (key_min < _MISS_KEY)
+        slot = key_min & (B - 1)
+        onehot_b = iota_b == slot[..., None]
+        cref = jnp.sum(jnp.where(onehot_b, refs, 0.0), axis=-1).astype(i32)
         # a leaf child PARKS exactly like a node descend (node' = cref)
-        descend = valid & (cref != -1)
+        descend = valid
 
-        more = valid & (s.rank + 1 < h)
-        push = descend & more
-        last_one = s.rank + 2 == h  # the (rank+1)-th child is the last
+        # ---- second-nearest (for the direct-push entry) + remaining set
+        keys2 = jnp.where(onehot_b, _MISS_KEY | iota_b, keys)
+        key2 = jnp.min(keys2, axis=-1)
+        slot2 = key2 & (B - 1)
+        onehot2 = iota_b == slot2[..., None]
+        cref2 = jnp.sum(jnp.where(onehot2, refs, 0.0), axis=-1).astype(i32)
+        nrem = jnp.sum((keys2 < _MISS_KEY).astype(i32), axis=-1)
+        # push only the still-ELIGIBLE bits: children that missed now can
+        # never hit later (slabs are ray-static, t only shrinks), so the
+        # resume's min-reduction prunes them for free
+        elig_bits = jnp.sum(jnp.where(elig, jnp.left_shift(1, iota_b), 0), axis=-1)
+        rem = elig_bits & ~jnp.left_shift(1, slot)
+
+        push = descend & (nrem > 0)
         ent = jnp.where(
-            last_one,
-            cref1 * 2 + 1,
-            (s.node * BRANCH + (s.rank + 1)) * 2,
+            nrem == 1,
+            cref2 * 2 + 1,
+            (s.node * 256 + rem) * 2,
         )
         onehot = iota_s == s.sp[..., None]
         stack = jnp.where(push[..., None] & onehot, ent[..., None], s.stack)
@@ -703,7 +671,7 @@ def _traverse_stage(
         falses = jnp.zeros(n, bool)
         return pop_step(
             s, need_pop, falses, s.t, s.prim, s.u, s.v, descend, cref,
-            falses, sp, stack,
+            sp, stack,
         )
 
     def leaf_body(s: TState):
@@ -739,7 +707,7 @@ def _traverse_stage(
         zeros = jnp.zeros(n, i32)
         return pop_step(
             s, at_leaf, found & at_leaf, t_b, p_b, u_b, v_b, falses,
-            zeros, falses, s.sp, s.stack,
+            zeros, s.sp, s.stack,
         )
 
     def body(s: TState):
