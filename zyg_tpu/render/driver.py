@@ -60,9 +60,12 @@ def _render_samples(
     Returns (fb, rays, aov_sums) — aov_sums is {} unless `aovs` are enabled
     on the persistent-wavefront path."""
 
-    # PTMIS/PTDL with a box filter uses the persistent wavefront (lane
-    # regeneration): ~3x utilization vs the per-sample scan below
-    if integrator.kind in ("PTMIS", "PTDL") and filter_radius == 0:
+    # PTMIS/PTDL uses the persistent wavefront (lane regeneration): ~3x
+    # utilization vs the per-sample scan below. Reconstruction filters of
+    # radius 1/2 (ref sensor.zig addSample unrolled splats) stay on it —
+    # finished samples splat (2r+1)^2 footprints as static rolls inside
+    # integrate_persistent; only exotic radius>2 filters fall to the scan.
+    if integrator.kind in ("PTMIS", "PTDL") and filter_radius <= 2:
         acc, rays, aov_sums, num_iters, counts = ptmis_mod.integrate_persistent(
             scene,
             cam_arrays,
@@ -91,6 +94,9 @@ def _render_samples(
             # column-accumulator (ops/accum.py, ~1.8ms/iter at 2M lanes)
             frame_width=frame_width,
             oversample_slack=oversample_slack,
+            filter_name=filter_name,
+            filter_radius=filter_radius,
+            resolution=resolution,
         )
         # per-pixel sample counts (oversampling makes them unequal) are the
         # box-filter weights; the non-shuffled path adds a uniform count
@@ -226,16 +232,17 @@ class Driver:
             aovs = aovs + ("alpha",)
         persistent = (
             self.take.integrator.kind in ("PTMIS", "PTDL")
-            and self.take.sensor.filter_radius == 0
+            and int(round(self.take.sensor.filter_radius)) <= 2
         )
+        self._persistent = persistent
         self._aov_names = aovs if persistent else ()
         if aovs and not persistent:
             import logging
 
             logging.getLogger("zyg_tpu").warning(
                 "sensor AOVs/alpha (%s) require the persistent wavefront "
-                "path (PTMIS/PTDL with filter_radius 0); this take uses %s "
-                "with filter_radius %s — AOV planes will not be rendered",
+                "path (PTMIS/PTDL with filter_radius <= 2); this take uses "
+                "%s with filter_radius %s — AOV planes will not be rendered",
                 ", ".join(aovs), self.take.integrator.kind,
                 self.take.sensor.filter_radius,
             )
@@ -269,7 +276,7 @@ class Driver:
             or self.scene.grids is not None
             or self.take.photon.num_photons > 0
         )
-        if self.take.integrator.kind in ("PTMIS", "PTDL") and self.take.sensor.filter_radius == 0:
+        if persistent:
             # shuffled chunks carry a [3*chunk, N] flush buffer — cap at 16
             # samples (384MB at 1080p) to bound it
             self.chunk_size = min(spp, 8 if self._heavy_loops else (16 if self._frame_width else 64))

@@ -158,6 +158,10 @@ class PathState(NamedTuple):
     split: dict  # STATIC-keyed BSDF-split resume slot ({} = feature off,
     # compiles to nothing): the untaken fresnel branch's full restart
     # state (see _split_init) + "pending" bool[N]
+    sub_uv: jax.Array = None  # float32[N,2] subpixel offset of the lane's
+    # CURRENT sample — carried only on the filtered UNSHUFFLED persistent
+    # path (AOVs + reconstruction filter), None (compiles away) otherwise;
+    # the shuffled path recomputes it from the Sobol law post-loop
 
 
 def _split_init(n: int) -> dict:
@@ -988,6 +992,7 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
             ),
             pid=s.pid,
             split=new_split,
+            sub_uv=s.sub_uv,
         )
 
     return body
@@ -1042,9 +1047,30 @@ def integrate_persistent(
     photon_max_per_cell=64,
     frame_width: int = 0,
     oversample_slack: int = 0,
+    filter_name: str = "Blackman",
+    filter_radius: int = 0,
+    resolution: tuple = (0, 0),
 ):
     """Render `num_samples` samples/pixel with lane regeneration AND
     per-sample lane->pixel shuffling.
+
+    Reconstruction filters (filter_radius 1/2, ref sensor.zig addSample
+    radius-1/2 splats) stay ON the persistent wavefront: every finished
+    sample splats a (2r+1)^2 weighted footprint. The splat is pure dense
+    math — a pixel-space neighbor at offset (dx, dy) is the lane/column at
+    flat offset dy*W + dx, so each footprint tap is a static jnp.roll
+    masked at the frame border (out-of-frame taps are dropped, and their
+    weights with them, so border pixels renormalize exactly).
+    - Shuffled dispatches (no AOVs) keep the 4-channel column flush; the
+      per-sample subpixel offset is NOT carried or flushed — it is
+      RECOMPUTED after the loop from the deterministic Sobol seeding law
+      (sample_index = gpid*spp + iteration, dims 0-1), so filtering costs
+      zero bytes of loop state. Drained samples record their sample slot
+      and scatter-splat the same recomputed footprint.
+    - Unshuffled dispatches (sensor AOVs ride) carry sub_uv in PathState
+      and splat in-loop with 9/25 static rolls; AOV planes themselves
+      accumulate box-filtered by pid (add/min/max AOV semantics do not
+      compose with signed filter weights).
 
     Work balancing: a lane that always renders ONE pixel inherits that
     pixel's path-length statistics, and the while_loop runs until the
@@ -1095,6 +1121,22 @@ def integrate_persistent(
     stride = jnp.uint32(_coprime_stride(n) if frame_width > 0 else 0)
     lanes = jnp.arange(n, dtype=jnp.uint32)
     shuffled = frame_width > 0
+    filtering = filter_radius > 0
+    res_w, res_h = int(resolution[0]), int(resolution[1])
+    taps = (
+        [
+            (dy, dx)
+            for dy in range(-filter_radius, filter_radius + 1)
+            for dx in range(-filter_radius, filter_radius + 1)
+        ]
+        if filtering
+        else []
+    )
+
+    def tap_w(su, sv, dy, dx):
+        return sensor_mod.filter_eval(
+            filter_name, su - dx, float(filter_radius)
+        ) * sensor_mod.filter_eval(filter_name, sv - dy, float(filter_radius))
 
     path0 = PathState(
         o=zero3,
@@ -1123,6 +1165,9 @@ def integrate_persistent(
         wavelength=jnp.zeros((n,), jnp.float32),
         pid=lanes,
         split=_split_init(n) if _split_enabled(scene, settings) else {},
+        sub_uv=jnp.zeros((n, 2), jnp.float32)
+        if (filtering and not shuffled)
+        else None,
     )
     # [4*kmax, n] (RGB + count planes): lane dim LAST — an [n, K, 4]
     # layout pads 42x under TPU tiling (T(8,128) on the trailing dims)
@@ -1130,7 +1175,9 @@ def integrate_persistent(
     kmax = num_samples + (oversample_slack if shuffled else 0)
     target = jnp.int32(n) * jnp.int32(num_samples)
     acc0 = (
-        jnp.zeros((4 * kmax, n), jnp.float32) if shuffled else zero3
+        jnp.zeros((4 * kmax, n), jnp.float32)
+        if shuffled
+        else (jnp.zeros((n, 4), jnp.float32) if filtering else zero3)
     )
     state = PersistentState(
         path=path0, acc=acc0, done=jnp.zeros((n,), jnp.int32),
@@ -1239,6 +1286,11 @@ def integrate_persistent(
                 if s.split
                 else s.split
             ),
+            sub_uv=(
+                jnp.where(rm, s4[..., 0:2], s.sub_uv)
+                if s.sub_uv is not None
+                else None
+            ),
         )
         done = ps.done + regen.astype(jnp.int32)
 
@@ -1263,6 +1315,28 @@ def integrate_persistent(
                 ps.acc, col, acc_add[:, 0], acc_add[:, 1], acc_add[:, 2],
                 finished.astype(jnp.float32),
             )
+        elif filtering:
+            # unshuffled (AOV) filtered flush: splat the finishing sample's
+            # (2r+1)^2 footprint with static rolls — lane j = i + dy*W + dx
+            # IS pixel (x+dx, y+dy) because unshuffled lanes are the
+            # dispatch's pixels in row-major order
+            gx = pixel_xy[..., 0]
+            gy = pixel_xy[..., 1]
+            su = s.sub_uv[..., 0] - 0.5
+            sv = s.sub_uv[..., 1] - 0.5
+            li = jnp.arange(n, dtype=jnp.int32)
+            acc = ps.acc
+            for dy, dx in taps:
+                w = tap_w(su, sv, dy, dx) * finished.astype(jnp.float32)
+                off = dy * res_w + dx
+                valid = (
+                    (gx + dx >= 0) & (gx + dx < res_w)
+                    & (gy + dy >= 0) & (gy + dy < res_h)
+                    & (li + off >= 0) & (li + off < n)
+                )
+                w = jnp.where(valid, w, 0.0)
+                c = jnp.concatenate([acc_add * w[..., None], w[..., None]], -1)
+                acc = acc + (jnp.roll(c, off, axis=0) if off else c)
         else:
             acc = ps.acc + acc_add
         if settings.collect_aovs:
@@ -1284,9 +1358,11 @@ def integrate_persistent(
     acc = final.acc
     num_rays = final.path.rays
     iters = final.iters
-    drain_adds = []  # (pid, rgb, finished) per stage
+    drain_adds = []  # (pid, rgb, finished, sample_k) per stage
     if drain_stages:
         path = final.path
+        done_cur = final.done  # compacted alongside: drained lanes never
+        # regenerate, so done-1 stays the lane's current sample slot
         width_cur = n
         for si, wd in enumerate(drain_stages):
             sel = path.alive | split_pending(path)
@@ -1300,6 +1376,7 @@ def integrate_persistent(
                 return a[safe]
 
             path = jax.tree.map(g, path)
+            done_cur = done_cur[safe]
             path = path._replace(alive=path.alive & valid)
             if path.split:
                 path = path._replace(
@@ -1340,6 +1417,7 @@ def integrate_persistent(
                     path.pid,
                     jnp.where(fin[..., None], clamp_cur(path.result), 0.0),
                     fin,
+                    jnp.maximum(done_cur - 1, 0),
                 )
             )
             width_cur = wd
@@ -1350,18 +1428,75 @@ def integrate_persistent(
         # mod n — a circular shift per k, ONCE per dispatch
         out = jnp.zeros((4, n), jnp.float32)
         nn = jnp.uint32(n)
+        if filtering:
+            li = jnp.arange(n, dtype=jnp.int32)
+            gpid_all = pixel_ids[0] + lanes
+            gx = (gpid_all % jnp.uint32(res_w)).astype(jnp.int32)
+            gy = (gpid_all // jnp.uint32(res_w)).astype(jnp.int32)
         for k in range(kmax):
             it_g = (first_iteration + k).astype(jnp.uint32)
             off = (it_g * stride) % nn
-            out = out + jnp.roll(
+            blk = jnp.roll(
                 acc[4 * k : 4 * k + 4, :], off.astype(jnp.int32), axis=1
             )
+            if not filtering:
+                out = out + blk
+                continue
+            # recompute this sample's subpixel offset from the seeding law
+            # (zero loop-state bytes; identical draw to generate_rays')
+            sample_index = gpid_all * jnp.uint32(num_expected_samples) + it_g
+            seed = it_g // jnp.uint32(num_expected_samples)
+            s4k = SobolSampler.start_pixel(sample_index, seed).sample_4d()
+            su = s4k[..., 0] - 0.5
+            sv = s4k[..., 1] - 0.5
+            cnt = blk[3]
+            for dy, dx in taps:
+                w = tap_w(su, sv, dy, dx) * cnt
+                toff = dy * res_w + dx
+                valid = (
+                    (gx + dx >= 0) & (gx + dx < res_w)
+                    & (gy + dy >= 0) & (gy + dy < res_h)
+                    & (li + toff >= 0) & (li + toff < n)
+                )
+                w = jnp.where(valid, w, 0.0)
+                c = jnp.concatenate([blk[0:3] * w[None], w[None]], 0)
+                out = out + (jnp.roll(c, toff, axis=1) if toff else c)
         acc = out[0:3].T
         counts = out[3]
-        for pid_s, rgb_s, fin_s in drain_adds:
-            tgt = jnp.where(fin_s, pid_s.astype(jnp.int32), jnp.int32(n))
-            acc = acc.at[tgt].add(rgb_s, mode="drop")
-            counts = counts.at[tgt].add(
-                fin_s.astype(jnp.float32), mode="drop"
-            )
+        for pid_s, rgb_s, fin_s, k_s in drain_adds:
+            if not filtering:
+                tgt = jnp.where(fin_s, pid_s.astype(jnp.int32), jnp.int32(n))
+                acc = acc.at[tgt].add(rgb_s, mode="drop")
+                counts = counts.at[tgt].add(
+                    fin_s.astype(jnp.float32), mode="drop"
+                )
+                continue
+            # drained samples scatter-splat the same recomputed footprint
+            gpid_s = pixel_ids[0] + pid_s
+            it_g = (first_iteration + k_s).astype(jnp.uint32)
+            sample_index = gpid_s * jnp.uint32(num_expected_samples) + it_g
+            seed = it_g // jnp.uint32(num_expected_samples)
+            s4s = SobolSampler.start_pixel(sample_index, seed).sample_4d()
+            su = s4s[..., 0] - 0.5
+            sv = s4s[..., 1] - 0.5
+            gx_s = (gpid_s % jnp.uint32(res_w)).astype(jnp.int32)
+            gy_s = (gpid_s // jnp.uint32(res_w)).astype(jnp.int32)
+            pl_s = pid_s.astype(jnp.int32)
+            for dy, dx in taps:
+                w = tap_w(su, sv, dy, dx) * fin_s.astype(jnp.float32)
+                toff = dy * res_w + dx
+                valid = (
+                    fin_s
+                    & (gx_s + dx >= 0) & (gx_s + dx < res_w)
+                    & (gy_s + dy >= 0) & (gy_s + dy < res_h)
+                    & (pl_s + toff >= 0) & (pl_s + toff < n)
+                )
+                tgt = jnp.where(valid, pl_s + toff, n)
+                acc = acc.at[tgt].add(rgb_s * w[..., None], mode="drop")
+                counts = counts.at[tgt].add(
+                    jnp.where(valid, w, 0.0), mode="drop"
+                )
+    elif filtering:
+        counts = acc[:, 3]
+        acc = acc[:, 0:3]
     return acc, num_rays, final.path.aov, iters, counts
