@@ -465,8 +465,11 @@ class Driver:
         # mesh-only heavy scenes run FULL-FRAME: the wide-BVH compaction
         # cascade (trimesh.traverse) keeps traversal cost mean-driven at
         # large widths and the dispatch under the TPU-worker wall-time
-        # limit. Volume grids / photon gathers still tile: their nested
-        # loops have no compaction yet.
+        # limit. Volume grids keep 256k tiles despite having compaction
+        # cascades (volume.py track_stage): a measured full-frame A/B on
+        # smoke.take was neutral-to-worse (3.33 tiled vs 3.20 Mrays/s) —
+        # the tracking loop is not width-bound. Photon gathers still tile
+        # (occupancy-bounded scans, no cascade).
         mesh_only = (
             self.scene.meshes is not None
             and self.scene.curves is None
