@@ -110,6 +110,88 @@ def bench_mesh():
     return driver.rays_traced / best / 1e6
 
 
+def bench_mesh_textured():
+    """BASELINE config 3 proper: the trefoil with image textures (checker
+    albedo + noise roughness) under a baked sun/sky dome env — adds the
+    texture-gather and env-sampling costs the synthetic case hides."""
+    import jax
+    import numpy as np
+
+    from zyg_tpu.io.take import Take, IntegratorSettings
+    from zyg_tpu.render.camera import PerspectiveCamera
+    from zyg_tpu.render.driver import Driver
+    from zyg_tpu.scene import trimesh
+    from zyg_tpu.scene.sky import bake_sky
+    from zyg_tpu.scene.loader import (
+        MaterialDesc, PropDesc, SceneBuilder, Transformation,
+    )
+    import zyg_tpu.scene.types as st
+
+    b = SceneBuilder()
+    # checker albedo + band-noise roughness, 512^2
+    yy, xx = np.meshgrid(np.arange(512), np.arange(512), indexing="ij")
+    checker = ((xx // 32 + yy // 32) % 2).astype(np.float32)
+    albedo = np.stack(
+        [0.15 + 0.6 * checker, 0.35 + 0.3 * (1 - checker), 0.25 + 0.1 * checker], -1
+    )
+    rng = np.random.RandomState(7)
+    rough = np.clip(
+        0.35 + 0.3 * np.sin(xx * 0.11) * np.cos(yy * 0.07)
+        + 0.1 * rng.rand(512, 512), 0.05, 1.0,
+    ).astype(np.float32)[..., None]
+    tex_c = b.add_texture_image(albedo.astype(np.float32))
+    tex_r = b.add_texture_image(rough)
+    mat = b.add_material(
+        MaterialDesc(roughness=0.5, color_tex=tex_c, roughness_tex=tex_r)
+    )
+    grey = b.add_material(MaterialDesc(color=np.full(3, 0.4, np.float32), roughness=0.9))
+    sun_dir = np.array([0.35, -0.65, 0.4], np.float32)
+    sun_dir /= np.linalg.norm(sun_dir)
+    sky_img = bake_sky(sun_dir, turbidity=2.8, width=256, height=128)
+    tex_sky = b.add_texture_image(np.asarray(sky_img, np.float32))
+    skym = b.add_material(MaterialDesc(kind=2, emission_tex=tex_sky,
+                                       emission=np.ones(3, np.float32)))
+    mid = b.add_mesh(trimesh.make_trefoil_mesh(512, 480))  # ~491k tris
+    b.add_mesh_prop(mid, Transformation(scale=np.full(3, 0.35, np.float32)), mat)
+    b.add_prop(PropDesc(
+        shape=int(st.ShapeType.RECTANGLE),
+        trafo=Transformation(
+            position=np.array([0, -1.6, 0], np.float32),
+            rotation=np.array([[1, 0, 0], [0, 0, -1], [0, 1, 0]], np.float32),
+            scale=np.array([10.0, 10.0, 1], np.float32),
+        ),
+        material=grey,
+    ))
+    b.add_prop(PropDesc(
+        shape=int(st.ShapeType.DOME),
+        trafo=Transformation(),
+        material=skym,
+        is_light=True,
+    ))
+    scene = b.build()
+
+    take = Take()
+    take.num_samples_per_pixel = 4
+    take.integrator = IntegratorSettings(kind="PTMIS", max_depth_surface=4)
+    cam = PerspectiveCamera(resolution=(1280, 720), fov=np.deg2rad(50))
+    cam.position = np.array([0, 0.8, -5.5], np.float32)
+    take.cameras = [cam]
+    driver = Driver(take=take, scene=scene)
+
+    driver.start_frame()
+    driver.render_iterations(driver.chunk_size)
+    jax.block_until_ready(driver._fb)
+
+    best = float("inf")
+    for _ in range(3):
+        driver.start_frame()
+        t0 = time.perf_counter()
+        driver.render_iterations(take.num_samples_per_pixel)
+        jax.block_until_ready(driver._fb)
+        best = min(best, time.perf_counter() - t0)
+    return driver.rays_traced / best / 1e6
+
+
 def bench_volume():
     """BASELINE config 4: heterogeneous smoke volume (smoke.take), 8spp
     steady state — the delta-tracking + residual-ratio path."""
@@ -145,6 +227,10 @@ def main() -> None:
         vol_mrays = round(bench_volume(), 3)
     except Exception:
         vol_mrays = None
+    try:
+        mesh_tex_mrays = round(bench_mesh_textured(), 3)
+    except Exception:
+        mesh_tex_mrays = None
     print(
         json.dumps(
             {
@@ -154,6 +240,7 @@ def main() -> None:
                 "vs_baseline": round(mrays / NORTH_STAR_MRAYS, 4),
                 "mesh_trefoil_720p_mrays": mesh_mrays,
                 "volume_smoke_mrays": vol_mrays,
+                "mesh_textured_sky_720p_mrays": mesh_tex_mrays,
             }
         )
     )

@@ -177,7 +177,7 @@ class TestInstancer:
 
 
 class TestCheckpointResume:
-    def _take(self, filter_radius):
+    def _take(self, filter_radius, aovs=()):
         import numpy as np
         from zyg_tpu.io.take import Take, IntegratorSettings
         from zyg_tpu.render.camera import PerspectiveCamera
@@ -186,6 +186,7 @@ class TestCheckpointResume:
         take.num_samples_per_pixel = 8
         take.integrator = IntegratorSettings(kind="PTMIS", max_depth_surface=4)
         take.sensor.filter_radius = filter_radius
+        take.aovs = tuple(aovs)
         cam = PerspectiveCamera(resolution=(24, 16), fov=np.deg2rad(60.0))
         cam.position = np.array([0, 1.0, -3.8], np.float32)
         take.cameras = [cam]
@@ -213,13 +214,16 @@ class TestCheckpointResume:
         d3.render_iterations(4)
         return d3.resolve(), ref
 
-    def test_filtered_path_roundtrips_exactly(self, tmp_path):
-        """On the deterministic (filtered-sensor) path, 4 spp + save/load
-        + 4 spp reproduces the uninterrupted 8 spp run exactly — the
-        seeding law depends only on (pixel, sample index)."""
+    def test_deterministic_path_roundtrips_exactly(self, tmp_path):
+        """On the deterministic path (AOVs force the UNSHUFFLED persistent
+        wavefront — no oversampling), 4 spp + save/load + 4 spp reproduces
+        the uninterrupted 8 spp run exactly: the seeding law depends only
+        on (pixel, sample index). Filtered splats ride this path too."""
         import numpy as np
 
-        out, ref = self._roundtrip(self._take(filter_radius=1.0), tmp_path)
+        out, ref = self._roundtrip(
+            self._take(filter_radius=1.0, aovs=("albedo",)), tmp_path
+        )
         np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
 
     def test_persistent_path_roundtrips_statistically(self, tmp_path):

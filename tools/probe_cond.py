@@ -18,8 +18,39 @@ import numpy as np
 import zyg_tpu  # noqa: F401
 from zyg_tpu.scene import trimesh
 from zyg_tpu.scene.trimesh import (
-    BRANCH, LEAF_SIZE, _MISS_KEY, _SORT8, _inv_dir, _tri_test, MeshHit, TState,
+    BRANCH, LEAF_SIZE, _MISS_KEY, _inv_dir, _tri_test, MeshHit,
 )
+
+# rank-based traversal state (the shipped TState moved to mask-based
+# continuations; this probe keeps the historical rank variant runnable)
+from typing import NamedTuple as _NT
+import jax as _jax
+
+
+class TState(_NT):
+    node: _jax.Array
+    rank: _jax.Array
+    sp: _jax.Array
+    stack: _jax.Array
+    live: _jax.Array
+    t: _jax.Array
+    prim: _jax.Array
+    u: _jax.Array
+    v: _jax.Array
+    it: _jax.Array
+
+# optimal 19-comparator sorting network for 8 keys (was trimesh._SORT8;
+# the shipped traversal replaced it with mask-min continuations — kept
+# here so the historical probe variants still run)
+_SORT8 = [
+    (0, 1), (2, 3), (4, 5), (6, 7),
+    (0, 2), (1, 3), (4, 6), (5, 7),
+    (1, 2), (5, 6), (0, 4), (3, 7),
+    (1, 5), (2, 6),
+    (1, 4), (3, 6),
+    (2, 4), (3, 5),
+    (3, 4),
+]
 
 N = 1 << 20
 

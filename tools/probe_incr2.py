@@ -19,7 +19,20 @@ import numpy as np
 
 import zyg_tpu  # noqa: F401
 from zyg_tpu.scene import trimesh
-from zyg_tpu.scene.trimesh import BRANCH, _MISS_KEY, _SORT8, _inv_dir
+from zyg_tpu.scene.trimesh import BRANCH, _MISS_KEY, _inv_dir
+
+# optimal 19-comparator sorting network for 8 keys (was trimesh._SORT8;
+# the shipped traversal replaced it with mask-min continuations — kept
+# here so the historical probe variants still run)
+_SORT8 = [
+    (0, 1), (2, 3), (4, 5), (6, 7),
+    (0, 2), (1, 3), (4, 6), (5, 7),
+    (1, 2), (5, 6), (0, 4), (3, 7),
+    (1, 5), (2, 6),
+    (1, 4), (3, 6),
+    (2, 4), (3, 5),
+    (3, 4),
+]
 
 N = 1 << 20
 K = 64

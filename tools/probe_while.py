@@ -20,6 +20,19 @@ import numpy as np
 import zyg_tpu  # noqa: F401
 from zyg_tpu.scene import trimesh
 
+# optimal 19-comparator sorting network for 8 keys (was trimesh._SORT8;
+# the shipped traversal replaced it with mask-min continuations — kept
+# here so the historical probe variants still run)
+_SORT8 = [
+    (0, 1), (2, 3), (4, 5), (6, 7),
+    (0, 2), (1, 3), (4, 6), (5, 7),
+    (1, 2), (5, 6), (0, 4), (3, 7),
+    (1, 5), (2, 6),
+    (1, 4), (3, 6),
+    (2, 4), (3, 5),
+    (3, 4),
+]
+
 N = 1 << 20
 TOTAL = 128  # total body iterations
 
@@ -65,7 +78,7 @@ def main():
         tb = jax.lax.bitcast_convert_type(jnp.maximum(near, 0.0), jnp.int32) & jnp.int32(~7)
         keys = jnp.where(hit, tb | jnp.arange(B, dtype=jnp.int32), trimesh._MISS_KEY | jnp.arange(B, dtype=jnp.int32))
         k = [keys[..., j] for j in range(B)]
-        for a, b2 in trimesh._SORT8:
+        for a, b2 in _SORT8:
             ka, kb = k[a], k[b2]
             k[a] = jnp.minimum(ka, kb)
             k[b2] = jnp.maximum(ka, kb)

@@ -540,13 +540,14 @@ def _prop_transmittance(
     if not use_grid:
         return jnp.where(inside[..., None], jnp.exp(-mu_t * seg[..., None]), 1.0)
 
-    # residual-ratio tracking (ref tracking.zig:26-78): the grid's global
-    # MINORANT density is a control variate handled in closed form, and
-    # the stochastic part tracks only the residual against the LOCAL
-    # (supergrid) majorant with macrocell hops through empty space
+    # residual-ratio tracking (ref tracking.zig:26-78): each macrocell's
+    # MINORANT density (halo'd min-pooled supergrid) is a control variate
+    # integrated in closed form along the walk, and the stochastic part
+    # ratio-tracks only the residual against the LOCAL majorant — in
+    # smooth dense media the residual majorant (cell max - cell min) is
+    # far below (cell max - global min), so collisions drop accordingly
     arena = scene.grids
     grid_idx = jnp.asarray(grid_idx, jnp.int32)
-    d_min = arena.minorant[grid_idx]
     mu_t_max = jnp.maximum(jnp.max(mu_t, axis=-1), 1e-12)
     prop_b = jnp.broadcast_to(jnp.asarray(prop_idx, jnp.int32), seg.shape)
     grid_b = jnp.broadcast_to(grid_idx, seg.shape)
@@ -562,17 +563,6 @@ def _prop_transmittance(
     t_cell_eps = 1e-3 * jnp.min(
         1.0 / jnp.maximum(sdims * jnp.abs(ld_safe), 1e-12), axis=-1
     )
-
-    # closed-form control: exp(-mu_t * d_min * segment_length)
-    tr_control = jnp.exp(-mu_t * (d_min * jnp.maximum(seg, 0.0))[..., None])
-
-    def cell_exit_t(t):
-        p_l = lo + t[..., None] * ld
-        cell = jnp.floor(jnp.clip((p_l + 0.5) * sdims, 0.0, sdims - 1.0))
-        step_pos = (ld > 0.0).astype(jnp.float32)
-        wall = (cell + step_pos) / jnp.maximum(sdims, 1.0) - 0.5
-        t_ax = (wall - p_l) * inv_l
-        return t + jnp.maximum(jnp.min(t_ax, axis=-1), 0.0) + t_cell_eps
 
     C = {
         "lo": lo, "ld": ld, "inv": inv_l, "sdims": sdims, "eps": t_cell_eps,
@@ -595,7 +585,7 @@ def _prop_transmittance(
             return t + jnp.maximum(jnp.min(t_ax, axis=-1), 0.0) + t_cell_eps
 
         def cond(c):
-            key, t, trv, done, it = c
+            key, t, trv, tau, done, it = c
             # iteration cap = insurance against NaN rays (all-false
             # compares would otherwise never set `done`)
             alive = jnp.sum((~done).astype(jnp.int32))
@@ -603,33 +593,37 @@ def _prop_transmittance(
             return (alive > lim) & (it < jnp.uint32(16384))
 
         def step(c):
-            key, t, trv, done, it = c
+            key, t, trv, tau, done, it = c
             u1 = u32_to_float(hash2_u32(key, jnp.uint32(0)))
             r3 = jnp.stack(
                 [u32_to_float(hash2_u32(key, jnp.uint32(k))) for k in (1, 2, 3)], -1
             )
             p_cur = lo + t[..., None] * ld
             uvw_cur = jnp.clip(p_cur + 0.5, 0.0, 1.0)
-            maj_loc = grids_mod.local_majorant(arena, grid_b, uvw_cur)
-            mu_r = jnp.maximum(maj_loc - d_min, 0.0) * mu_t_max  # residual maj
+            maj_loc, min_loc = grids_mod.local_extrema(arena, grid_b, uvw_cur)
+            # residual majorant against the CELL's own minorant
+            mu_r = jnp.maximum(maj_loc - min_loc, 0.0) * mu_t_max
             t_cell = cell_exit_t(t)
             t_cand = t - jnp.log(jnp.maximum(1.0 - u1, 1e-7)) / jnp.maximum(mu_r, 1e-12)
             crossed = (mu_r <= 1e-9) | (t_cand > t_cell)
-            t_new = jnp.where(crossed, t_cell, t_cand)
+            t_new = jnp.minimum(jnp.where(crossed, t_cell, t_cand), t1)
             exited = t_new >= t1
             collide = ~exited & ~crossed
             p = o + t_new[..., None] * d
             uvw = _object_uvw(scene, prop_b, p)
             dens = grids_mod.sample_density_stochastic(arena, grid_b, uvw, r3)
-            mu_res_x = jnp.maximum(dens - d_min, 0.0)[..., None] * mu_t
+            mu_res_x = jnp.maximum(dens - min_loc, 0.0)[..., None] * mu_t
             ratio = jnp.clip(1.0 - mu_res_x / jnp.maximum(mu_r, 1e-12)[..., None], 0.0, 1.0)
             act = ~done & collide
             trv = jnp.where(act[..., None], trv * ratio, trv)
+            # closed-form control: accumulate the cell minorant's optical
+            # depth over the segment actually walked in this cell
+            tau = tau + jnp.where(~done, min_loc * (t_new - t), 0.0)
             t = jnp.where(~done, t_new, t)
             done = done | exited | (jnp.max(trv, axis=-1) < 1e-5)
             return (
                 hash_u32(key ^ jnp.uint32(0x85EBCA6B)),
-                t, trv, done, it + jnp.uint32(1),
+                t, trv, tau, done, it + jnp.uint32(1),
             )
 
         return jax.lax.while_loop(cond, step, S)
@@ -642,27 +636,31 @@ def _prop_transmittance(
         jnp.asarray(vol_key, jnp.uint32) ^ salt,
         t0,
         jnp.ones(n + (3,), jnp.float32),
+        jnp.zeros(n, jnp.float32),
         ~inside,
         jnp.uint32(0),
     )
     if len(n) != 1 or n[0] < 4 * _TRACK_MIN:
-        _, _, trv, _, _ = track_stage(C, init, None)
+        _, _, trv, tau, _, _ = track_stage(C, init, None)
     else:
         # live-lane compaction cascade (as sample_interaction): most
         # shadow rays never enter the grid, so the live set collapses fast
         width = n[0]
         S = init
         trv = None
+        tau = None
         gmap = None
         while True:
             nxt = max(width // 4, _TRACK_MIN)
             limit = None if width <= _TRACK_MIN else nxt
             S = track_stage(C, S, limit)
-            key_s, t_s, trv_s, done_s, _ = S
+            key_s, t_s, trv_s, tau_s, done_s, _ = S
             if trv is None:
                 trv = trv_s
+                tau = tau_s
             else:
                 trv = trv.at[gmap].set(trv_s, mode="drop")
+                tau = tau.at[gmap].set(tau_s, mode="drop")
             if limit is None:
                 break
             live = ~done_s
@@ -675,8 +673,9 @@ def _prop_transmittance(
                 lambda a: a[ls] if (a.ndim and a.shape[0] == width) else a, C
             )
             S = (
-                key_s[ls], t_s[ls], trv_s[ls], done_s[ls] | ~valid,
+                key_s[ls], t_s[ls], trv_s[ls], tau_s[ls], done_s[ls] | ~valid,
                 jnp.uint32(0),
             )
             width = nxt
+    tr_control = jnp.exp(-mu_t * tau[..., None])
     return jnp.where(inside[..., None], tr_control * trv, 1.0)

@@ -38,8 +38,14 @@ class GridArena(NamedTuple):
     dims: jax.Array  # int32[G,3] (nx, ny, nz)
     majorant: jax.Array  # float32[G] global max density per grid
     minorant: jax.Array  # float32[G] global min density (control variate)
-    # coarse max-pooled supergrid (local majorants)
-    sdata: jax.Array  # float32[Ts]
+    # coarse pooled supergrid over (SUPER_CELL+2)^3 HALO windows: the
+    # stochastic trilinear sample can land one voxel outside its cell, so
+    # un-halo'd cell maxima could be EXCEEDED by a sampled density (the
+    # ratio clip would then bias transmittance low). Rows pack
+    # (majorant, minorant) so local_extrema costs ONE 8-byte row gather —
+    # the minorant is the per-cell control variate for residual-ratio
+    # transmittance
+    sdata: jax.Array  # float32[Ts, 2] local (majorant, minorant)
     soffset: jax.Array  # int32[G]
     sdims: jax.Array  # int32[G,3]
 
@@ -48,10 +54,24 @@ class GridArena(NamedTuple):
         return self.offset.shape[0]
 
 
+def _dilate(g: np.ndarray, op) -> np.ndarray:
+    """Separable 3^3 min/max filter (edge-replicated): pooling the dilated
+    grid equals pooling (SUPER_CELL+2)^3 halo windows."""
+    out = g
+    for ax in range(3):
+        p = np.pad(out, [(1, 1) if a == ax else (0, 0) for a in range(3)], mode="edge")
+        n = out.shape[ax]
+        sl = lambda s: tuple(
+            slice(s, s + n) if a == ax else slice(None) for a in range(3)
+        )
+        out = op(op(p[sl(0)], p[sl(1)]), p[sl(2)])
+    return out
+
+
 def build_grid_arena(grids: list[np.ndarray]) -> GridArena:
     """Flatten host grids (each float32[nz, ny, nx]) into one arena."""
     datas, offsets, dims = [], [], []
-    sdatas, soffsets, sdims = [], [], []
+    sdatas, smins, soffsets, sdims = [], [], [], []
     majorants, minorants = [], []
     off = 0
     soff = 0
@@ -65,22 +85,40 @@ def build_grid_arena(grids: list[np.ndarray]) -> GridArena:
         majorants.append(float(g.max()))
         minorants.append(float(g.min()))
         off += g.size
-        # max-pool supergrid, padded to a full cell
+        # halo'd min/max-pool supergrids, padded to a full cell
         sz, sy, sx = (-(-n // SUPER_CELL) for n in (nz, ny, nx))
-        sp = np.zeros((sz * SUPER_CELL, sy * SUPER_CELL, sx * SUPER_CELL), np.float32)
-        sp[:nz, :ny, :nx] = g
-        s = sp.reshape(sz, SUPER_CELL, sy, SUPER_CELL, sx, SUPER_CELL).max(axis=(1, 3, 5))
-        sdatas.append(s.reshape(-1))
+        # pad voxels are never SAMPLED (uvw clips to dims-1), so they must
+        # not dilute partial cells' extrema: identity pad per op (0 for
+        # max, +inf for min — a straddling cell keeps its REAL minimum)
+        for op, acc, pad in (
+            (np.maximum, sdatas, 0.0),
+            (np.minimum, smins, np.inf),
+        ):
+            gd = _dilate(g, op)
+            sp = np.full(
+                (sz * SUPER_CELL, sy * SUPER_CELL, sx * SUPER_CELL),
+                pad, np.float32,
+            )
+            sp[:nz, :ny, :nx] = gd
+            s = op.reduce(
+                sp.reshape(sz, SUPER_CELL, sy, SUPER_CELL, sx, SUPER_CELL)
+                .transpose(0, 2, 4, 1, 3, 5)
+                .reshape(sz, sy, sx, -1),
+                axis=-1,
+            )
+            acc.append(s.reshape(-1))
         soffsets.append(soff)
         sdims.append((sx, sy, sz))
-        soff += s.size
+        soff += sdatas[-1].size
     return GridArena(
         data=jnp.asarray(np.concatenate(datas)),
         offset=jnp.asarray(offsets, jnp.int32),
         dims=jnp.asarray(dims, jnp.int32),
         majorant=jnp.asarray(majorants, jnp.float32),
         minorant=jnp.asarray(minorants, jnp.float32),
-        sdata=jnp.asarray(np.concatenate(sdatas)),
+        sdata=jnp.asarray(
+            np.stack([np.concatenate(sdatas), np.concatenate(smins)], axis=-1)
+        ),
         soffset=jnp.asarray(soffsets, jnp.int32),
         sdims=jnp.asarray(sdims, jnp.int32),
     )
@@ -127,16 +165,29 @@ def sample_density_trilinear(arena: GridArena, grid_id, uvw):
     return out
 
 
-def local_majorant(arena: GridArena, grid_id, uvw):
-    """Supergrid (max-pooled) majorant at uvw — the octree-cell equivalent."""
+def _cell_flat(arena: GridArena, grid_id, uvw):
     g = jnp.maximum(grid_id, 0)
     dims = small_gather(arena.dims, g).astype(jnp.float32)
     sdimsi = small_gather(arena.sdims, g)
     soff = small_gather(arena.soffset, g)
     vox = jnp.clip(uvw * dims, 0.0, dims - 1.0).astype(jnp.int32) // SUPER_CELL
     snx, sny = sdimsi[..., 0], sdimsi[..., 1]
-    flat = soff + (vox[..., 2] * sny + vox[..., 1]) * snx + vox[..., 0]
-    return arena.sdata[flat]
+    return soff + (vox[..., 2] * sny + vox[..., 1]) * snx + vox[..., 0]
+
+
+def local_majorant(arena: GridArena, grid_id, uvw):
+    """Supergrid (max-pooled) majorant at uvw — the octree-cell equivalent."""
+    return arena.sdata[_cell_flat(arena, grid_id, uvw), 0]
+
+
+def local_extrema(arena: GridArena, grid_id, uvw):
+    """(majorant, minorant) of the macrocell at uvw — ONE 8-byte row
+    gather. The minorant is the per-cell control variate for
+    residual-ratio transmittance (ref tracking.zig's residual-ratio
+    estimator, with octree cell bounds replaced by the halo'd pooled
+    supergrid)."""
+    row = arena.sdata[_cell_flat(arena, grid_id, uvw)]
+    return row[..., 0], row[..., 1]
 
 
 # ---------------------------------------------------------------------------
