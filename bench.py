@@ -145,7 +145,7 @@ def bench_mesh_textured():
         MaterialDesc(roughness=0.5, color_tex=tex_c, roughness_tex=tex_r)
     )
     grey = b.add_material(MaterialDesc(color=np.full(3, 0.4, np.float32), roughness=0.9))
-    sun_dir = np.array([0.35, -0.65, 0.4], np.float32)
+    sun_dir = np.array([0.35, -0.65, 0.4], np.float32)  # light travel dir
     sun_dir /= np.linalg.norm(sun_dir)
     sky_img = bake_sky(sun_dir, turbidity=2.8, width=256, height=128)
     tex_sky = b.add_texture_image(np.asarray(sky_img, np.float32))
