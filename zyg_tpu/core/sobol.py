@@ -134,12 +134,23 @@ class SobolSampler:
     def _increment_seed(self):
         a = self.arrays
         s = a.run_seed
-        idx = nested_uniform_scramble(a.sample, s)
-        sob = sobol5(idx)  # uint32[N,5]
-        seeds = hash_combine(s[..., None], jnp.arange(5, dtype=jnp.uint32))
-        scrambled = nested_uniform_scramble(sob, seeds)
-        buf = u32_to_float(scrambled)
-        self.arrays = SobolArrays(a.sample, a.start_seed, hash_u32(s + jnp.uint32(1)), buf)
+        fused = None
+        if a.sample.ndim == 1:
+            # TPU: one Pallas kernel for the whole ~400-uint-op chain
+            # (ops/sobol_block.py — bit-exact, it calls these same fns)
+            from ..ops.sobol_block import sobol_block
+
+            fused = sobol_block(a.sample, s)
+        if fused is not None:
+            buf, next_seed = fused
+        else:
+            idx = nested_uniform_scramble(a.sample, s)
+            sob = sobol5(idx)  # uint32[N,5]
+            seeds = hash_combine(s[..., None], jnp.arange(5, dtype=jnp.uint32))
+            scrambled = nested_uniform_scramble(sob, seeds)
+            buf = u32_to_float(scrambled)
+            next_seed = hash_u32(s + jnp.uint32(1))
+        self.arrays = SobolArrays(a.sample, a.start_seed, next_seed, buf)
         self.dim = 0
 
     def _take(self, n: int):

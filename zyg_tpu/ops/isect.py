@@ -206,7 +206,7 @@ def _make_kernel(kinds, has_primary: bool, any_hit: bool):
 
 def _run(kinds, table, o, d, tmin, tmax, primary, any_hit: bool):
     n = o.shape[0]
-    tile = min(_LANE_TILE, max(n, 1))
+    tile = min(_LANE_TILE, -(-max(n, 1) // 128) * 128)  # lane-dim multiple of 128
     np_pad = ((n + tile - 1) // tile) * tile
     grid = np_pad // tile
 
