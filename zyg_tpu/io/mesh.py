@@ -108,6 +108,14 @@ def load_mesh_file(path: str) -> HostMesh | None:
             return make_cube_mesh()
         if kind.startswith("sphere"):
             return make_sphere_mesh()
+        if kind.startswith("trefoil"):
+            # proc:trefoil or proc:trefoil-SEGxRING (e.g. trefoil-512x480)
+            from ..scene.trimesh import make_trefoil_mesh
+
+            if "-" in kind:
+                seg, ring = (int(x) for x in kind.split("-", 1)[1].split("x"))
+                return make_trefoil_mesh(seg, ring)
+            return make_trefoil_mesh(512, 480)
         return None
     ext = os.path.splitext(path)[1].lower()
     try:
