@@ -649,12 +649,15 @@ def _traverse_stage(
         slot2 = key2 & (B - 1)
         onehot2 = iota_b == slot2[..., None]
         cref2 = jnp.sum(jnp.where(onehot2, refs, 0.0), axis=-1).astype(i32)
-        nrem = jnp.sum((keys2 < _MISS_KEY).astype(i32), axis=-1)
         # push only the still-ELIGIBLE bits: children that missed now can
         # never hit later (slabs are ray-static, t only shrinks), so the
-        # resume's min-reduction prunes them for free
-        elig_bits = jnp.sum(jnp.where(elig, jnp.left_shift(1, iota_b), 0), axis=-1)
-        rem = elig_bits & ~jnp.left_shift(1, slot)
+        # resume's min-reduction prunes them for free. keys2 already has
+        # the nearest slot removed, so its sub-MISS bits ARE the remaining
+        # set — one [N,8] reduction + a popcount instead of two reductions
+        rem = jnp.sum(
+            jnp.where(keys2 < _MISS_KEY, jnp.left_shift(1, iota_b), 0), axis=-1
+        )
+        nrem = jax.lax.population_count(rem.astype(jnp.uint32)).astype(i32)
 
         push = descend & (nrem > 0)
         ent = jnp.where(
