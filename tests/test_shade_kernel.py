@@ -1,0 +1,141 @@
+"""Fused full-bounce shade kernel (ops/shade.py) vs the general XLA body.
+
+The kernel mirrors the ptmis bounce 1:1 for analytic substitute/light
+scenes (module docstring lists the exact scope). CPU CI runs it through
+the Mosaic interpreter and checks per-lane agreement with the general
+body on the Cornell scene:
+
+- masks / depths / ray counts must be EXACT (the two paths must kill and
+  continue the same lanes — lane lifecycles drive the persistent loop);
+- live-lane geometry (o, d, bxdf pdf) to float noise;
+- radiance accumulators statistically: the sphquad solid angle uses an
+  arccos polynomial in-kernel (Mosaic has no acos), so per-lane NEE
+  contributions differ at ~1e-2 relative worst-case while each path stays
+  a consistent (sample, pdf) pair — column SUMS must agree tightly.
+
+Dead/miss lanes are excluded from value comparisons: the two paths read
+different garbage rows there (table order vs prop id 0) by design.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+@pytest.fixture(scope="module")
+def cornell():
+    from zyg_tpu.scene.loader import load_scene_file
+
+    return load_scene_file("examples/scenes/cornell.scene")
+
+
+def _state(n, seed=7):
+    from zyg_tpu.render.integrator import ptmis
+    from zyg_tpu.render.integrator import volume as vol_mod
+    from zyg_tpu.core.sobol import SobolSampler
+    from zyg_tpu.core.rng import hash_u32
+
+    rng = np.random.default_rng(seed)
+    o = np.zeros((n, 3), np.float32)
+    o[:, 2] = -3.9
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d[:, 2] = np.abs(d[:, 2]) + 1.0
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    depth = rng.integers(0, 3, n).astype(np.int32)
+    singular = (depth == 0) | (rng.random(n) < 0.2)
+    alive = rng.random(n) < 0.9
+    thr = rng.random((n, 3)).astype(np.float32) * 0.9 + 0.05
+    return ptmis.PathState(
+        o=jnp.asarray(o), d=jnp.asarray(d), throughput=jnp.asarray(thr),
+        result=ptmis.IValue.zeros(n),
+        alive=jnp.asarray(alive),
+        bxdf_pdf=jnp.asarray(rng.random(n).astype(np.float32) * 2.0),
+        singular=jnp.asarray(singular),
+        medium=vol_mod.stack_empty(n),
+        depth=jnp.asarray(depth), vol_depth=jnp.zeros(n, jnp.int32),
+        rays=jnp.int32(0),
+        sobol=SobolSampler.start_pixel(
+            jnp.arange(n, dtype=jnp.uint32), jnp.zeros(n, jnp.uint32)
+        ).arrays,
+        vol_key=hash_u32(jnp.arange(n, dtype=jnp.uint32)),
+        mis_o=jnp.asarray(o), mis_n=jnp.asarray(d),
+        from_volume=jnp.zeros(n, bool), primary_chain=jnp.ones(n, bool),
+        time=jnp.zeros(n, jnp.float32), nee_thr=jnp.zeros(n, jnp.float32),
+        reg_alpha=jnp.zeros(n, jnp.float32), aov={},
+        wavelength=jnp.zeros(n, jnp.float32),
+        pid=jnp.arange(n, dtype=jnp.uint32), split={},
+    )
+
+
+def test_fused_bounce_matches_general_body(cornell):
+    from zyg_tpu.render.integrator import ptmis
+    from zyg_tpu.ops import shade as shade_ops
+
+    settings = ptmis.PtmisSettings(max_depth=16)
+    assert shade_ops.structural_ok(cornell, settings, None)
+    body_ref = ptmis._make_body(cornell, settings)  # CPU -> general body
+    body_fused = shade_ops.make_fused_body(
+        cornell, settings, force_interpret=True
+    )
+    assert body_fused is not None
+
+    s = _state(2048)
+    r1 = jax.jit(body_ref)(s)
+    r2 = jax.jit(body_fused)(s)
+
+    # lane lifecycles exact
+    np.testing.assert_array_equal(np.asarray(r1.alive), np.asarray(r2.alive))
+    np.testing.assert_array_equal(np.asarray(r1.depth), np.asarray(r2.depth))
+    np.testing.assert_array_equal(
+        np.asarray(r1.singular), np.asarray(r2.singular)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r1.primary_chain), np.asarray(r2.primary_chain)
+    )
+    assert int(r1.rays) == int(r2.rays)
+
+    live = np.asarray(r1.alive)
+
+    def livecmp(a, b, tol):
+        a = np.asarray(a, np.float64)[live]
+        b = np.asarray(b, np.float64)[live]
+        rel = np.abs(a - b) / (np.abs(a) + 1e-3)
+        assert rel.max() < tol, rel.max()
+
+    livecmp(r1.o, r2.o, 1e-4)
+    livecmp(r1.d, r2.d, 1e-5)
+    livecmp(r1.bxdf_pdf, r2.bxdf_pdf, 1e-5)
+    livecmp(r1.mis_n, r2.mis_n, 1e-5)
+    livecmp(r1.throughput, r2.throughput, 5e-3)
+
+    # radiance column sums (estimator totals; see module docstring)
+    for f1, f2 in (
+        (r1.result.emission, r2.result.emission),
+        (r1.result.direct, r2.result.direct),
+        (r1.result.indirect, r2.result.indirect),
+    ):
+        s1 = np.asarray(f1).sum(axis=0)
+        s2 = np.asarray(f2).sum(axis=0)
+        np.testing.assert_allclose(s1, s2, rtol=2e-3, atol=1e-4)
+
+
+def test_fused_body_gates(cornell):
+    """Scenes/settings outside the kernel's scope must fall back."""
+    from zyg_tpu.render.integrator import ptmis
+    from zyg_tpu.ops import shade as shade_ops
+
+    ok = ptmis.PtmisSettings(max_depth=16)
+    assert shade_ops.structural_ok(cornell, ok, None)
+    assert not shade_ops.structural_ok(
+        cornell, ok._replace(collect_aovs=("albedo",)), None
+    )
+    assert not shade_ops.structural_ok(
+        cornell, ok._replace(light_split_depth=2), None
+    )
+    assert not shade_ops.structural_ok(cornell, ok, object())  # photon map
+    assert not shade_ops.structural_ok(
+        cornell._replace(mat_features={"glass": True}), ok, None
+    )
+    # on CPU the public gate must refuse even valid scenes
+    assert not shade_ops.applies(cornell, ok, None)

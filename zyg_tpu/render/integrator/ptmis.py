@@ -321,6 +321,14 @@ def integrate(scene: SceneData, o, d, sobol: SobolSampler, settings: PtmisSettin
 
 def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photon_max_per_cell=64):
     """One masked wavefront bounce over per-lane path state."""
+    # Cornell-class analytic scenes run the whole bounce as ONE Pallas
+    # kernel (ops/shade.py) — the general body below stays the semantic
+    # reference for everything else (and for the CPU test suite)
+    from ...ops import shade as shade_ops
+
+    fused = shade_ops.make_fused_body(scene, settings, photon_map)
+    if fused is not None:
+        return fused
     has_lights = scene.lights.count > 0
     # static: scenes without glass/volumetric materials compile the whole
     # medium-transport path away (measured ~8% of the Cornell bounce)
