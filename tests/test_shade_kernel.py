@@ -139,3 +139,124 @@ def test_fused_body_gates(cornell):
     )
     # on CPU the public gate must refuse even valid scenes
     assert not shade_ops.applies(cornell, ok, None)
+
+
+# ---------------------------------------------------------------------------
+# mesh-scene HYBRID bounce (XLA traversals around the surface-shade kernel)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def mesh_scene():
+    from zyg_tpu.scene import trimesh
+    from zyg_tpu.scene.loader import (
+        MaterialDesc, PropDesc, SceneBuilder, Transformation,
+    )
+    import zyg_tpu.scene.types as st
+
+    b = SceneBuilder()
+    grey = b.add_material(
+        MaterialDesc(color=np.full(3, 0.6, np.float32), roughness=0.5)
+    )
+    lightm = b.add_material(
+        MaterialDesc(kind=2, emission=np.full(3, 30.0, np.float32))
+    )
+    mid = b.add_mesh(trimesh.make_trefoil_mesh(48, 32))
+    b.add_mesh_prop(
+        mid, Transformation(scale=np.full(3, 0.35, np.float32)), grey
+    )
+    rot_down = np.array([[1, 0, 0], [0, 0, -1], [0, -1, 0]], np.float32)
+    b.add_prop(PropDesc(
+        shape=int(st.ShapeType.RECTANGLE),
+        trafo=Transformation(
+            position=np.array([0, 4.0, 0], np.float32),
+            rotation=rot_down,
+            scale=np.array([3.0, 3.0, 1], np.float32),
+        ),
+        material=lightm,
+        is_light=True,
+        visible_shadow=False,
+    ))
+    return b.build()
+
+
+def _mesh_state(n, seed=3):
+    s = _state(n, seed=seed)
+    rng = np.random.default_rng(seed + 1)
+    o = rng.uniform(-4, 4, size=(n, 3)).astype(np.float32)
+    tgt = rng.uniform(-1.5, 1.5, size=(n, 3)).astype(np.float32)
+    d = tgt - o
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return s._replace(
+        o=jnp.asarray(o), d=jnp.asarray(d),
+        mis_o=jnp.asarray(o), mis_n=jnp.asarray(d),
+    )
+
+
+def test_mesh_fused_bounce_matches_general_body(mesh_scene):
+    from zyg_tpu.render.integrator import ptmis
+    from zyg_tpu.ops import shade as shade_ops
+
+    settings = ptmis.PtmisSettings(max_depth=4)
+    assert shade_ops.structural_ok_mesh(mesh_scene, settings, None)
+    assert not shade_ops.structural_ok(mesh_scene, settings, None)
+    body_ref = ptmis._make_body(mesh_scene, settings)  # CPU -> general body
+    body_fused = shade_ops.make_mesh_fused_body(
+        mesh_scene, settings, force_interpret=True
+    )
+    assert body_fused is not None
+
+    s = _mesh_state(2048)
+    r1 = jax.jit(body_ref)(s)
+    r2 = jax.jit(body_fused)(s)
+
+    # lane lifecycles exact
+    np.testing.assert_array_equal(np.asarray(r1.alive), np.asarray(r2.alive))
+    np.testing.assert_array_equal(np.asarray(r1.depth), np.asarray(r2.depth))
+    np.testing.assert_array_equal(
+        np.asarray(r1.singular), np.asarray(r2.singular)
+    )
+    assert int(r1.rays) == int(r2.rays)
+
+    live = np.asarray(r1.alive)
+
+    def livecmp(a, b, tol):
+        a = np.asarray(a, np.float64)[live]
+        b = np.asarray(b, np.float64)[live]
+        rel = np.abs(a - b) / (np.abs(a) + 1e-3)
+        assert rel.max() < tol, rel.max()
+
+    livecmp(r1.o, r2.o, 1e-4)
+    # interpolated mesh shading normals push slightly more float noise
+    # through the interpreter's transcendentals than Cornell's axis-aligned
+    # frames — 5e-5 instead of the analytic test's 1e-5
+    livecmp(r1.d, r2.d, 5e-5)
+    livecmp(r1.bxdf_pdf, r2.bxdf_pdf, 5e-5)
+    livecmp(r1.mis_n, r2.mis_n, 5e-5)
+    livecmp(r1.throughput, r2.throughput, 5e-3)
+
+    for f1, f2 in (
+        (r1.result.emission, r2.result.emission),
+        (r1.result.direct, r2.result.direct),
+        (r1.result.indirect, r2.result.indirect),
+    ):
+        s1 = np.asarray(f1).sum(axis=0)
+        s2 = np.asarray(f2).sum(axis=0)
+        np.testing.assert_allclose(s1, s2, rtol=2e-3, atol=1e-4)
+
+
+def test_mesh_fused_body_gates(mesh_scene, cornell):
+    from zyg_tpu.render.integrator import ptmis
+    from zyg_tpu.ops import shade as shade_ops
+
+    ok = ptmis.PtmisSettings(max_depth=4)
+    assert shade_ops.structural_ok_mesh(mesh_scene, ok, None)
+    # analytic-only scenes stay on the full-bounce kernel
+    assert not shade_ops.structural_ok_mesh(cornell, ok, None)
+    assert not shade_ops.structural_ok_mesh(
+        mesh_scene, ok._replace(collect_aovs=("albedo",)), None
+    )
+    assert not shade_ops.structural_ok_mesh(mesh_scene, ok, object())
+    assert not shade_ops.structural_ok_mesh(
+        mesh_scene._replace(mat_features={"glass": True}), ok, None
+    )

@@ -884,3 +884,447 @@ def make_fused_body(scene, settings, photon_map=None, force_interpret=False):
         )
 
     return body
+
+
+# ===========================================================================
+# Mesh-scene surface-shade kernel: the HYBRID bounce.
+#
+# Mesh scenes cannot intersect inside a Mosaic kernel (BVH traversal needs
+# per-lane HBM gathers, ops/gather limits — CLAUDE.md rule 14), so the
+# bounce splits at the two traversal boundaries instead:
+#
+#   XLA    intersect_scene (TLAS/BLAS cascade) + build_fragment (attribute
+#          gathers)                                           [gather-bound]
+#   PALLAS everything between the hits: BSDF-hit emission with sphquad MIS,
+#          russian roulette, NEE (light CDF pick + Urena sample + substitute
+#          eval + predivided power heuristic), VNDF/cosine BSDF sample,
+#          PathState merge — emitting the shadow ray + pending contribution
+#          as lane rows                                        [VPU-bound]
+#   XLA    occluded() shadow traversal, pending*visibility merge
+#
+# Same 1:1-vs-general-body contract as the full-bounce kernel above; the
+# general XLA body stays the semantic reference (CI: per-lane interpreter
+# comparison on a mesh scene, tests/test_shade_kernel.py).
+# ref: pathtracer_mis.zig vertex loop (connectLight/sampleLights split).
+# ===========================================================================
+
+# mtab row layout (one row per scene material):
+# 0 kind | 1:4 albedo | 4 alpha | 5 metallic | 6:9 f0 | 9 specular |
+# 10:13 emission | 13 two_sided
+_MTAB_W = 14
+
+
+def _make_surface_kernel(M: int, L: int, max_depth: int, caustics: bool,
+                         nee_only: bool):
+    def kernel(mtab, ltab, *refs):
+        ins = refs[:47]
+        outs = refs[47:]
+        o = (ins[0][:, :], ins[1][:, :], ins[2][:, :])
+        d = (ins[3][:, :], ins[4][:, :], ins[5][:, :])
+        thr0 = (ins[6][:, :], ins[7][:, :], ins[8][:, :])
+        alive = ins[9][:, :] > 0.5
+        bxdf_pdf_in = ins[10][:, :]
+        singular = ins[11][:, :] > 0.5
+        depth = ins[12][:, :]  # int32
+        mis_o = (ins[13][:, :], ins[14][:, :], ins[15][:, :])
+        mis_n_in = (ins[16][:, :], ins[17][:, :], ins[18][:, :])
+        res_em = (ins[19][:, :], ins[20][:, :], ins[21][:, :])
+        res_di = (ins[22][:, :], ins[23][:, :], ins[24][:, :])
+        res_in = (ins[25][:, :], ins[26][:, :], ins[27][:, :])
+        u_rr = ins[28][:, :]
+        u_sel = ins[29][:, :]
+        xl0, xl1 = ins[30][:, :], ins[31][:, :]
+        s0, s1, s2 = ins[32][:, :], ins[33][:, :], ins[34][:, :]
+        valid = ins[35][:, :] > 0.5  # finite scene hit
+        p_hit = (ins[36][:, :], ins[37][:, :], ins[38][:, :])
+        geo_n = (ins[39][:, :], ins[40][:, :], ins[41][:, :])
+        frag_n = (ins[42][:, :], ins[43][:, :], ins[44][:, :])
+        mslot = ins[45][:, :]  # int32 material id (clamped >= 0)
+        light_id = ins[46][:, :]  # int32 (-1 = hit is not a light)
+        wo = _vneg(d)
+        primary = depth == 0
+
+        # ---- per-lane material params (select chain over M SMEM rows)
+        gm = lambda c: _row_sel(mtab, mslot, c, M)
+        kind_m = gm(0)
+        mat = {
+            "albedo": (gm(1), gm(2), gm(3)),
+            "alpha": gm(4),
+            "metallic": gm(5),
+            "f0": (gm(6), gm(7), gm(8)),
+            "specular": gm(9),
+        }
+        emission = (gm(10), gm(11), gm(12))
+        two_sided = gm(13) > 0.5
+
+        # ---- connectLight: BSDF-hit emission with MIS (eval_radiance +
+        # light_hit_pdf from the last real vertex mis_o)
+        facing = _vdot(wo, geo_n) > 0.0
+        em_vis = valid & (facing | two_sided)
+        em = tuple(jnp.where(em_vis, c, 0.0) for c in emission)
+        is_light = light_id >= 0
+        lidh = jnp.clip(light_id, 0, L - 1)
+        glh = lambda c: _row_sel(ltab, lidh, c, L)
+        if not nee_only:
+            hr0 = (glh(2), glh(3), glh(4))
+            hr1 = (glh(5), glh(6), glh(7))
+            hpos = (glh(11), glh(12), glh(13))
+            hsx, hsy = glh(14), glh(15)
+            dlh = _vsub(mis_o, hpos)
+            olh = (_vdot(dlh, hr0), _vdot(dlh, hr1),
+                   _vdot(dlh, (glh(8), glh(9), glh(10))))
+            qh = _sphquad_init(hsx, hsy, olh)
+            lp = _sphquad_pdf(qh, olh, hsx, hsy) * glh(1)
+            mis_w = jnp.where(
+                singular | ~is_light, 1.0, _power_heuristic(bxdf_pdf_in, lp)
+            )
+            if not caustics:
+                mis_w = jnp.where(singular & (depth > 0) & is_light, 0.0, mis_w)
+        else:
+            mis_w = jnp.where(singular, 1.0, jnp.where(is_light, 0.0, 1.0))
+        is_em = primary
+        to_dir = singular | (depth < 2)
+        add_em = jnp.where(alive & is_em, mis_w, 0.0)
+        add_di = jnp.where(alive & ~is_em & to_dir, mis_w, 0.0)
+        add_in = jnp.where(alive & ~is_em & ~to_dir, mis_w, 0.0)
+        res_em = _vadd(res_em, tuple(t * add_em * c for t, c in zip(thr0, em)))
+        res_di = _vadd(res_di, tuple(t * add_di * c for t, c in zip(thr0, em)))
+        res_in = _vadd(res_in, tuple(t * add_in * c for t, c in zip(thr0, em)))
+
+        # ---- continuation + russian roulette
+        cont = alive & valid & (depth < max_depth)
+        mx = _vmax(thr0)
+        p_rr = mx / 0.1
+        kill = (p_rr < 1.0) & (u_rr >= p_rr)
+        rr_scale = jnp.where(p_rr < 1.0, 1.0 / jnp.maximum(p_rr, 1e-12), 1.0)
+        rr_mul = jnp.where(kill, 0.0, rr_scale)
+        thr = tuple(c * rr_mul for c in thr0)
+        cont = cont & ~kill
+
+        # ---- NEE: select light by power CDF, Urena sphquad sample
+        is_sub = kind_m == 0.0  # MaterialKind.SUBSTITUTE
+        can_nee = cont & is_sub
+        lidx = jnp.zeros(u_rr.shape, jnp.int32)
+        for l in range(L - 1):
+            lidx = lidx + (u_sel >= ltab[l, 0]).astype(jnp.int32)
+        gl = lambda c: _row_sel(ltab, lidx, c, L)
+        sel_pdf = gl(1)
+        lr0 = (gl(2), gl(3), gl(4))
+        lr1 = (gl(5), gl(6), gl(7))
+        lr2 = (gl(8), gl(9), gl(10))
+        lpos = (gl(11), gl(12), gl(13))
+        lsx, lsy = gl(14), gl(15)
+        lem = (gl(16), gl(17), gl(18))
+        l2s = gl(19) > 0.5
+
+        dl = _vsub(p_hit, lpos)
+        ol = (_vdot(dl, lr0), _vdot(dl, lr1), _vdot(dl, lr2))
+        q = _sphquad_init(lsx, lsy, ol)
+        xu, yv = _sphquad_sample(q, xl0, xl1)
+        rect_p = _vadd(
+            _vadd(lpos, _vscale(lr0, ol[0] + xu)), _vscale(lr1, ol[1] + yv)
+        )
+        axis = _vsub(rect_p, p_hit)
+        rect_t = _vlength(axis)
+        wi_n = _vscale(axis, 1.0 / jnp.maximum(rect_t, 1e-20))
+        # sample_light validity: q.S and the `front` hemisphere test against
+        # the GEOMETRIC normal (light_sampling.py:551 — n=frag.geo_n there;
+        # the shading normal only steers f)
+        valid_l = (q["S"] > 1e-7) & (_vdot(wi_n, geo_n) > 0.0)
+        pdf_l = jnp.where(valid_l, _sphquad_pdf(q, ol, lsx, lsy), 0.0)
+        l_facing = _vdot(_vneg(wi_n), lr2) > 0.0
+        radiance = tuple(jnp.where(l_facing | l2s, c, 0.0) for c in lem)
+
+        f_nee, bpdf = _substitute_eval(mat, wo, wi_n, frag_n, geo_n)
+        f_nee = tuple(jnp.where(is_sub, c, 0.0) for c in f_nee)
+        bpdf = jnp.where(is_sub, bpdf, 0.0)
+        light_pdf = pdf_l * sel_pdf
+        w_mis = _predivided_power_heuristic(light_pdf, bpdf)
+
+        sh_side = _vdot(wi_n, geo_n) >= 0.0
+        sh_n = _vwhere(sh_side, geo_n, _vneg(geo_n))
+        shadow_o = _offset_ray(p_hit, sh_n)
+        lp_off = _offset_ray(rect_p, lr2)
+        sh_axis = _vsub(lp_off, shadow_o)
+        slen = _vlength(sh_axis)
+        sdir = _vscale(sh_axis, 1.0 / jnp.maximum(slen, 1e-20))
+        nee_active = (
+            can_nee & (sel_pdf > 0.0) & (pdf_l > 0.0) & (_vmax(f_nee) > 0.0)
+        )
+        shadow_tmax = jnp.where(nee_active, slen, 0.0)
+        nee_base = tuple(
+            jnp.where(nee_active, t * r * f * w_mis, 0.0)
+            for t, r, f in zip(thr, radiance, f_nee)
+        )
+
+        # ---- BSDF sample + PathState merge
+        wi_s, weight, pdf_s, ok_s, reg_a = _substitute_sample(
+            mat, wo, frag_n, geo_n, s0, s1, s2
+        )
+        valid_s = ok_s & is_sub
+        cont = cont & valid_s
+        thr_out = tuple(
+            t * jnp.where(valid_s, w, 0.0) for t, w in zip(thr, weight)
+        )
+        bxdf_pdf_out = jnp.where(valid_s, pdf_s, 0.0)
+        b_side = _vdot(wi_s, geo_n) >= 0.0
+        b_n = _vwhere(b_side, geo_n, _vneg(geo_n))
+        new_o = _offset_ray(p_hit, b_n)
+        o_out = _vwhere(cont, new_o, o)
+        d_out = _vwhere(cont, wi_s, d)
+        depth_out = jnp.where(cont, depth + 1, depth)
+        mis_o_out = _vwhere(cont, new_o, mis_o)
+        mis_n_out = _vwhere(cont, frag_n, mis_n_in)
+
+        for i in range(3):
+            outs[0 + i][:, :] = o_out[i]
+            outs[3 + i][:, :] = d_out[i]
+            outs[6 + i][:, :] = thr_out[i]
+            outs[12 + i][:, :] = mis_o_out[i]
+            outs[15 + i][:, :] = mis_n_out[i]
+            outs[19 + i][:, :] = res_em[i]
+            outs[22 + i][:, :] = res_di[i]
+            outs[25 + i][:, :] = res_in[i]
+            outs[29 + i][:, :] = shadow_o[i]
+            outs[32 + i][:, :] = sdir[i]
+            outs[36 + i][:, :] = nee_base[i]
+        outs[9][:, :] = jnp.where(cont, 1.0, 0.0)
+        outs[10][:, :] = bxdf_pdf_out
+        outs[11][:, :] = depth_out
+        outs[18][:, :] = reg_a
+        outs[28][:, :] = jnp.where(nee_active, 1.0, 0.0)
+        outs[35][:, :] = shadow_tmax
+
+    return kernel
+
+
+def _run_surface(mtab, ltab, lane_rows, max_depth, caustics, nee_only,
+                 interpret=False):
+    n = lane_rows[0].shape[0]
+    tile = min(_LANE_TILE, -(-max(n, 1) // 128) * 128)
+    np_pad = ((n + tile - 1) // tile) * tile
+    grid = np_pad // tile
+
+    def row(x):
+        if np_pad != n:
+            x = jnp.concatenate([x, jnp.zeros(np_pad - n, x.dtype)])
+        return x.reshape(1, np_pad)
+
+    ins = [mtab, ltab] + [row(x) for x in lane_rows]
+    smem = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.SMEM)
+    lane = pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    out_shape = (
+        [jax.ShapeDtypeStruct((1, np_pad), f32)] * 11
+        + [jax.ShapeDtypeStruct((1, np_pad), jnp.int32)]
+        + [jax.ShapeDtypeStruct((1, np_pad), f32)] * 27
+    )
+    outs = pl.pallas_call(
+        _make_surface_kernel(
+            mtab.shape[0], ltab.shape[0], max_depth, caustics, nee_only
+        ),
+        grid=(grid,),
+        in_specs=[smem(mtab.shape), smem(ltab.shape)] + [lane] * 47,
+        out_specs=[lane] * 39,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*ins)
+    return [x[0, :n] for x in outs]
+
+
+def structural_ok_mesh(scene, settings, photon_map) -> bool:
+    """Applicability of the hybrid mesh bounce: mesh/analytic geometry with
+    plain substitute/light materials and rectangle lights only."""
+    from ..scene.types import ShapeType
+
+    if photon_map is not None:
+        return False
+    if settings.collect_aovs or settings.light_split_depth > 0:
+        return False
+    if settings.regularize_roughness > 0.0:
+        return False
+    if scene.mat_features is None or len(scene.mat_features) > 0:
+        return False
+    if scene.meshes is None:
+        return False  # analytic-only scenes take the full-bounce kernel
+    if scene.textures is not None:
+        return False
+    if scene.curves is not None or scene.points is not None:
+        return False
+    if scene.animated_props or scene.light_tree is not None:
+        return False
+    if scene.env is not None or scene.portals:
+        return False
+    if scene.lights.count < 1 or scene.lights.count > 8:
+        return False
+    shapes_present = {
+        int(str(k)) for k in (scene.light_shapes or {}) if str(k).isdigit()
+    }
+    if shapes_present != {int(ShapeType.RECTANGLE)}:
+        return False
+    if set(scene.light_shapes or {}) - {str(int(ShapeType.RECTANGLE)), int(ShapeType.RECTANGLE)}:
+        return False
+    if int(scene.materials.kind.shape[0]) > 64:
+        return False  # SMEM select chain over all scene materials
+    return True
+
+
+def _pack_mtab(scene):
+    """[M, _MTAB_W] per-material params (mat.gather, plain features)."""
+    f32 = jnp.float32
+    mats = scene.materials
+    M = mats.kind.shape[0]
+    rough = jnp.maximum(mats.roughness, _MIN_ROUGHNESS)
+    metallic = mats.metallic
+    color = mats.color
+    ior = mats.ior
+    t = (ior - 1.0) / (ior + 1.0)
+    f0s = t * t
+    f0 = f0s[:, None] * (1.0 - metallic[:, None]) + color * metallic[:, None]
+    albedo = (1.0 - metallic[:, None]) * color
+    col1 = lambda x: x.astype(f32).reshape(M, 1)
+    return jnp.concatenate(
+        [
+            col1(mats.kind),
+            albedo,
+            col1(rough * rough),
+            col1(metallic),
+            f0,
+            col1(mats.specular),
+            mats.emission,
+            col1(mats.two_sided),
+        ],
+        axis=1,
+    )
+
+
+def make_mesh_fused_body(scene, settings, photon_map=None,
+                         force_interpret=False):
+    """body(PathState) -> PathState for mesh scenes: XLA traversals around
+    the Pallas surface-shade kernel, or None when out of scope."""
+    if force_interpret:
+        if not structural_ok_mesh(scene, settings, photon_map):
+            return None
+    elif not (use_pallas() and structural_ok_mesh(scene, settings, photon_map)):
+        return None
+
+    from ..render.integrator.ptmis import PathState, IValue
+    from ..core.sobol import SobolSampler
+    from ..core.rng import hash_u32
+    from ..core.gather import small_gather
+    from ..scene import shapes
+
+    mtab = _pack_mtab(scene)
+    # light table: reuse the full-bounce layout (_pack_tables ltab half)
+    f32 = jnp.float32
+    L = scene.lights.count
+    lprop = scene.lights.prop
+    lm = jnp.maximum(scene.prop_material[lprop], 0)
+    cdf = scene.lights.cdf
+    ltab = jnp.concatenate(
+        [
+            cdf[1 : L + 1].reshape(L, 1),
+            (cdf[1 : L + 1] - cdf[0:L]).reshape(L, 1),
+            scene.prop_rot[lprop].reshape(L, 9),
+            scene.prop_pos[lprop],
+            scene.prop_scale[lprop][:, 0:2],
+            scene.materials.emission[lm],
+            scene.materials.two_sided[lm].astype(f32).reshape(L, 1),
+        ],
+        axis=1,
+    )
+    RAY_MAX_T = 2.14748365e9  # shapes.RAY_MAX_T
+
+    def body(s: PathState) -> PathState:
+        smp = SobolSampler(s.sobol, dim=5)
+        u_rr = smp.sample_1d()
+        u_sel = smp.sample_1d()
+        xi_l = smp.sample_2d()
+        s3 = smp.sample_3d()
+        smp.increment_padding()
+
+        primary = s.depth == 0
+        ray_tmax = jnp.where(s.alive, jnp.float32(shapes.RAY_MAX_T), 0.0)
+        hit = shapes.intersect_scene(
+            scene, s.o, s.d, jnp.float32(0.0), ray_tmax,
+            "reflection", primary=primary, time=s.time,
+        )
+        frag = shapes.build_fragment(
+            scene, hit, s.o, s.d, need_tangents=False, time=s.time
+        )
+        finite = hit.valid() & (hit.t < jnp.float32(shapes.RAY_MAX_T))
+        light_id = jnp.where(
+            hit.valid(),
+            small_gather(scene.prop_light, jnp.maximum(hit.prop, 0)),
+            -1,
+        )
+        b2f = lambda x: x.astype(f32)
+        lane_rows = [
+            s.o[:, 0], s.o[:, 1], s.o[:, 2],
+            s.d[:, 0], s.d[:, 1], s.d[:, 2],
+            s.throughput[:, 0], s.throughput[:, 1], s.throughput[:, 2],
+            b2f(s.alive), s.bxdf_pdf, b2f(s.singular), s.depth,
+            s.mis_o[:, 0], s.mis_o[:, 1], s.mis_o[:, 2],
+            s.mis_n[:, 0], s.mis_n[:, 1], s.mis_n[:, 2],
+            s.result.emission[:, 0], s.result.emission[:, 1], s.result.emission[:, 2],
+            s.result.direct[:, 0], s.result.direct[:, 1], s.result.direct[:, 2],
+            s.result.indirect[:, 0], s.result.indirect[:, 1], s.result.indirect[:, 2],
+            u_rr, u_sel, xi_l[:, 0], xi_l[:, 1], s3[:, 0], s3[:, 1], s3[:, 2],
+            b2f(finite),
+            frag.p[:, 0], frag.p[:, 1], frag.p[:, 2],
+            frag.geo_n[:, 0], frag.geo_n[:, 1], frag.geo_n[:, 2],
+            frag.n[:, 0], frag.n[:, 1], frag.n[:, 2],
+            jnp.maximum(frag.material, 0), light_id.astype(jnp.int32),
+        ]
+        outs = _run_surface(
+            mtab, ltab, lane_rows, int(settings.max_depth),
+            bool(settings.caustics), bool(settings.nee_only),
+            interpret=force_interpret,
+        )
+        v3 = lambda i: jnp.stack([outs[i], outs[i + 1], outs[i + 2]], axis=-1)
+        nee_active = outs[28] > 0.5
+        shadow_o = v3(29)
+        sdir = v3(32)
+        stmax = outs[35]
+        blocked = shapes.occluded(
+            scene, shadow_o, sdir, jnp.float32(0.0), stmax, time=s.time
+        )
+        nee = jnp.where((nee_active & ~blocked)[..., None], v3(36), 0.0)
+        nee_dir = (s.depth < 1)[..., None]
+        direct = v3(22) + jnp.where(nee_dir, nee, 0.0)
+        indirect = v3(25) + jnp.where(nee_dir, 0.0, nee)
+        rays = (
+            s.rays
+            + jnp.sum(s.alive, dtype=jnp.int32)
+            + jnp.sum(nee_active, dtype=jnp.int32)
+        )
+        falses = jnp.zeros_like(s.alive)
+        return PathState(
+            o=v3(0),
+            d=v3(3),
+            throughput=v3(6),
+            result=IValue(v3(19), direct, indirect),
+            alive=outs[9] > 0.5,
+            bxdf_pdf=outs[10],
+            singular=falses,  # substitute samples are never delta events
+            medium=s.medium,
+            depth=outs[11],
+            vol_depth=s.vol_depth,
+            rays=rays,
+            sobol=smp.arrays,
+            vol_key=hash_u32(s.vol_key ^ jnp.uint32(0x27D4EB2F)),
+            mis_o=v3(12),
+            mis_n=v3(15),
+            from_volume=falses,
+            primary_chain=falses,
+            time=s.time,
+            nee_thr=jnp.zeros_like(s.nee_thr),
+            reg_alpha=outs[18],
+            aov=s.aov,
+            wavelength=s.wavelength,
+            pid=s.pid,
+            split=s.split,
+            sub_uv=s.sub_uv,
+        )
+
+    return body

@@ -329,6 +329,11 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
     fused = shade_ops.make_fused_body(scene, settings, photon_map)
     if fused is not None:
         return fused
+    # mesh scenes with plain substitute/light materials + rect lights run
+    # the HYBRID bounce: XLA traversals around a Pallas shade kernel
+    fused_mesh = shade_ops.make_mesh_fused_body(scene, settings, photon_map)
+    if fused_mesh is not None:
+        return fused_mesh
     has_lights = scene.lights.count > 0
     # static: scenes without glass/volumetric materials compile the whole
     # medium-transport path away (measured ~8% of the Cornell bounce)
