@@ -81,6 +81,85 @@ class TestAov:
         c = img[12, 12]
         np.testing.assert_allclose(c, [0.5, 0.5, 0.0], atol=0.05)
 
+    def test_light_sample_count_aov(self):
+        # single-light Cornell with no tree: every hit draws exactly one
+        # sample -> ratio 1 everywhere a surface is hit (ref aov.zig
+        # lightSampleCount normalizes drawn/potentialMax)
+        take, scene = cornell_driver(res=24, spp=1)
+        take.integrator.kind = "AOV"
+        take.integrator.aov_value = "LightSampleCount"
+        d = Driver(take=take, scene=scene)
+        img = d.render_frame()
+        assert np.isfinite(img).all()
+        assert abs(float(img[12, 12].mean()) - 1.0) < 1e-5
+
+    def test_light_sample_count_aov_split(self):
+        # many-light scene with a light tree + splitting enabled: the ratio
+        # is in (0, 1] and varies with the split decision
+        import zyg_tpu.scene.types as st
+        from zyg_tpu.io.take import Take, IntegratorSettings
+        from zyg_tpu.render.camera import PerspectiveCamera
+        from zyg_tpu.scene.loader import (
+            MaterialDesc, PropDesc, SceneBuilder, Transformation,
+        )
+
+        b = SceneBuilder()
+        grey = b.add_material(MaterialDesc(color=np.full(3, 0.6, np.float32)))
+        b.add_prop(PropDesc(
+            shape=int(st.ShapeType.RECTANGLE),
+            trafo=Transformation(
+                position=np.array([0, -1, 0], np.float32),
+                rotation=np.array([[1, 0, 0], [0, 0, -1], [0, 1, 0]], np.float32),
+                scale=np.array([8.0, 8.0, 1], np.float32),
+            ),
+            material=grey,
+        ))
+        lm = b.add_material(MaterialDesc(kind=2, emission=np.full(3, 5.0, np.float32)))
+        rot_down = np.array([[1, 0, 0], [0, 0, -1], [0, -1, 0]], np.float32)
+        for i in range(20):
+            b.add_prop(PropDesc(
+                shape=int(st.ShapeType.RECTANGLE),
+                trafo=Transformation(
+                    position=np.array([(i % 5) - 2.0, 2.0, i // 5 - 1.5], np.float32),
+                    rotation=rot_down,
+                    scale=np.array([0.3, 0.3, 1], np.float32),
+                ),
+                material=lm,
+                is_light=True,
+            ))
+        scene = b.build()
+        assert scene.light_tree is not None
+        take = Take()
+        take.num_samples_per_pixel = 1
+        take.integrator = IntegratorSettings(kind="AOV", aov_value="LightSampleCount")
+        cam = PerspectiveCamera(resolution=(16, 16), fov=np.deg2rad(60))
+        cam.position = np.array([0, 0.5, -4.0], np.float32)
+        take.cameras = [cam]
+        d = Driver(take=take, scene=scene)
+        img = d.render_frame()
+        assert np.isfinite(img).all()
+        hit = img[img.sum(-1) > 0]
+        assert hit.size > 0
+        assert (hit <= 1.0 + 1e-6).all()
+
+    def test_photon_aov(self):
+        # photon-map visualization: with a baked map the AOV is nonzero
+        # where photons land (ref aov.zig photons)
+        take, scene = cornell_driver(res=24, spp=1)
+        take.integrator.kind = "AOV"
+        take.integrator.aov_value = "Photon"
+        take.photon.num_photons = 2048
+        take.photon.search_radius = 0.15
+        take.photon.not_only_through_specular = True
+        # Cornell has no speculars: deposit on the full light path so the
+        # map is non-empty (photons otherwise store only after specular
+        # chains, photon.py:147)
+        take.photon.full_light_path = True
+        d = Driver(take=take, scene=scene)
+        img = d.render_frame()
+        assert np.isfinite(img).all()
+        assert img.max() > 0.0
+
     def test_ao_aov(self):
         take, scene = cornell_driver(res=24, spp=4)
         take.integrator.kind = "AOV"

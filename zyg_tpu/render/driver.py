@@ -126,7 +126,11 @@ def _render_samples(
                     value=integrator.aov_value,
                     num_samples=integrator.aov_num_samples,
                     radius=integrator.aov_radius,
+                    light_split_threshold=integrator.light_split_threshold,
+                    light_split_depth=light_split_depth,
                 ),
+                photon_map=photon_map,
+                photon_max_per_cell=photon_max_per_cell,
             )
         elif integrator.kind == "PT":
             radiance, _, rays = pt_mod.integrate(
