@@ -192,6 +192,34 @@ def bench_mesh_textured():
     return driver.rays_traced / best / 1e6
 
 
+def bench_material():
+    """BASELINE config 2: material-test spheres (substitute rough/smooth,
+    gold, mirror, glass + area light), PTMIS+NEE 1024x768 — the BSDF-heavy
+    scene class the fused shade kernel excludes (glass => medium stack +
+    BSDF splitting), i.e. the general XLA body under measurement."""
+    import jax
+
+    from zyg_tpu.io.take import load_take_file
+    from zyg_tpu.scene.loader import load_scene_file
+    from zyg_tpu.render.driver import Driver
+
+    take = load_take_file(os.path.join(REPO, "examples/takes/material_test.take"))
+    take.num_samples_per_pixel = 16
+    scene = load_scene_file(take.scene_filename)
+    driver = Driver(take=take, scene=scene)
+    driver.start_frame()
+    driver.render_iterations(driver.chunk_size)
+    jax.block_until_ready(driver._fb)
+    best = float("inf")
+    for _ in range(3):
+        driver.start_frame()
+        t0 = time.perf_counter()
+        driver.render_iterations(take.num_samples_per_pixel)
+        jax.block_until_ready(driver._fb)
+        best = min(best, time.perf_counter() - t0)
+    return driver.rays_traced / best / 1e6
+
+
 def bench_volume():
     """BASELINE config 4: heterogeneous smoke volume (smoke.take), 8spp
     steady state — the delta-tracking + residual-ratio path."""
@@ -231,6 +259,28 @@ def main() -> None:
         mesh_tex_mrays = round(bench_mesh_textured(), 3)
     except Exception:
         mesh_tex_mrays = None
+    try:
+        mat_mrays = round(bench_material(), 3)
+    except Exception:
+        mat_mrays = None
+    # TPU-side fused-vs-XLA statistical pin (tools/verify_fused.py): the
+    # CPU goldens never exercise the compiled Mosaic kernels
+    try:
+        from tools import verify_fused
+
+        pin = [
+            verify_fused.run_case(name, mk)
+            for name, mk in (
+                ("cornell", verify_fused._cornell_case()),
+                ("mesh", verify_fused._mesh_case()),
+            )
+        ]
+        fused_pin = {
+            "ok": all(r["ok"] for r in pin),
+            "rel_mean": [r["rel_mean_diff"] for r in pin],
+        }
+    except Exception:
+        fused_pin = None
     print(
         json.dumps(
             {
@@ -241,6 +291,8 @@ def main() -> None:
                 "mesh_trefoil_720p_mrays": mesh_mrays,
                 "volume_smoke_mrays": vol_mrays,
                 "mesh_textured_sky_720p_mrays": mesh_tex_mrays,
+                "material_test_mrays": mat_mrays,
+                "fused_pin": fused_pin,
             }
         )
     )
