@@ -1328,3 +1328,411 @@ def make_mesh_fused_body(scene, settings, photon_map=None,
         )
 
     return body
+
+
+# ===========================================================================
+# GENERAL surface-shade kernel (v2): textures, env/dome lights, any light
+# shape, light tree, animation — the "fast path as the common path" form.
+#
+# v1 (_make_surface_kernel) fuses the NEE light SAMPLING into the kernel,
+# which caps it at <= 8 untextured rectangle lights. v2 moves everything
+# whose data lives in big arenas back to XLA — where gathers are cheap —
+# and keeps only the register-resident shade core in Mosaic:
+#
+#   XLA    intersect_scene + build_fragment + materials.gather (textures,
+#          normal maps) + eval_radiance (BSDF-hit emission, incl. dome/env
+#          emission maps) + light_hit_pdf*select_pdf (any light type, tree
+#          descent) + select_light/sample_light/light_radiance (the NEE
+#          candidate: direction, radiance, pdf, shadow ray) [gather-bound]
+#   PALLAS MIS emission weights + russian roulette + substitute NEE eval
+#          (predivided power heuristic) + VNDF/cosine BSDF sample +
+#          PathState merge                                      [VPU-bound]
+#   XLA    occluded() shadow traversal + pending*visibility merge
+#
+# The Sobol draw ORDER mirrors the general XLA body exactly (u_rr, u_sel,
+# xi_l, s3 — u_sel/xi_l consumed by the XLA light sampling here), so lane
+# lifecycles match per-lane (CI: tests/test_shade_kernel.py textured/env
+# cases). ref: pathtracer_mis.zig vertex loop.
+# ===========================================================================
+
+# features whose machinery runs entirely on the XLA side of the v2 split
+_V2_XLA_SIDE_FEATURES = {"ies", "triplanar"}
+
+
+def _make_surface_kernel_v2(max_depth: int, caustics: bool, nee_only: bool):
+    def kernel(*refs):
+        ins = refs[:66]
+        outs = refs[66:]
+        o = (ins[0][:, :], ins[1][:, :], ins[2][:, :])
+        d = (ins[3][:, :], ins[4][:, :], ins[5][:, :])
+        thr0 = (ins[6][:, :], ins[7][:, :], ins[8][:, :])
+        alive = ins[9][:, :] > 0.5
+        bxdf_pdf_in = ins[10][:, :]
+        singular = ins[11][:, :] > 0.5
+        depth = ins[12][:, :]  # int32
+        mis_o = (ins[13][:, :], ins[14][:, :], ins[15][:, :])
+        mis_n_in = (ins[16][:, :], ins[17][:, :], ins[18][:, :])
+        res_em = (ins[19][:, :], ins[20][:, :], ins[21][:, :])
+        res_di = (ins[22][:, :], ins[23][:, :], ins[24][:, :])
+        res_in = (ins[25][:, :], ins[26][:, :], ins[27][:, :])
+        u_rr = ins[28][:, :]
+        s0, s1, s2 = ins[29][:, :], ins[30][:, :], ins[31][:, :]
+        valid = ins[32][:, :] > 0.5  # finite scene hit
+        p_hit = (ins[33][:, :], ins[34][:, :], ins[35][:, :])
+        geo_n = (ins[36][:, :], ins[37][:, :], ins[38][:, :])
+        frag_n = (ins[39][:, :], ins[40][:, :], ins[41][:, :])
+        kind_m = ins[42][:, :]
+        mat = {
+            "albedo": (ins[43][:, :], ins[44][:, :], ins[45][:, :]),
+            "alpha": ins[46][:, :],
+            "metallic": ins[47][:, :],
+            "f0": (ins[48][:, :], ins[49][:, :], ins[50][:, :]),
+            "specular": ins[51][:, :],
+        }
+        em = (ins[52][:, :], ins[53][:, :], ins[54][:, :])  # pre-masked
+        hit_lp = ins[55][:, :]
+        is_light = ins[56][:, :] > 0.5
+        nee_wi = (ins[57][:, :], ins[58][:, :], ins[59][:, :])
+        nee_rad = (ins[60][:, :], ins[61][:, :], ins[62][:, :])
+        nee_lpdf = ins[63][:, :]
+        nee_pre = ins[64][:, :] > 0.5
+        nee_pre_tmax = ins[65][:, :]
+        wo = _vneg(d)
+        primary = depth == 0
+
+        # ---- connectLight: MIS weight for the BSDF-hit emission (the
+        # radiance AND the hit light pdf come in per-lane — any light type)
+        if not nee_only:
+            mis_w = jnp.where(
+                singular | ~is_light, 1.0, _power_heuristic(bxdf_pdf_in, hit_lp)
+            )
+            if not caustics:
+                mis_w = jnp.where(singular & (depth > 0) & is_light, 0.0, mis_w)
+        else:
+            mis_w = jnp.where(singular, 1.0, jnp.where(is_light, 0.0, 1.0))
+        is_em = primary
+        to_dir = singular | (depth < 2)
+        add_em = jnp.where(alive & is_em, mis_w, 0.0)
+        add_di = jnp.where(alive & ~is_em & to_dir, mis_w, 0.0)
+        add_in = jnp.where(alive & ~is_em & ~to_dir, mis_w, 0.0)
+        res_em = _vadd(res_em, tuple(t * add_em * c for t, c in zip(thr0, em)))
+        res_di = _vadd(res_di, tuple(t * add_di * c for t, c in zip(thr0, em)))
+        res_in = _vadd(res_in, tuple(t * add_in * c for t, c in zip(thr0, em)))
+
+        # ---- continuation + russian roulette (helper.zig russianRoulette)
+        cont = alive & valid & (depth < max_depth)
+        mx = _vmax(thr0)
+        p_rr = mx / 0.1
+        kill = (p_rr < 1.0) & (u_rr >= p_rr)
+        rr_scale = jnp.where(p_rr < 1.0, 1.0 / jnp.maximum(p_rr, 1e-12), 1.0)
+        rr_mul = jnp.where(kill, 0.0, rr_scale)
+        thr = tuple(c * rr_mul for c in thr0)
+        cont = cont & ~kill
+
+        # ---- NEE: evaluate the XLA-sampled candidate (sampleLights side)
+        is_sub = kind_m == 0.0  # MaterialKind.SUBSTITUTE
+        can_nee = cont & is_sub
+        f_nee, bpdf = _substitute_eval(mat, wo, nee_wi, frag_n, geo_n)
+        f_nee = tuple(jnp.where(is_sub, c, 0.0) for c in f_nee)
+        bpdf = jnp.where(is_sub, bpdf, 0.0)
+        w_mis = _predivided_power_heuristic(nee_lpdf, bpdf)
+        nee_active = can_nee & nee_pre & (_vmax(f_nee) > 0.0)
+        shadow_tmax = jnp.where(nee_active, nee_pre_tmax, 0.0)
+        nee_base = tuple(
+            jnp.where(nee_active, t * r * f * w_mis, 0.0)
+            for t, r, f in zip(thr, nee_rad, f_nee)
+        )
+
+        # ---- BSDF sample + PathState merge
+        wi_s, weight, pdf_s, ok_s, reg_a = _substitute_sample(
+            mat, wo, frag_n, geo_n, s0, s1, s2
+        )
+        valid_s = ok_s & is_sub
+        cont = cont & valid_s
+        thr_out = tuple(
+            t * jnp.where(valid_s, w, 0.0) for t, w in zip(thr, weight)
+        )
+        bxdf_pdf_out = jnp.where(valid_s, pdf_s, 0.0)
+        b_side = _vdot(wi_s, geo_n) >= 0.0
+        b_n = _vwhere(b_side, geo_n, _vneg(geo_n))
+        new_o = _offset_ray(p_hit, b_n)
+        o_out = _vwhere(cont, new_o, o)
+        d_out = _vwhere(cont, wi_s, d)
+        depth_out = jnp.where(cont, depth + 1, depth)
+        mis_o_out = _vwhere(cont, new_o, mis_o)
+        mis_n_out = _vwhere(cont, frag_n, mis_n_in)
+
+        for i in range(3):
+            outs[0 + i][:, :] = o_out[i]
+            outs[3 + i][:, :] = d_out[i]
+            outs[6 + i][:, :] = thr_out[i]
+            outs[12 + i][:, :] = mis_o_out[i]
+            outs[15 + i][:, :] = mis_n_out[i]
+            outs[19 + i][:, :] = res_em[i]
+            outs[22 + i][:, :] = res_di[i]
+            outs[25 + i][:, :] = res_in[i]
+            outs[29 + i][:, :] = nee_base[i]
+        outs[9][:, :] = jnp.where(cont, 1.0, 0.0)
+        outs[10][:, :] = bxdf_pdf_out
+        outs[11][:, :] = depth_out
+        outs[18][:, :] = reg_a
+        outs[28][:, :] = jnp.where(nee_active, 1.0, 0.0)
+        outs[32][:, :] = shadow_tmax
+
+    return kernel
+
+
+def _run_surface_v2(lane_rows, max_depth, caustics, nee_only, interpret=False):
+    n = lane_rows[0].shape[0]
+    tile = min(_LANE_TILE, -(-max(n, 1) // 128) * 128)
+    np_pad = ((n + tile - 1) // tile) * tile
+    grid = np_pad // tile
+
+    def row(x):
+        if np_pad != n:
+            x = jnp.concatenate([x, jnp.zeros(np_pad - n, x.dtype)])
+        return x.reshape(1, np_pad)
+
+    ins = [row(x) for x in lane_rows]
+    lane = pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    out_shape = (
+        [jax.ShapeDtypeStruct((1, np_pad), f32)] * 11
+        + [jax.ShapeDtypeStruct((1, np_pad), jnp.int32)]
+        + [jax.ShapeDtypeStruct((1, np_pad), f32)] * 21
+    )
+    outs = pl.pallas_call(
+        _make_surface_kernel_v2(max_depth, caustics, nee_only),
+        grid=(grid,),
+        in_specs=[lane] * 66,
+        out_specs=[lane] * 33,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*ins)
+    return [x[0, :n] for x in outs]
+
+
+def structural_ok_mesh_v2(scene, settings, photon_map) -> bool:
+    """Applicability of the GENERAL hybrid bounce: any geometry/lights/
+    textures, plain substitute + light materials (features that change the
+    BSDF or the lane lifecycle stay on the XLA body)."""
+    if photon_map is not None:
+        return False
+    if settings.collect_aovs or settings.light_split_depth > 0:
+        return False
+    if settings.regularize_roughness > 0.0:
+        return False
+    feats = scene.mat_features
+    if feats is None or (set(feats) - _V2_XLA_SIDE_FEATURES):
+        return False  # media/glass/coating/hair/mask/... -> XLA body
+    if scene.light_shapes is not None and "volume" in scene.light_shapes:
+        return False  # emissive volumes imply media anyway
+    if scene.lights.count < 1:
+        return False  # lightless scenes keep the plain body
+    return True
+
+
+def make_mesh_fused_body_v2(scene, settings, photon_map=None,
+                            force_interpret=False):
+    """body(PathState) -> PathState: XLA traversal/gather stages around the
+    v2 Pallas shade core, or None when out of scope."""
+    if force_interpret:
+        if not structural_ok_mesh_v2(scene, settings, photon_map):
+            return None
+    elif not (use_pallas() and structural_ok_mesh_v2(scene, settings, photon_map)):
+        return None
+
+    from ..render.integrator.ptmis import PathState, IValue
+    from ..render import materials as mat
+    from ..core.sobol import SobolSampler
+    from ..core.rng import hash_u32, hash2_u32, u32_to_float
+    from ..core.gather import small_gather
+    from ..core import vecmath as vm
+    from ..scene import shapes
+    from ..scene import light_sampling as ls_mod
+
+    f32 = jnp.float32
+    has_tex = scene.textures is not None
+
+    def body(s: PathState) -> PathState:
+        smp = SobolSampler(s.sobol, dim=5)
+
+        primary = s.depth == 0
+        ray_tmax = jnp.where(s.alive, jnp.float32(shapes.RAY_MAX_T), 0.0)
+        hit = shapes.intersect_scene(
+            scene, s.o, s.d, jnp.float32(0.0), ray_tmax,
+            "reflection", primary=primary, time=s.time,
+        )
+        frag = shapes.build_fragment(
+            scene, hit, s.o, s.d, need_tangents=has_tex, time=s.time
+        )
+        tex_xi = None
+        uv_alt = None
+        if has_tex:
+            # same non-Sobol jitter stream as the XLA body (ptmis.py)
+            kx = hash2_u32(s.vol_key ^ jnp.uint32(0xA511E9B3),
+                           s.depth.astype(jnp.uint32))
+            ky = hash_u32(kx ^ jnp.uint32(0x85EBCA6B))
+            tex_xi = jnp.stack([u32_to_float(kx), u32_to_float(ky)], -1)
+            if scene.mat_features is not None and "triplanar" in scene.mat_features:
+                uv_alt = mat.triplanar_uv(scene, frag)
+            frag = frag._replace(
+                n=mat.apply_normal_map(
+                    scene.materials, scene.textures, frag.material, frag.uv,
+                    frag.n, frag.t, frag.b, tex_xi=tex_xi, uv_alt=uv_alt,
+                )
+            )
+        params = mat.gather(
+            scene.materials, frag.material, None, scene.textures, frag.uv,
+            features=scene.mat_features, tex_xi=tex_xi, uv_alt=uv_alt,
+        )
+        wo = -s.d
+
+        # ---- BSDF-hit emission radiance + hit-side light pdf (XLA: any
+        # light type incl. env maps and tree-descent select pdfs)
+        emission = mat.eval_radiance(params, wo, frag.geo_n)
+        emission = jnp.where(hit.valid()[..., None], emission, 0.0)
+        light_id = jnp.where(
+            hit.valid(),
+            small_gather(scene.prop_light, jnp.maximum(hit.prop, 0)),
+            -1,
+        )
+        is_light = light_id >= 0
+        if not settings.nee_only:
+            eff_t = jnp.where(
+                hit.t >= shapes.RAY_MAX_T, hit.t, vm.length(frag.p - s.mis_o)
+            )
+            hit_lp = ls_mod.light_hit_pdf(
+                scene, hit.prop, s.mis_o, s.d, eff_t, frag.p, frag.geo_n,
+                s.mis_n, total_sphere=s.from_volume, hit_prim=hit.prim,
+                time=s.time,
+            ) * ls_mod.light_select_pdf(
+                scene, light_id, p=s.mis_o, n=s.mis_n,
+                total_sphere=s.from_volume,
+            )
+        else:
+            hit_lp = jnp.zeros_like(hit.t)
+
+        # ---- Sobol draws in the XLA body's exact order
+        u_rr = smp.sample_1d()
+        u_sel = smp.sample_1d()
+        xi_l = smp.sample_2d()
+
+        # ---- NEE candidate (XLA light sampling; the kernel evaluates)
+        light_idx, sel_pdf = ls_mod.select_light(
+            scene, u_sel, p=frag.p, n=frag.n,
+            total_sphere=jnp.zeros_like(s.alive),
+        )
+        lsmp = ls_mod.sample_light(
+            scene, light_idx, frag.p, frag.geo_n, xi_l,
+            total_sphere=jnp.zeros_like(s.alive), ns=frag.n, time=s.time,
+        )
+        radiance = ls_mod.light_radiance(
+            scene, light_idx, lsmp.wi, lsmp.light_n, lsmp.uv,
+        )
+        nee_lpdf = lsmp.pdf * sel_pdf
+        shadow_surf = shapes.offset_ray(
+            frag.p,
+            jnp.where(
+                vm.dot(lsmp.wi, frag.geo_n)[..., None] >= 0.0,
+                frag.geo_n, -frag.geo_n,
+            ),
+        )
+        lp_off = shapes.offset_ray(lsmp.light_p, lsmp.light_n)
+        shadow_axis = jnp.where(
+            lsmp.infinite[..., None], lsmp.wi, lp_off - shadow_surf
+        )
+        slen = jnp.where(
+            lsmp.infinite, jnp.float32(shapes.RAY_MAX_T), vm.length(shadow_axis)
+        )
+        sdir = jnp.where(
+            lsmp.infinite[..., None],
+            lsmp.wi,
+            shadow_axis / jnp.maximum(slen, 1e-20)[..., None],
+        )
+        nee_pre = (light_idx >= 0) & (sel_pdf > 0.0) & (lsmp.pdf > 0.0)
+        nee_pre_tmax = jnp.where(
+            lsmp.infinite, jnp.float32(shapes.RAY_MAX_T) * 0.9, slen
+        )
+
+        s3 = smp.sample_3d()
+        smp.increment_padding()
+
+        b2f = lambda x: x.astype(f32)
+        finite = hit.valid() & (hit.t < jnp.float32(shapes.RAY_MAX_T))
+        lane_rows = [
+            s.o[:, 0], s.o[:, 1], s.o[:, 2],
+            s.d[:, 0], s.d[:, 1], s.d[:, 2],
+            s.throughput[:, 0], s.throughput[:, 1], s.throughput[:, 2],
+            b2f(s.alive), s.bxdf_pdf, b2f(s.singular), s.depth,
+            s.mis_o[:, 0], s.mis_o[:, 1], s.mis_o[:, 2],
+            s.mis_n[:, 0], s.mis_n[:, 1], s.mis_n[:, 2],
+            s.result.emission[:, 0], s.result.emission[:, 1], s.result.emission[:, 2],
+            s.result.direct[:, 0], s.result.direct[:, 1], s.result.direct[:, 2],
+            s.result.indirect[:, 0], s.result.indirect[:, 1], s.result.indirect[:, 2],
+            u_rr, s3[:, 0], s3[:, 1], s3[:, 2],
+            b2f(finite),
+            frag.p[:, 0], frag.p[:, 1], frag.p[:, 2],
+            frag.geo_n[:, 0], frag.geo_n[:, 1], frag.geo_n[:, 2],
+            frag.n[:, 0], frag.n[:, 1], frag.n[:, 2],
+            params["kind"].astype(f32),
+            params["albedo"][:, 0], params["albedo"][:, 1], params["albedo"][:, 2],
+            params["alpha"], params["metallic"],
+            params["f0"][:, 0], params["f0"][:, 1], params["f0"][:, 2],
+            params["specular"],
+            emission[:, 0], emission[:, 1], emission[:, 2],
+            hit_lp, b2f(is_light),
+            lsmp.wi[:, 0], lsmp.wi[:, 1], lsmp.wi[:, 2],
+            radiance[:, 0], radiance[:, 1], radiance[:, 2],
+            nee_lpdf, b2f(nee_pre), nee_pre_tmax,
+        ]
+        outs = _run_surface_v2(
+            lane_rows, int(settings.max_depth),
+            bool(settings.caustics), bool(settings.nee_only),
+            interpret=force_interpret,
+        )
+        v3 = lambda i: jnp.stack([outs[i], outs[i + 1], outs[i + 2]], axis=-1)
+        nee_active = outs[28] > 0.5
+        stmax = outs[32]
+        blocked = shapes.occluded(
+            scene, shadow_surf, sdir, jnp.float32(0.0), stmax, time=s.time
+        )
+        nee = jnp.where((nee_active & ~blocked)[..., None], v3(29), 0.0)
+        nee_dir = (s.depth < 1)[..., None]
+        direct = v3(22) + jnp.where(nee_dir, nee, 0.0)
+        indirect = v3(25) + jnp.where(nee_dir, 0.0, nee)
+        rays = (
+            s.rays
+            + jnp.sum(s.alive, dtype=jnp.int32)
+            + jnp.sum(nee_active, dtype=jnp.int32)
+        )
+        falses = jnp.zeros_like(s.alive)
+        return PathState(
+            o=v3(0),
+            d=v3(3),
+            throughput=v3(6),
+            result=IValue(v3(19), direct, indirect),
+            alive=outs[9] > 0.5,
+            bxdf_pdf=outs[10],
+            singular=falses,  # substitute samples are never delta events
+            medium=s.medium,
+            depth=outs[11],
+            vol_depth=s.vol_depth,
+            rays=rays,
+            sobol=smp.arrays,
+            vol_key=hash_u32(s.vol_key ^ jnp.uint32(0x27D4EB2F)),
+            mis_o=v3(12),
+            mis_n=v3(15),
+            from_volume=falses,
+            primary_chain=falses,
+            time=s.time,
+            nee_thr=jnp.zeros_like(s.nee_thr),
+            reg_alpha=outs[18],
+            aov=s.aov,
+            wavelength=s.wavelength,
+            pid=s.pid,
+            split=s.split,
+            sub_uv=s.sub_uv,
+        )
+
+    return body

@@ -334,6 +334,12 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
     fused_mesh = shade_ops.make_mesh_fused_body(scene, settings, photon_map)
     if fused_mesh is not None:
         return fused_mesh
+    # textured/env/many-light scenes run the GENERAL hybrid: XLA
+    # traversal + gather stages (textures, light sampling/pdfs) around
+    # the v2 Pallas shade core
+    fused_v2 = shade_ops.make_mesh_fused_body_v2(scene, settings, photon_map)
+    if fused_v2 is not None:
+        return fused_v2
     has_lights = scene.lights.count > 0
     # static: scenes without glass/volumetric materials compile the whole
     # medium-transport path away (measured ~8% of the Cornell bounce)
@@ -545,7 +551,7 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
             )
             lp = ls_mod.light_hit_pdf(
                 scene, hit.prop, s.mis_o, s.d, eff_t, frag.p, frag.geo_n, s.mis_n,
-                total_sphere=s.from_volume, hit_prim=hit.prim,
+                total_sphere=s.from_volume, hit_prim=hit.prim, time=s.time,
             ) * ls_mod.light_select_pdf(
                 scene, light_id, p=s.mis_o, n=s.mis_n, total_sphere=s.from_volume,
                 split_threshold=(
@@ -660,7 +666,7 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
                 Returns (contribution[N,3], active[N])."""
                 lsmp = ls_mod.sample_light(
                     scene, light_idx, nee_p, frag.geo_n, xi, total_sphere=scatter,
-                    xi3=xi3, ns=frag.n,
+                    xi3=xi3, ns=frag.n, time=s.time,
                 )
                 radiance = ls_mod.light_radiance(
                     scene, light_idx, lsmp.wi, lsmp.light_n, lsmp.uv,
