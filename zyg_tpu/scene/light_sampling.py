@@ -195,12 +195,31 @@ def sphquad_pdf(q: SphQuad, o_local, scale_x, scale_y):
     return jnp.where(stable, inv_s, denom / jnp.maximum(numer, 1e-20))
 
 
+
+
+def _animated_transforms(scene: SceneData, prop, rot, pos, scale, time):
+    """Override per-lane (rot, pos, scale) for lanes whose selected/hit
+    prop is an animated analytic light (ref light.zig sampleTo/pdf taking
+    propTransformationAt(time)). Static scenes compile this away."""
+    if not scene.animated_lights or time is None:
+        return rot, pos, scale
+    from . import shapes as sh
+
+    for pk in scene.animated_lights.keys():
+        rk, pp, ss = sh.prop_transform_at(scene, pk, time)
+        m = prop == pk
+        rot = jnp.where(m[..., None, None], rk, rot)
+        pos = jnp.where(m[..., None], pp, pos)
+        scale = jnp.where(m[..., None], ss, scale)
+    return rot, pos, scale
+
+
 # ---------------------------------------------------------------------------
 # sample_light: dispatch over light shape types
 # ---------------------------------------------------------------------------
 
 
-def sample_light(scene: SceneData, light_idx, p, n, xi, total_sphere=False, xi3=None, ns=None) -> LightSample:
+def sample_light(scene: SceneData, light_idx, p, n, xi, total_sphere=False, xi3=None, ns=None, time=None) -> LightSample:
     """Sample a direction to light `light_idx` from shading point p.
 
     xi: [N,2] uniforms (+ xi3 [N] when the scene has volume lights — interior
@@ -217,6 +236,7 @@ def sample_light(scene: SceneData, light_idx, p, n, xi, total_sphere=False, xi3=
     rot = small_gather(scene.prop_rot, prop)
     pos = small_gather(scene.prop_pos, prop)
     scale = small_gather(scene.prop_scale, prop)
+    rot, pos, scale = _animated_transforms(scene, prop, rot, pos, scale, time)
 
     r0, r1, r2 = rot[..., 0, :], rot[..., 1, :], rot[..., 2, :]
     nshape = p.shape[:-1]
@@ -614,7 +634,7 @@ def light_radiance(scene: SceneData, light_idx, wi, light_n, uv=None, vol=None):
     return out
 
 
-def light_hit_pdf(scene: SceneData, prop, ray_o, ray_d, hit_t, hit_p, hit_n, n_at_origin, total_sphere=False, hit_prim=None):
+def light_hit_pdf(scene: SceneData, prop, ray_o, ray_d, hit_t, hit_p, hit_n, n_at_origin, total_sphere=False, hit_prim=None, time=None):
     """Solid-angle pdf that NEE from ray_o would have sampled this hit —
     the light side of the MIS weight for BSDF hits (ref shape pdf fns).
     Only light shape types present in the scene are evaluated.
@@ -630,6 +650,7 @@ def light_hit_pdf(scene: SceneData, prop, ray_o, ray_d, hit_t, hit_p, hit_n, n_a
     rot = small_gather(scene.prop_rot, pm)
     pos = small_gather(scene.prop_pos, pm)
     scale = small_gather(scene.prop_scale, pm)
+    rot, pos, scale = _animated_transforms(scene, pm, rot, pos, scale, time)
     r0, r1, r2 = rot[..., 0, :], rot[..., 1, :], rot[..., 2, :]
     nshape = hit_t.shape
 

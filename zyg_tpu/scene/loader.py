@@ -982,34 +982,74 @@ class SceneBuilder:
         if time1 is None:
             time1 = time0
         animated_props: dict[int, int] = {}
+        animated_curves: dict[int, bool] = {}
+        animated_points: dict[int, bool] = {}
+        animated_lights: dict[int, bool] = {}
         end_trafo: dict[int, Transformation] = {}
+        key_trafos: dict[int, list[Transformation]] = {}
+        # shutter keyframe count: scenes whose animations have keyframes
+        # strictly INSIDE the shutter resample the interval at K=8 uniform
+        # frames (the static-shape analog of the reference's tick-granular
+        # keyframe chain, space.zig:163 setFrames); plain two-point
+        # animations keep K=1 (endpoint slerp, zero extra cost)
+        K = 1
+        if time1 > time0:
+            for p in props:
+                if p.animation and any(
+                    time0 < kt < time1 for kt, _ in p.animation
+                ):
+                    K = 8
+                    break
+        infinite_shapes = {
+            int(ShapeType.DOME), int(ShapeType.CANOPY), int(ShapeType.DISTANT),
+        }
         for i, p in enumerate(props):
             if not p.animation:
                 continue
-            t_start = eval_animation(p.animation, time0)
-            t_end = eval_animation(p.animation, time1)
+            samples = [
+                eval_animation(
+                    p.animation, time0 + (time1 - time0) * (j / K)
+                )
+                for j in range(K + 1)
+            ]
+            t_start = samples[0]
+            t_end = samples[-1]
             p.trafo = t_start
-            moving = time1 > time0 and not (
-                np.allclose(t_start.position, t_end.position)
-                and np.allclose(t_start.rotation, t_end.rotation)
-                and np.allclose(t_start.scale, t_end.scale)
+            moving = time1 > time0 and any(
+                not (
+                    np.allclose(t_start.position, tj.position)
+                    and np.allclose(t_start.rotation, tj.rotation)
+                    and np.allclose(t_start.scale, tj.scale)
+                )
+                for tj in samples[1:]
             )
             if not moving:
                 continue
-            if p.is_light or p.curve_id >= 0 or p.cloud_id >= 0:
+            if (p.is_light and p.mesh_id >= 0) or p.shape in infinite_shapes:
                 from ..utils.log import warning
 
                 warning(
-                    "motion blur on light/curve/point props is not supported "
-                    f"yet; prop {i} rendered at shutter start"
+                    "motion blur on emissive-mesh/infinite-light props is "
+                    f"not supported yet; prop {i} rendered at shutter start"
                 )
                 continue
-            # mesh props: rigid motion rides the instance-table transform
-            # endpoints (trimesh.py); fragments use the animated_props path
-            # key = (prop, shape): dict KEYS ride the pytree treedef, so jit
-            # specializes statically (values would be traced leaves)
-            animated_props[(i, p.shape)] = True
+            if p.curve_id >= 0:
+                animated_curves[i] = True
+            elif p.cloud_id >= 0:
+                animated_points[i] = True
+            else:
+                # analytic (incl. analytic LIGHTS: NEE/pdfs take per-lane
+                # transforms, light_sampling._animated_transforms) and mesh
+                # props. Mesh rigid motion rides the instance-table
+                # ENDPOINTS (trimesh.py; interior keyframes resample to the
+                # endpoint chord there); fragments use the animated_props
+                # path. key = (prop, shape): dict KEYS ride the pytree
+                # treedef, so jit specializes statically
+                animated_props[(i, p.shape)] = True
+                if p.is_light:
+                    animated_lights[i] = True
             end_trafo[i] = t_end
+            key_trafos[i] = samples
         # emissive volumetric props are lights automatically (ref
         # scene.zig createLight: Class Volume/VolumeImage for
         # mat.scatteringVolume() with emission) — cube volumes only (MVP)
@@ -1308,23 +1348,32 @@ class SceneBuilder:
                 groups.setdefault(p.shape, []).append(i)
         prop_groups = {k: jnp.asarray(v, jnp.int32) for k, v in sorted(groups.items())}
 
-        # motion arrays (only when something moves)
-        pos_end = scale_end = quat0 = quat1 = None
-        if animated_props:
-            q0 = np.stack([_np_mat3_to_quat(np.asarray(p.trafo.rotation, np.float64)) for p in props])
-            q1 = q0.copy()
-            pe = np.stack([p.trafo.position for p in props]).astype(np.float32)
-            se = np.stack([p.trafo.scale for p in props]).astype(np.float32)
-            for i, te in end_trafo.items():
-                pe[i] = te.position
-                se[i] = te.scale
-                q1[i] = _np_mat3_to_quat(np.asarray(te.rotation, np.float64))
-                if np.dot(q0[i], q1[i]) < 0.0:  # shortest-arc slerp on device
-                    q1[i] = -q1[i]
-            pos_end = jnp.asarray(pe)
-            scale_end = jnp.asarray(se)
-            quat0 = jnp.asarray(q0.astype(np.float32))
-            quat1 = jnp.asarray(q1.astype(np.float32))
+        # motion arrays (only when something moves): [P, K+1, 10] keyframe
+        # rows (quat | pos | scale), consecutive quats sign-aligned on the
+        # host so the device slerp takes the shortest arc
+        prop_keys = None
+        if animated_props or animated_curves or animated_points:
+            # device-convention quaternions (vm.quat_to_mat3): use the
+            # trimesh converter, NOT _np_mat3_to_quat — the loader's host
+            # pair is self-consistent but CONJUGATE to the device's
+            # (caught by TestAnimatedLight: a rotated animated light's
+            # normal flipped)
+            from .trimesh import _np_quat as _mat3_to_quat_device
+
+            P = len(props)
+            keys = np.zeros((P, K + 1, 10), np.float32)
+            for i, p in enumerate(props):
+                samples = key_trafos.get(i) or [p.trafo] * (K + 1)
+                qprev = None
+                for j, tj in enumerate(samples):
+                    q = _mat3_to_quat_device(np.asarray(tj.rotation, np.float64))
+                    if qprev is not None and np.dot(qprev, q) < 0.0:
+                        q = -q
+                    qprev = q
+                    keys[i, j, 0:4] = q
+                    keys[i, j, 4:7] = tj.position
+                    keys[i, j, 7:10] = tj.scale
+            prop_keys = jnp.asarray(keys)
         # volume lights sample interior points, not surfaces: keyed by the
         # static "volume" entry instead of their (cube) shape
         vol_light = [
@@ -1415,13 +1464,19 @@ class SceneBuilder:
             prop_mesh=jnp.asarray([p.mesh_id for p in props], jnp.int32) if meshes is not None else None,
             mesh_instances=mesh_instances,
             curves=curve_arena,
-            curve_props=jnp.asarray(curve_props, jnp.int32) if curve_arena is not None else None,
+            # animated curve/point props leave the static scans — they get
+            # the per-lane shutter-transform pass (shapes._intersect_curves)
+            curve_props=jnp.asarray(
+                [i for i in curve_props if i not in animated_curves], jnp.int32
+            ) if curve_arena is not None else None,
             prop_curve=jnp.asarray([p.curve_id for p in props], jnp.int32) if curve_arena is not None else None,
             prop_shadow_catcher=jnp.asarray(
                 [p.shadow_catcher for p in props], bool
             ),
             points=point_arena,
-            point_props=jnp.asarray(point_props, jnp.int32) if point_arena is not None else None,
+            point_props=jnp.asarray(
+                [i for i in point_props if i not in animated_points], jnp.int32
+            ) if point_arena is not None else None,
             prop_cloud=jnp.asarray([p.cloud_id for p in props], jnp.int32) if point_arena is not None else None,
             textures=texture_arena,
             prop_groups=prop_groups,
@@ -1435,12 +1490,12 @@ class SceneBuilder:
             portals=portals_dict or None,
             mesh_light_trees=mesh_light_trees or None,
             animated_props=animated_props or None,
+            animated_curves=animated_curves or None,
+            animated_points=animated_points or None,
+            animated_lights=animated_lights or None,
             world_center=world_center,
             world_radius=world_radius,
-            prop_pos_end=pos_end,
-            prop_scale_end=scale_end,
-            prop_quat0=quat0,
-            prop_quat1=quat1,
+            prop_keys=prop_keys,
         )
 
     def _light_bounds(self, p: PropDesc):

@@ -194,15 +194,38 @@ def _intersect_one_prop(o, d, tmin, tmax, shape_type, rot, pos, scale):
 _GROUP_CHUNK = 32  # props per batched pass (bounds the [N, G] transients)
 
 
-def prop_transform_at(scene: SceneData, k: int, time):
-    """Per-lane transform of animated prop k at lane times in [0,1]
-    (lerp position/scale, slerp rotation between the shutter endpoints;
-    ref scene/space.zig transformationAtMaybeStatic)."""
-    t = time[..., None]
-    q = vm.quat_slerp(scene.prop_quat0[k], scene.prop_quat1[k], t)
+def prop_transform_at(scene: SceneData, k, time):
+    """Per-lane transform of animated prop k at lane times in [0,1]:
+    piecewise slerp/lerp over the K+1 uniformly-spaced shutter keyframes
+    in scene.prop_keys (ref scene/space.zig transformationAtMaybeStatic —
+    the reference slerps between the two enclosing tick keyframes; K=8
+    resampling is the static-shape analog). k may be a static int or a
+    per-lane int32 array (animated-light NEE)."""
+    if isinstance(k, int):
+        keys = scene.prop_keys[k]  # [K+1, 10]
+    else:
+        # per-lane prop: select chain, never a real small-table gather
+        P = scene.prop_keys.shape[0]
+        flat = small_gather(scene.prop_keys.reshape(P, -1), k)
+        keys = flat.reshape(k.shape + scene.prop_keys.shape[1:])
+    K = keys.shape[-2] - 1
+    if K == 1:
+        row0 = keys[..., 0, :]
+        row1 = keys[..., 1, :]
+        f = time[..., None]
+    else:
+        u = jnp.clip(time, 0.0, 1.0) * K
+        i = jnp.clip(u.astype(jnp.int32), 0, K - 1)
+        f = (u - i.astype(jnp.float32))[..., None]
+        iota = jnp.arange(K + 1, dtype=jnp.int32)
+        sel0 = (iota == i[..., None])[..., None]
+        sel1 = (iota == (i + 1)[..., None])[..., None]
+        row0 = jnp.sum(jnp.where(sel0, keys, 0.0), axis=-2)
+        row1 = jnp.sum(jnp.where(sel1, keys, 0.0), axis=-2)
+    q = vm.quat_slerp(row0[..., 0:4], row1[..., 0:4], f)
     rot = vm.quat_to_mat3(q)
-    pos = vm.lerp(scene.prop_pos[k], scene.prop_pos_end[k], t)
-    scale = vm.lerp(scene.prop_scale[k], scene.prop_scale_end[k], t)
+    pos = vm.lerp(row0[..., 4:7], row1[..., 4:7], f)
+    scale = vm.lerp(row0[..., 7:10], row1[..., 7:10], f)
     return rot, pos, scale
 
 
@@ -298,7 +321,8 @@ def intersect_scene(scene: SceneData, o, d, tmin, tmax, ray_class: str = "reflec
         )
     if scene.curves is not None:
         t_b, p_b, u_b, v_b, prim = _intersect_curves(
-            scene, o, d, tmin, tmax, vis, primary, t_b, p_b, u_b, v_b, prim
+            scene, o, d, tmin, tmax, vis, primary, t_b, p_b, u_b, v_b, prim,
+            time,
         )
     if scene.points is not None:
         t_b, p_b, u_b, v_b, prim = _intersect_points(
@@ -327,7 +351,7 @@ def _intersect_meshes(scene: SceneData, o, d, tmin, tmax, ray_class, primary, t_
     return t_b, p_b, u_b, v_b, prim_b
 
 
-def _intersect_curves(scene: SceneData, o, d, tmin, tmax, vis, primary, t_b, p_b, u_b, v_b, prim_b):
+def _intersect_curves(scene: SceneData, o, d, tmin, tmax, vis, primary, t_b, p_b, u_b, v_b, prim_b, time=None):
     """Closest-hit over curve (hair) props: rounded-cone segment BVHs
     (ref shape/curve/curve_tree.zig; TPU flattening in scene/curves.py).
     Hit.u carries the axial segment parameter; Hit.prim the arena segment."""
@@ -358,6 +382,28 @@ def _intersect_curves(scene: SceneData, o, d, tmin, tmax, vis, primary, t_b, p_b
     (t_b, p_b, u_b, v_b, prim_b), _ = jax.lax.scan(
         body, (t_b, p_b, u_b, v_b, prim_b), scene.curve_props
     )
+
+    # animated curve props: per-lane shutter transforms (static loop —
+    # these ids left the scan array at scene compile)
+    if scene.animated_curves:
+        tl = jnp.zeros(o.shape[:-1], jnp.float32) if time is None else time
+        for pk in scene.animated_curves.keys():
+            rot, pos, scale = prop_transform_at(scene, pk, tl)
+            lane_vis = vis[pk]
+            if primary is not None:
+                lane_vis = jnp.where(primary, scene.prop_visible_camera[pk], lane_vis)
+            o_l = vm.world_to_object_point(rot, scale, pos, o)
+            d_l = vm.world_to_object_vector(rot, scale, d)
+            root = jnp.broadcast_to(
+                scene.curves.curve_root[scene.prop_curve[pk]], o.shape[:-1]
+            )
+            ch = cv.traverse(scene.curves, root, o_l, d_l, tmin, jnp.minimum(tmax, t_b))
+            closer = (ch.prim >= 0) & (ch.t < t_b) & lane_vis
+            t_b = jnp.where(closer, ch.t, t_b)
+            p_b = jnp.where(closer, pk, p_b)
+            u_b = jnp.where(closer, ch.s, u_b)
+            v_b = jnp.where(closer, 0.0, v_b)
+            prim_b = jnp.where(closer, ch.prim, prim_b)
     return t_b, p_b, u_b, v_b, prim_b
 
 
@@ -393,6 +439,26 @@ def _intersect_points(scene: SceneData, o, d, tmin, tmax, vis, primary, t_b, p_b
     (t_b, p_b, u_b, v_b, prim_b), _ = jax.lax.scan(
         body, (t_b, p_b, u_b, v_b, prim_b), scene.point_props
     )
+
+    # animated point-cloud props: per-lane shutter transforms
+    if scene.animated_points:
+        for pk in scene.animated_points.keys():
+            rot, pos, scale = prop_transform_at(scene, pk, tl)
+            lane_vis = vis[pk]
+            if primary is not None:
+                lane_vis = jnp.where(primary, scene.prop_visible_camera[pk], lane_vis)
+            o_l = vm.world_to_object_point(rot, scale, pos, o)
+            d_l = vm.world_to_object_vector(rot, scale, d)
+            root = jnp.broadcast_to(
+                scene.points.cloud_root[scene.prop_cloud[pk]], o.shape[:-1]
+            )
+            ph = pt_mod.traverse(scene.points, root, o_l, d_l, tmin, jnp.minimum(tmax, t_b), time=tl)
+            closer = (ph.prim >= 0) & (ph.t < t_b) & lane_vis
+            t_b = jnp.where(closer, ph.t, t_b)
+            p_b = jnp.where(closer, pk, p_b)
+            u_b = jnp.where(closer, 0.0, u_b)
+            v_b = jnp.where(closer, 0.0, v_b)
+            prim_b = jnp.where(closer, ph.prim, prim_b)
     return t_b, p_b, u_b, v_b, prim_b
 
 
@@ -496,6 +562,18 @@ def occluded(scene: SceneData, o, d, tmin, tmax, time=None) -> jax.Array:
             return blocked | ((ch.prim >= 0) & scene.prop_visible_shadow[prop_idx]), None
 
         blocked, _ = jax.lax.scan(curve_body, blocked, scene.curve_props)
+        if scene.animated_curves:
+            tlc = jnp.zeros(o.shape[:-1], jnp.float32) if time is None else time
+            for pk in scene.animated_curves.keys():
+                rot, pos, scale = prop_transform_at(scene, pk, tlc)
+                o_l = vm.world_to_object_point(rot, scale, pos, o)
+                d_l = vm.world_to_object_vector(rot, scale, d)
+                root = jnp.broadcast_to(
+                    scene.curves.curve_root[scene.prop_curve[pk]], o.shape[:-1]
+                )
+                root = jnp.where(blocked, -1, root)
+                ch = cv.traverse(scene.curves, root, o_l, d_l, tmin, tmax, any_hit=True)
+                blocked = blocked | ((ch.prim >= 0) & scene.prop_visible_shadow[pk])
 
     if scene.points is not None:
         from . import points as pt_mod
@@ -516,6 +594,17 @@ def occluded(scene: SceneData, o, d, tmin, tmax, time=None) -> jax.Array:
             return blocked | ((ph.prim >= 0) & scene.prop_visible_shadow[prop_idx]), None
 
         blocked, _ = jax.lax.scan(point_body, blocked, scene.point_props)
+        if scene.animated_points:
+            for pk in scene.animated_points.keys():
+                rot, pos, scale = prop_transform_at(scene, pk, tl)
+                o_l = vm.world_to_object_point(rot, scale, pos, o)
+                d_l = vm.world_to_object_vector(rot, scale, d)
+                root = jnp.broadcast_to(
+                    scene.points.cloud_root[scene.prop_cloud[pk]], o.shape[:-1]
+                )
+                root = jnp.where(blocked, -1, root)
+                ph = pt_mod.traverse(scene.points, root, o_l, d_l, tmin, tmax, time=tl, any_hit=True)
+                blocked = blocked | ((ph.prim >= 0) & scene.prop_visible_shadow[pk])
     return blocked
 
 
@@ -544,10 +633,15 @@ def build_fragment(scene: SceneData, hit: Hit, o, d, need_uv: bool | None = None
     pos = small_gather(scene.prop_pos, prop)
     scale = small_gather(scene.prop_scale, prop)
     material = small_gather(scene.prop_material, prop)
-    if scene.animated_props:
+    anim_ids = list(
+        {pk for pk, _st in (scene.animated_props or {}).keys()}
+        | set((scene.animated_curves or {}).keys())
+        | set((scene.animated_points or {}).keys())
+    )
+    if anim_ids:
         # shading frames of animated props use the lane-time transform
         tl = jnp.zeros(hit.t.shape, jnp.float32) if time is None else time
-        for pk, _st in scene.animated_props.keys():
+        for pk in sorted(anim_ids):
             rk, pk_pos, pk_scale = prop_transform_at(scene, pk, tl)
             m1 = (prop == pk)[..., None]
             rot = jnp.where(m1[..., None], rk, rot)

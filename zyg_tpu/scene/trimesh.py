@@ -45,6 +45,12 @@ LEAF_SIZE = 12  # triangles per leaf row (padded; degenerate pads never
 # cliff (measured 13.98 vs 11.67 ns/lane); trefoil 1M-ray sweep: L=16
 # 2.72/3.11, L=14 2.92/3.26, L=12 2.96/3.28, L=8 2.97/3.15 Mrays/s
 # (coherent/incoherent)
+COLLAPSE_GRAN = 4  # binary-BVH leaf size BEFORE the wide collapse. The
+# wide collapse (not the binary build) forms the LEAF_SIZE-triangle leaf
+# groups: building binary leaves at the row size (12) let subtrees go
+# unexpandable early and left wide nodes ~3.7/8 full (20.9k nodes for
+# 57k groups on the bench trefoil); fine-grained binary leaves + leaf
+# formation at collapse time fill the slots (Ylitie-style).
 BRANCH = 8  # wide-BVH branching factor (power of two)
 _MISS_KEY = jnp.int32(0x7F800000)  # +inf bit pattern: sorts after any hit
 
@@ -112,24 +118,68 @@ class HostMesh(NamedTuple):
     positions_end: np.ndarray | None = None  # [V,3]
 
 
-def _pack_wide(bvh: FlatBVH, group_off: int, node_off: int):
-    """Collapse the binary SAH tree to BRANCH-wide packed rows.
+def _subtree_ranges(bvh: FlatBVH):
+    """Per-node [lo, hi) range over leaf-order primitive positions.
 
-    Expansion rule (ref builder collapses similarly for its 4/8-wide SIMD
-    nodes): starting from a node's two children, repeatedly replace the
-    largest-surface-area inner slot with its children until BRANCH slots.
-    Returns (rows [W,64] float32, depth) with child refs already offset by
-    node_off (wide) / group_off (leaf groups).
+    Both builders recursively PARTITION the prim_order array, so every
+    subtree owns a contiguous range (spatial splits duplicate entries but
+    keep the partition property). DFS numbering puts children after their
+    parent, so one reverse sweep fills all ranges bottom-up."""
+    fp = bvh.first_prim
+    hl = bvh.hit_link
+    ml = bvh.miss_link
+    m = fp.shape[0]
+    lo = np.where(fp >= 0, fp, 0).astype(np.int64)
+    hi = np.where(fp >= 0, fp + bvh.prim_count, 0).astype(np.int64)
+    for i in range(m - 1, -1, -1):
+        if fp[i] < 0:
+            l = hl[i]
+            r = ml[l]
+            lo[i] = min(lo[l], lo[r])
+            hi[i] = max(hi[l], hi[r])
+    return lo, hi
+
+
+# a wide slot whose subtree holds <= LEAF_COLLECT triangles is flattened
+# into ceil(cnt / LEAF_SIZE) near-full leaf groups by EVENLY CHUNKING its
+# contiguous prim range (boxes recomputed from the triangles). MEASURED
+# (tools/probe_collapse.py, trefoil 1M rays): flattening trades hierarchy
+# quality for row count and LOSES — collect 12/24/48/96 gave 3.70/3.65/
+# 3.49/3.39 Mrays/s (mean live iters 12.5 -> 14.2). 12 reproduces the
+# round-4 tree; the probe also showed the real cost is DIVERGENCE (mean
+# 12.5 live iters/ray vs ~37 effective through the cascade), so the
+# cascade schedule, not the tree, is the lever.
+LEAF_COLLECT = LEAF_SIZE
+
+
+def _pack_wide(bvh: FlatBVH, group_off: int, node_off: int, tri_min, tri_max):
+    """Collapse the binary SAH tree to BRANCH-wide packed rows, forming
+    the LEAF_SIZE-triangle leaf groups DURING the collapse.
+
+    The binary tree is built at COLLAPSE_GRAN granularity and the collapse
+    (Ylitie et al. 2017 style; ref builder collapses similarly for its
+    4/8-wide SIMD nodes) decides leaves: a slot whose subtree fits in
+    LEAF_COLLECT triangles becomes ceil(cnt/LEAF_SIZE) evenly-chunked leaf
+    groups over its contiguous prim_order range; the expansion loop
+    replaces the largest-surface-area slot whose subtree is still too big
+    with its children while the row's slot budget allows. Old scheme
+    (binary leaves at row size, one group per leaf): 3.7/8 slot fill and
+    8.6/12 group fill on the bench trefoil; this scheme measures ~7/8 and
+    ~11/12.
+
+    tri_min/tri_max: [P,3] per-triangle AABBs in LEAF ORDER (already
+    permuted by bvh.prim_order; motion meshes bound both endpoints) — used
+    for the chunk boxes.
+
+    Returns (rows [W, 8*B] float32, depth, granges list[(lo, hi)]) with
+    child refs already offset by node_off (wide) / group_off (groups).
     """
     fp = bvh.first_prim
     hl = bvh.hit_link
     B = BRANCH
-    m = fp.shape[0]
     is_leaf = fp >= 0
-    # group id per binary leaf (build_arena numbers leaves in index order)
-    group_of = np.full(m, -1, np.int64)
-    leaf_nodes = np.flatnonzero(is_leaf)
-    group_of[leaf_nodes] = np.arange(len(leaf_nodes)) + group_off
+    slo, shi = _subtree_ranges(bvh)
+    cnt = shi - slo
     ext = np.maximum(bvh.nodes_max - bvh.nodes_min, 0.0)
     area = ext[:, 0] * ext[:, 1] + ext[:, 1] * ext[:, 2] + ext[:, 2] * ext[:, 0]
 
@@ -138,52 +188,102 @@ def _pack_wide(bvh: FlatBVH, group_off: int, node_off: int):
         l = int(hl[i])
         return l, int(bvh.miss_link[l])
 
-    # breadth-first: wide node i <- binary inner node; slots are binary nodes
-    if is_leaf[0]:
-        slot_lists = [[0]]
-        depths = [0]
-        wide_of = {}
-    else:
-        wide_of = {0: 0}
-        order = [0]
-        depths = [0]
-        slot_lists = []
-        qi = 0
-        while qi < len(order):
-            b = order[qi]
-            dep = depths[qi]
-            qi += 1
+    def n_chunks(s):
+        return max(1, -(-int(cnt[s]) // LEAF_SIZE))
+
+    granges: list[tuple[int, int]] = []
+
+    def chunks(s):
+        """Even chunking of slot s's prim range into <= LEAF_SIZE pieces."""
+        lo, hi = int(slo[s]), int(shi[s])
+        k = n_chunks(s)
+        bounds = [lo + ((hi - lo) * j) // k for j in range(k + 1)]
+        return [(bounds[j], bounds[j + 1]) for j in range(k)]
+
+    # breadth-first over wide rows; each queue entry is ONE binary node.
+    # A node with cnt <= LEAF_COLLECT (or a demoted slot) becomes a PURE
+    # LEAF row of <= B chunks; anything bigger expands its children.
+    order = [0]
+    depths = [0]
+    wide_of = {0: 0}
+    slot_lists = []  # (S, demoted) per wide row
+    qi = 0
+    while qi < len(order):
+        b = order[qi]
+        dep = depths[qi]
+        qi += 1
+        demoted: set = set()
+        if cnt[b] <= LEAF_COLLECT or is_leaf[b]:
+            S = [b]  # pure leaf row
+        else:
             S = list(children(b))
-            while len(S) < BRANCH:
-                inner = [s for s in S if not is_leaf[s]]
-                if not inner:
+
+            def slot_cost(s):
+                if s in demoted or (cnt[s] > LEAF_COLLECT and not is_leaf[s]):
+                    return 1  # wide child
+                return n_chunks(s)
+
+            total = sum(slot_cost(s) for s in S)
+            # two leaf-destined children can overflow the row (up to 2B):
+            # demote the costliest to its own pure-leaf row
+            while total > B:
+                x = max((s for s in S if slot_cost(s) > 1), key=slot_cost)
+                total -= slot_cost(x) - 1
+                demoted.add(x)
+            while True:
+                cand = [
+                    s for s in S
+                    if cnt[s] > LEAF_COLLECT and not is_leaf[s] and s not in demoted
+                ]
+                cand.sort(key=lambda s: -area[s])
+                for x in cand:
+                    c0, c1 = children(x)
+                    nt = total - 1 + slot_cost(c0) + slot_cost(c1)
+                    if nt <= B:
+                        S.remove(x)
+                        S.extend((c0, c1))
+                        total = nt
+                        break
+                else:
                     break
-                x = max(inner, key=lambda s: area[s])
-                S.remove(x)
-                S.extend(children(x))
-            for s in S:
-                if not is_leaf[s]:
-                    wide_of[s] = len(order)
-                    order.append(s)
-                    depths.append(dep + 1)
-            slot_lists.append(S)
+        for s in S:
+            if s in demoted or (cnt[s] > LEAF_COLLECT and not is_leaf[s]):
+                wide_of[s] = len(order)
+                order.append(s)
+                depths.append(dep + 1)
+        slot_lists.append((S, demoted))
 
     w = len(slot_lists)
     rows = np.zeros((w, _row_floats(B)), np.float32)
     rows[:, 6 * B : 7 * B] = -1.0
-    for wi, S in enumerate(slot_lists):
-        for k, s in enumerate(S):
-            rows[wi, 0 * B + k] = bvh.nodes_min[s, 0]
-            rows[wi, 1 * B + k] = bvh.nodes_min[s, 1]
-            rows[wi, 2 * B + k] = bvh.nodes_min[s, 2]
-            rows[wi, 3 * B + k] = bvh.nodes_max[s, 0]
-            rows[wi, 4 * B + k] = bvh.nodes_max[s, 1]
-            rows[wi, 5 * B + k] = bvh.nodes_max[s, 2]
-            if is_leaf[s]:
-                rows[wi, 6 * B + k] = -float(group_of[s] + 2)
-            else:
+    for wi, (S, demoted) in enumerate(slot_lists):
+        k = 0
+        for s in S:
+            if s in demoted or (cnt[s] > LEAF_COLLECT and not is_leaf[s]):
+                rows[wi, 0 * B + k] = bvh.nodes_min[s, 0]
+                rows[wi, 1 * B + k] = bvh.nodes_min[s, 1]
+                rows[wi, 2 * B + k] = bvh.nodes_min[s, 2]
+                rows[wi, 3 * B + k] = bvh.nodes_max[s, 0]
+                rows[wi, 4 * B + k] = bvh.nodes_max[s, 1]
+                rows[wi, 5 * B + k] = bvh.nodes_max[s, 2]
                 rows[wi, 6 * B + k] = float(wide_of[s] + node_off)
-    return rows, (max(depths) + 1 if depths else 1)
+                k += 1
+            else:
+                for lo, hi in chunks(s):
+                    bmin = tri_min[lo:hi].min(axis=0)
+                    bmax = tri_max[lo:hi].max(axis=0)
+                    rows[wi, 0 * B + k] = bmin[0]
+                    rows[wi, 1 * B + k] = bmin[1]
+                    rows[wi, 2 * B + k] = bmin[2]
+                    rows[wi, 3 * B + k] = bmax[0]
+                    rows[wi, 4 * B + k] = bmax[1]
+                    rows[wi, 5 * B + k] = bmax[2]
+                    gid = len(granges) + group_off
+                    granges.append((lo, hi))
+                    rows[wi, 6 * B + k] = -float(gid + 2)
+                    k += 1
+        assert k <= B
+    return rows, (max(depths) + 1 if depths else 1), granges
 
 
 _BLAS_POOL = None
@@ -222,7 +322,7 @@ def submit_blas_build(mesh: HostMesh):
     the C call) while scene loading continues; build_arena consumes the
     future. Returns a concurrent.futures.Future[FlatBVH]."""
     return _blas_pool().submit(
-        lambda: build_bvh(*_mesh_bounds(mesh), leaf_size=LEAF_SIZE)
+        lambda: build_bvh(*_mesh_bounds(mesh), leaf_size=COLLAPSE_GRAN)
     )
 
 
@@ -263,7 +363,7 @@ def build_arena(
         if fut is not None:
             bvh: FlatBVH = fut.result()
         else:
-            bvh = build_bvh(*_mesh_bounds(mesh), leaf_size=LEAF_SIZE)
+            bvh = build_bvh(*_mesh_bounds(mesh), leaf_size=COLLAPSE_GRAN)
 
         order = bvh.prim_order
         p0 = v0[order]
@@ -298,13 +398,22 @@ def build_arena(
             else np.zeros(len(order), np.int32)
         )
 
-        # --- pad leaves to LEAF_SIZE-aligned triangle groups (vectorized)
-        first = bvh.first_prim
-        cnt = bvh.prim_count
-        leaf_nodes = np.flatnonzero(first >= 0)
-        g_first = first[leaf_nodes].astype(np.int64)
-        g_cnt = cnt[leaf_nodes].astype(np.int64)
-        num_groups = len(leaf_nodes)
+        # per-triangle AABBs in leaf order (motion: both endpoints) for
+        # the collapse's chunk boxes
+        t_lo = np.minimum(np.minimum(p0, p0 + e1), p0 + e2)
+        t_hi = np.maximum(np.maximum(p0, p0 + e1), p0 + e2)
+        if any_motion and mesh.positions_end is not None:
+            q0, q1, q2 = p0 + dp0, p0 + dp0 + e1 + de1, p0 + dp0 + e2 + de2
+            t_lo = np.minimum(t_lo, np.minimum(np.minimum(q0, q1), q2))
+            t_hi = np.maximum(t_hi, np.maximum(np.maximum(q0, q1), q2))
+        rows, depth, granges = _pack_wide(bvh, group_off, node_off, t_lo, t_hi)
+        max_depth = max(max_depth, depth)
+
+        # --- pad groups to LEAF_SIZE-aligned triangle rows (vectorized)
+        g_first = np.array([g[0] for g in granges], np.int64)
+        g_cnt = np.array([g[1] - g[0] for g in granges], np.int64)
+        assert g_cnt.max(initial=0) <= LEAF_SIZE
+        num_groups = len(granges)
         total = int(g_cnt.sum())
         # src: leaf-order positions; dst: padded positions
         within = np.arange(total) - np.repeat(np.cumsum(g_cnt) - g_cnt, g_cnt)
@@ -344,9 +453,6 @@ def build_arena(
             all_p0_d.append(pp0d)
             all_e1_d.append(pe1d)
             all_e2_d.append(pe2d)
-
-        rows, depth = _pack_wide(bvh, group_off, node_off)
-        max_depth = max(max_depth, depth)
 
         # arena tri id per leaf-order position (for light CDFs)
         arena_ids = np.empty(total, np.int64)
@@ -419,6 +525,13 @@ def _inv_dir(d):
     return 1.0 / jnp.where(jnp.abs(d) < 1e-20, jnp.where(d < 0, -1e-20, 1e-20), d)
 
 
+# probe/diagnostic switch (tools/probe_*): when True, TState.it becomes a
+# 2-vector [iterations, total live lane-iterations] so probes can report
+# MEAN per-lane trip counts, not just the while_loop max. Ships False —
+# the extra reduction costs a sum per iteration.
+_COUNT_LIVE = False
+
+
 class TState(NamedTuple):
     node: jax.Array  # [N] current wide node
     mask: jax.Array  # [N] remaining-children bitmask at `node`
@@ -435,6 +548,13 @@ class TState(NamedTuple):
 # below this width, live-lane compaction stages are not worth their
 # compile/scatter overhead; also the floor width of the cascade
 _COMPACT_MIN = 1 << 10
+# stage shrink factor: a stage loops until live <= width/_CASCADE_SHRINK,
+# then compacts. The cascade's total cost is bounded by SHRINK x the ideal
+# (sum of live counts), so smaller shrinks track the live curve tighter at
+# the price of more compaction stages (each ~1.3 iteration-equivalents of
+# [width] ops). probe_collapse measured mean 12.5 live iters/ray vs ~37
+# effective at shrink 4; see tools/probe_cascade.py for the sweep.
+_CASCADE_SHRINK = 4.0
 
 
 def traverse(
@@ -481,7 +601,7 @@ def traverse(
     o_s, d_s, inv_s = o, d, inv
     time_s = time
     while True:
-        nxt = max(width // 4, _COMPACT_MIN)
+        nxt = max(int(width / _CASCADE_SHRINK), _COMPACT_MIN)
         limit = None if width <= _COMPACT_MIN else nxt
         hit, st = _traverse_stage(
             arena, root, o_s, d_s, tmin, tmax, any_hit, limit, state=st,
@@ -512,7 +632,8 @@ def traverse(
         st = TState(
             node=st.node[ls], mask=st.mask[ls], sp=st.sp[ls],
             stack=st.stack[ls], live=st.live[ls] & valid, t=st.t[ls],
-            prim=st.prim[ls], u=st.u[ls], v=st.v[ls], it=jnp.int32(0),
+            prim=st.prim[ls], u=st.u[ls], v=st.v[ls],
+            it=jnp.zeros(3, jnp.int32) if _COUNT_LIVE else jnp.int32(0),
         )
         width = nxt
 
@@ -543,7 +664,7 @@ def _traverse_stage(
             prim=jnp.full(n, -1, i32),
             u=jnp.zeros(n, jnp.float32),
             v=jnp.zeros(n, jnp.float32),
-            it=jnp.int32(0),
+            it=jnp.zeros(3, jnp.int32) if _COUNT_LIVE else jnp.int32(0),
         )
 
     iota_s = jnp.arange(stack_d, dtype=i32)
@@ -553,15 +674,25 @@ def _traverse_stage(
         # otherwise keep a lane live forever)
         alive = jnp.sum(s.live)
         go = alive > (0 if live_limit is None else live_limit)
-        return go & (s.it < 65536)
+        it0 = s.it[0] if _COUNT_LIVE else s.it
+        return go & (it0 < 65536)
 
-    def pop_step(s: TState, need_pop, found, t_b, p_b, u_b, v_b, descend, cref, sp, stack):
+    def pop_step(s: TState, need_pop, found, t_b, p_b, u_b, v_b, descend, cref, sp, stack, leaf_phase=False):
         """Shared continuation/pop logic over the hybrid stack encoding
         (low bit): EVEN entry 2*(node*256 + mask) = mask-resume (re-slab
         the node, min-reduce over the remaining-children bits — exact
         pruning against the shrunken best t); ODD entry 2*cref + 1 = a
         DIRECT child ref (node OR parked leaf) — its pop skips the
         parent re-gather + re-slab iteration entirely."""
+        if _COUNT_LIVE:
+            # [iterations, live lane-iters in NODE phases, in LEAF phases]
+            nl = jnp.sum(s.live, dtype=jnp.int32)
+            z = jnp.int32(0)
+            it_inc = jnp.stack([
+                jnp.int32(1), z if leaf_phase else nl, nl if leaf_phase else z,
+            ])
+        else:
+            it_inc = 1
         blocked = s.live & found if any_hit else None
         if any_hit:
             need_pop = need_pop & ~blocked
@@ -595,7 +726,7 @@ def _traverse_stage(
         )
         return TState(
             node=node, mask=mask, sp=sp, stack=stack, live=live,
-            t=t_b, prim=p_b, u=u_b, v=v_b, it=s.it + 1,
+            t=t_b, prim=p_b, u=u_b, v=v_b, it=s.it + it_inc,
         )
 
     def node_body(s: TState):
@@ -710,7 +841,7 @@ def _traverse_stage(
         zeros = jnp.zeros(n, i32)
         return pop_step(
             s, at_leaf, found & at_leaf, t_b, p_b, u_b, v_b, falses,
-            zeros, s.sp, s.stack,
+            zeros, s.sp, s.stack, leaf_phase=True,
         )
 
     def body(s: TState):

@@ -200,14 +200,25 @@ class SceneData(NamedTuple):
     # STATIC dict {prop_index: shape_type} — scenes without motion compile
     # all of this away. None fields when no prop moves.
     animated_props: dict = None
+    # animated curve / point-cloud props (STATIC dicts {prop_index: True}):
+    # these props leave the static curve_props/point_props scans and get a
+    # per-lane shutter transform pass instead (shapes._intersect_curves)
+    animated_curves: dict = None
+    animated_points: dict = None
+    # animated ANALYTIC LIGHT props (subset of animated_props): NEE
+    # sampling and hit pdfs override their static transforms per lane
+    # (light_sampling._animated_transforms)
+    animated_lights: dict = None
     # world bounding sphere (host floats): emission sampling of infinite
     # lights needs a finite aperture (ref scene.zig caustic_aabb / sampleFrom)
     world_center: tuple = (0.0, 0.0, 0.0)
     world_radius: float = 1.0
-    prop_pos_end: jax.Array = None  # float32[P,3]
-    prop_scale_end: jax.Array = None  # float32[P,3]
-    prop_quat0: jax.Array = None  # float32[P,4] shutter-start rotations
-    prop_quat1: jax.Array = None  # float32[P,4] shutter-end rotations
+    # keyframed shutter transforms (ref scene/space.zig setFrames): K+1
+    # uniformly-spaced frames across [shutter_open, shutter_close], each
+    # row (quat 4 | pos 3 | scale 3). K=1 is plain endpoint slerp; scenes
+    # with keyframes INSIDE the shutter resample at K=8 (the TPU analog of
+    # the reference's tick-granularity keyframe chain). None = no motion.
+    prop_keys: jax.Array = None  # float32[P, K+1, 10]
 
     @property
     def num_props(self) -> int:
