@@ -259,3 +259,156 @@ class TestStochasticFiltering:
         uv = jnp.asarray([[0.5, -3.0]], jnp.float32)
         out = tex.sample_stochastic(arena, jnp.asarray([tid]), uv, jnp.zeros((1, 2)))
         assert float(out[0, 0]) == 1.0
+
+
+class TestAnalyticProcedurals:
+    """Shade-time analytic procedural evaluation with cone filtering
+    (ref context.zig:139-199 screenspaceDifferentials feeding
+    procedural_checker/noise.zig; round-5 VERDICT item 6)."""
+
+    def _checker_scene_dict(self, scale=64):
+        return {
+            "materials": [
+                {
+                    "name": "check",
+                    "rendering": {
+                        "Substitute": {
+                            "color": {
+                                "Checker": {
+                                    "scale": scale,
+                                    "colors": [[0.0, 0.0, 0.0], [1.0, 1.0, 1.0]],
+                                }
+                            },
+                            "roughness": 1.0,
+                        }
+                    },
+                },
+                {"name": "sun", "rendering": {"Light": {"emittance": {"value": 3.0}}}},
+            ],
+            "entities": [
+                {
+                    "type": "Prop", "shape": {"type": "Rectangle"},
+                    "materials": ["check"],
+                    "transformation": {"rotation": [90, 0, 0], "scale": [50, 50, 1]},
+                },
+                {"type": "Light", "shape": {"type": "Dome"}, "materials": ["sun"]},
+            ],
+        }
+
+    def test_pure_nodes_register_analytic(self):
+        from zyg_tpu.scene.loader import load_scene_dict
+
+        scene = load_scene_dict(self._checker_scene_dict())
+        assert scene.textures.procedurals is not None
+        ((tid, kind, params),) = scene.textures.procedurals.keys()
+        assert kind == "checker" and params[0] == 64.0
+
+    def test_analytic_matches_host_pointwise(self):
+        # unfiltered analytic value == the host bake formula (same hash)
+        import jax.numpy as jnp
+        from zyg_tpu.scene import procedural as prcd
+
+        rng = np.random.default_rng(5)
+        uv = jnp.asarray(rng.random((256, 2)), jnp.float32)
+        spec = prcd.analytic_spec(
+            {"Noise": {"levels": 3, "scale": [7, 7], "ratio": 0.5,
+                       "transition": 0.4}}
+        )
+        dev = np.asarray(prcd.eval_analytic(spec[0], spec[1], uv))[:, 0]
+        host = prcd.noise_eval(
+            {"levels": 3, "scale": [7, 7], "ratio": 0.5, "transition": 0.4},
+            np.asarray(uv[:, 0]), np.asarray(uv[:, 1]),
+        )
+        np.testing.assert_allclose(dev, host, atol=2e-5)
+
+        cspec = prcd.analytic_spec(
+            {"Checker": {"scale": 8, "colors": [[0.1] * 3, [0.9] * 3]}}
+        )
+        cdev = np.asarray(prcd.eval_analytic(cspec[0], cspec[1], uv))[:, :3]
+        chost = prcd.checker_eval(
+            {"scale": 8, "colors": [[0.1] * 3, [0.9] * 3]},
+            np.asarray(uv[:, 0])[None], np.asarray(uv[:, 1])[None],
+        )[0]
+        np.testing.assert_allclose(cdev, chost, atol=1e-6)
+
+    def test_checker_filter_limits(self):
+        # box-filtered checker: w -> 0 reproduces the point sample; a
+        # footprint spanning many cells converges to the 0.5 mean
+        import jax.numpy as jnp
+        from zyg_tpu.scene import procedural as prcd
+
+        spec = ("checker", (16.0, (0.0,) * 3, (1.0,) * 3))
+        rng = np.random.default_rng(6)
+        uv = jnp.asarray(rng.random((512, 2)), jnp.float32)
+        wide = np.asarray(
+            prcd.eval_analytic(*spec, uv, foot=jnp.full(512, 2.0, jnp.float32))
+        )[:, 0]
+        assert np.abs(wide - 0.5).max() < 0.02  # fully band-limited
+        narrow = np.asarray(
+            prcd.eval_analytic(*spec, uv, foot=jnp.full(512, 1e-6, jnp.float32))
+        )[:, 0]
+        point = np.asarray(prcd.eval_analytic(*spec, uv))[:, 0]
+        np.testing.assert_allclose(narrow, point, atol=1e-3)
+
+    def test_closeup_sharper_than_bake(self):
+        # a close-up of a scale-64 checker: the 128^2 fallback bake blurs
+        # (tile ~= texel), the analytic eval keeps a hard edge
+        from zyg_tpu.io.take import Take, IntegratorSettings
+        from zyg_tpu.render.camera import PerspectiveCamera
+        from zyg_tpu.render.driver import Driver
+        from zyg_tpu.scene.loader import load_scene_dict
+
+        def render(analytic: bool):
+            scene = load_scene_dict(self._checker_scene_dict(scale=64))
+            if not analytic:
+                scene = scene._replace(
+                    textures=scene.textures._replace(procedurals=None)
+                )
+            take = Take()
+            take.num_samples_per_pixel = 16
+            take.integrator = IntegratorSettings(kind="PTMIS", max_depth_surface=2)
+            cam = PerspectiveCamera(resolution=(48, 48), fov=np.deg2rad(30))
+            cam.position = np.array([0.05, 0.4, 0.0], np.float32)
+            take.cameras = [cam]
+            return Driver(take=take, scene=scene).render_frame()
+
+        img_a = render(True)
+        img_b = render(False)
+        # close-up sharpness: the analytic eval resolves hard cells, so
+        # most pixels sit near black/white; the 128^2 bake (2 texels per
+        # cell at scale 64) can only produce mush
+        na = img_a.mean(-1) / max(img_a.mean(), 1e-6) * img_a.mean()
+        mida = ((na > 0.25) & (na < 0.75)).mean()
+        nb = img_b.mean(-1)
+        midb = ((nb > 0.25) & (nb < 0.75)).mean()
+        assert mida < 0.7 * midb, (mida, midb)
+
+    def test_farfield_less_aliased_than_bake(self):
+        # far-field: a scale-512 checker floor seen at a grazing distance.
+        # Per-pixel uv spans many cells; the filtered analytic eval should
+        # be close to the 0.5 mean (low spatial variance), while the baked
+        # texture's stochastic texel reads alias (high variance)
+        from zyg_tpu.io.take import Take, IntegratorSettings
+        from zyg_tpu.render.camera import PerspectiveCamera
+        from zyg_tpu.render.driver import Driver
+        from zyg_tpu.scene.loader import load_scene_dict
+
+        def render(analytic: bool):
+            scene = load_scene_dict(self._checker_scene_dict(scale=512))
+            if not analytic:
+                scene = scene._replace(
+                    textures=scene.textures._replace(procedurals=None)
+                )
+            take = Take()
+            take.num_samples_per_pixel = 4
+            take.integrator = IntegratorSettings(kind="PTMIS", max_depth_surface=2)
+            cam = PerspectiveCamera(resolution=(32, 32), fov=np.deg2rad(60))
+            cam.position = np.array([0, 3.0, -6.0], np.float32)
+            take.cameras = [cam]
+            return Driver(take=take, scene=scene).render_frame()
+
+        img_a = render(True)
+        img_b = render(False)
+        va = float(np.var(img_a[8:24].mean(-1)))
+        vb = float(np.var(img_b[8:24].mean(-1)))
+        assert va < 0.6 * vb, (va, vb)

@@ -54,6 +54,7 @@ def _render_samples(
     aovs: tuple = (),
     frame_width: int = 0,
     oversample_slack: int = 0,
+    pixel_spread: float = 0.0,
 ):
     """Accumulate `num_samples` consecutive samples into fb (one jit).
 
@@ -78,6 +79,7 @@ def _render_samples(
                 max_depth=integrator.max_depth_surface,
                 max_depth_volume=integrator.max_depth_volume,
                 caustics=integrator.caustics,
+                pixel_spread=pixel_spread,
                 nee_only=integrator.kind == "PTDL",
                 photons_not_only_through_specular=photons_not_only,
                 light_split_depth=light_split_depth,
@@ -147,6 +149,7 @@ def _render_samples(
                     max_depth=integrator.max_depth_surface,
                     max_depth_volume=integrator.max_depth_volume,
                     caustics=integrator.caustics,
+                    pixel_spread=pixel_spread,
                     nee_only=integrator.kind == "PTDL",
                     photons_not_only_through_specular=photons_not_only,
                     light_split_depth=light_split_depth,
@@ -289,6 +292,18 @@ class Driver:
             by_lanes = max(1, lane_budget // max(w * h, 1))
             self.chunk_size = min(spp, 16, by_lanes)
 
+    def _pixel_spread(self) -> float:
+        """Pixel-cone angular width for analytic-procedural filtering
+        (2*tan(fov/2)/width — the driver-side stand-in for the
+        reference's per-ray screen-space differentials)."""
+        cam = self.camera
+        fov = getattr(cam, "fov", None)
+        if not fov:
+            return 0.0
+        import math
+
+        return 2.0 * math.tan(float(fov) * 0.5) / max(cam.resolution[0], 1)
+
     def _render_fn(self, num_samples: int, oversample_slack: int = 0, sharded: bool = False):
         key = (
             num_samples, oversample_slack, sharded,
@@ -315,6 +330,7 @@ class Driver:
                 aovs=self._aov_names,
                 frame_width=self._frame_width,
                 oversample_slack=oversample_slack,
+                pixel_spread=self._pixel_spread(),
             )
             if not sharded:
                 fn = jax.jit(base)

@@ -32,6 +32,10 @@ class PtmisSettings(NamedTuple):
     max_depth: int = 16
     max_depth_volume: int = 256  # null-interface crossings + volume scatters
     caustics: bool = True
+    # pixel-cone angular width (2*tan(fov/2)/width, driver-set): the
+    # footprint proxy for the reference's screen-space ray differentials
+    # (context.zig:139) — drives analytic-procedural filtering. 0 = off.
+    pixel_spread: float = 0.0
     nee_only: bool = False  # PTDL mode: no MIS weight on BSDF light hits
     # photon gathering at every primary diffuse vertex instead of only after
     # specular chains (ref View.photons_not_only_through_specular)
@@ -400,9 +404,24 @@ def _make_body(scene: SceneData, settings: PtmisSettings, photon_map=None, photo
             eff_prop = None
             med_mat = None
             medium_ior = None
+        # analytic-procedural footprint: pixel cone width at the hit (exact
+        # for primary rays; later segments reuse the per-segment distance —
+        # a cone proxy for the ref's screenspaceDifferentials)
+        foot = None
+        if (
+            settings.pixel_spread > 0.0
+            and scene.textures is not None
+            and scene.textures.procedurals
+        ):
+            foot = (
+                settings.pixel_spread
+                * jnp.minimum(hit.t, 1e8)
+                * shapes.uv_density(scene, hit, time=s.time)
+            )
         params = mat.gather(
             scene.materials, frag.material, medium_ior, scene.textures, frag.uv,
             features=scene.mat_features, tex_xi=tex_xi, uv_alt=uv_alt,
+            footprint=foot,
         )
         if settings.regularize_roughness > 0.0:
             # path-space regularization: widen lobes after rough bounces

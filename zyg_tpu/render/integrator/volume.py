@@ -264,13 +264,17 @@ def sample_interaction(
         t_cell_eps, o, d, medium_prop = C["eps"], C["o"], C["d"], C["mp"]
         e_med = C.get("e_med")
 
-        def cell_exit_t(t):
-            """Ray t at which the CURRENT supergrid cell is left (t in the
-            caller's units; cell walls live in unit-cube object space)."""
+        def cell_exit_t(t, skip_r):
+            """Ray t at which the CURRENT supergrid cell (expanded by
+            skip_r empty cells on every side — empty-space skipping) is
+            left. t in the caller's units; cell walls live in unit-cube
+            object space."""
             p_l = lo + t[..., None] * ld
             cell = jnp.floor(jnp.clip((p_l + 0.5) * sdims, 0.0, sdims - 1.0))
-            step_pos = (ld > 0.0).astype(jnp.float32)
-            wall = (cell + step_pos) / jnp.maximum(sdims, 1.0) - 0.5
+            step_pos = ld > 0.0
+            r = skip_r[..., None]
+            wall_cell = jnp.where(step_pos, cell + r + 1.0, cell - r)
+            wall = wall_cell / jnp.maximum(sdims, 1.0) - 0.5
             t_ax = (wall - p_l) * inv
             return t + jnp.maximum(jnp.min(t_ax, axis=-1), 0.0) + t_cell_eps
 
@@ -290,12 +294,13 @@ def sample_interaction(
             r3 = jnp.stack(
                 [u32_to_float(hash2_u32(key, jnp.uint32(k))) for k in (2, 3, 4)], -1
             )
-            # local majorant of the current macrocell
+            # local majorant + free radius of the current macrocell
             p_cur = lo + t[..., None] * ld
             uvw_cur = jnp.clip(p_cur + 0.5, 0.0, 1.0)
-            maj_loc = grids_mod.local_majorant(arena, grid, uvw_cur)
+            maj_loc, free_r = grids_mod.local_majorant_free(arena, grid, uvw_cur)
             mu_loc = maj_loc * mu_t_max
-            t_cell = cell_exit_t(t)
+            empty = mu_loc <= 1e-9
+            t_cell = cell_exit_t(t, jnp.where(empty, free_r, 0.0))
             t_cand = t - jnp.log(jnp.maximum(1.0 - u1, 1e-7)) / jnp.maximum(mu_loc, 1e-12)
             # empty/thin cell or flight past the wall: hop to the next cell
             crossed = (mu_loc <= 1e-9) | (t_cand > t_cell)
@@ -576,11 +581,13 @@ def _prop_transmittance(
         mu_t, mu_t_max = C["mu_t"], C["mu_t_max"]
         grid_b, prop_b, o, d = C["grid"], C["prop"], C["o"], C["d"]
 
-        def cell_exit_t(t):
+        def cell_exit_t(t, skip_r):
             p_l = lo + t[..., None] * ld
             cell = jnp.floor(jnp.clip((p_l + 0.5) * sdims, 0.0, sdims - 1.0))
-            step_pos = (ld > 0.0).astype(jnp.float32)
-            wall = (cell + step_pos) / jnp.maximum(sdims, 1.0) - 0.5
+            step_pos = ld > 0.0
+            r = skip_r[..., None]
+            wall_cell = jnp.where(step_pos, cell + r + 1.0, cell - r)
+            wall = wall_cell / jnp.maximum(sdims, 1.0) - 0.5
             t_ax = (wall - p_l) * inv_l
             return t + jnp.maximum(jnp.min(t_ax, axis=-1), 0.0) + t_cell_eps
 
@@ -600,10 +607,16 @@ def _prop_transmittance(
             )
             p_cur = lo + t[..., None] * ld
             uvw_cur = jnp.clip(p_cur + 0.5, 0.0, 1.0)
-            maj_loc, min_loc = grids_mod.local_extrema(arena, grid_b, uvw_cur)
+            row = arena.sdata[grids_mod._cell_flat(arena, grid_b, uvw_cur)]
+            maj_loc, min_loc, free_r = row[..., 0], row[..., 1], row[..., 2]
             # residual majorant against the CELL's own minorant
             mu_r = jnp.maximum(maj_loc - min_loc, 0.0) * mu_t_max
-            t_cell = cell_exit_t(t)
+            # empty-space skip: only through cells with ZERO majorant
+            # (their minorants are zero too, so the skipped span adds no
+            # control-variate tau either)
+            t_cell = cell_exit_t(
+                t, jnp.where(maj_loc <= 1e-9, free_r, 0.0)
+            )
             t_cand = t - jnp.log(jnp.maximum(1.0 - u1, 1e-7)) / jnp.maximum(mu_r, 1e-12)
             crossed = (mu_r <= 1e-9) | (t_cand > t_cell)
             t_new = jnp.minimum(jnp.where(crossed, t_cell, t_cand), t1)

@@ -118,7 +118,7 @@ def ior_to_f0(ior, ior_outside):
     return t * t
 
 
-def gather(materials: Materials, mat_id, medium_ior=None, textures=None, uv=None, features=None, tex_xi=None, uv_alt=None):
+def gather(materials: Materials, mat_id, medium_ior=None, textures=None, uv=None, features=None, tex_xi=None, uv_alt=None, footprint=None):
     """Gather per-lane material parameters + derived BSDF constants.
 
     medium_ior: IoR of the medium the ray travels in (1.0 = air).
@@ -140,9 +140,11 @@ def gather(materials: Materials, mat_id, medium_ior=None, textures=None, uv=None
         # LinearStochastic is the reference's default sampler
         # (ref texture.zig:18): one jittered texel instead of four
         samp = (
-            (lambda t, i, u: sample_stochastic(t, i, u, tex_xi, uv_alt=uv_alt))
+            (lambda t, i, u: sample_stochastic(
+                t, i, u, tex_xi, uv_alt=uv_alt, footprint=footprint))
             if tex_xi is not None
-            else (lambda t, i, u: sample_bilinear(t, i, u, uv_alt=uv_alt))
+            else (lambda t, i, u: sample_bilinear(
+                t, i, u, uv_alt=uv_alt, footprint=footprint))
         )
         ct = small_gather(materials.color_tex, m)
         color = jnp.where(
@@ -160,7 +162,9 @@ def gather(materials: Materials, mat_id, medium_ior=None, textures=None, uv=None
         et = small_gather(materials.emission_tex, m)
         emission_scale = jnp.where(
             (et >= 0)[..., None],
-            sample_bilinear(textures, et, uv, uv_alt=uv_alt)[..., :3],
+            sample_bilinear(
+                textures, et, uv, uv_alt=uv_alt, footprint=footprint
+            )[..., :3],
             1.0,
         )
     roughness = jnp.maximum(roughness, MIN_ROUGHNESS)

@@ -45,7 +45,14 @@ class GridArena(NamedTuple):
     # (majorant, minorant) so local_extrema costs ONE 8-byte row gather —
     # the minorant is the per-cell control variate for residual-ratio
     # transmittance
-    sdata: jax.Array  # float32[Ts, 2] local (majorant, minorant)
+    # row layout: (majorant, minorant, free_radius). free_radius R is the
+    # Chebyshev distance (in cells, minus one) to the nearest cell with a
+    # nonzero halo'd majorant: every cell within |delta|_inf <= R of an
+    # empty cell is also empty, so a tracking step in empty space hops to
+    # the exit of the (2R+1)^3 cell box in ONE step instead of walking
+    # cell by cell (empty-space skipping; the dense-supergrid equivalent
+    # of the reference octree's empty-interior-node skip, gridtree.zig)
+    sdata: jax.Array  # float32[Ts, 3] local (majorant, minorant, free_r)
     soffset: jax.Array  # int32[G]
     sdims: jax.Array  # int32[G,3]
 
@@ -71,7 +78,7 @@ def _dilate(g: np.ndarray, op) -> np.ndarray:
 def build_grid_arena(grids: list[np.ndarray]) -> GridArena:
     """Flatten host grids (each float32[nz, ny, nx]) into one arena."""
     datas, offsets, dims = [], [], []
-    sdatas, smins, soffsets, sdims = [], [], [], []
+    sdatas, smins, sfree, soffsets, sdims = [], [], [], [], []
     majorants, minorants = [], []
     off = 0
     soff = 0
@@ -107,6 +114,19 @@ def build_grid_arena(grids: list[np.ndarray]) -> GridArena:
                 axis=-1,
             )
             acc.append(s.reshape(-1))
+        # free radius per cell: iterated 3^3 dilation of the occupancy
+        # mask; R = iterations until the dilation reaches the cell
+        occ = sdatas[-1].reshape(sz, sy, sx) > 1e-9
+        R = np.zeros((sz, sy, sx), np.float32)
+        reach = occ.copy()
+        for r in range(1, 33):
+            if reach.all():
+                break
+            reach_n = _dilate(reach.astype(np.float32), np.maximum) > 0.0
+            R[~reach_n & ~reach] = r  # still unreachable after r dilations
+            R[reach_n & ~reach] = r - 1
+            reach = reach_n
+        sfree.append(R.reshape(-1))
         soffsets.append(soff)
         sdims.append((sx, sy, sz))
         soff += sdatas[-1].size
@@ -117,7 +137,11 @@ def build_grid_arena(grids: list[np.ndarray]) -> GridArena:
         majorant=jnp.asarray(majorants, jnp.float32),
         minorant=jnp.asarray(minorants, jnp.float32),
         sdata=jnp.asarray(
-            np.stack([np.concatenate(sdatas), np.concatenate(smins)], axis=-1)
+            np.stack(
+                [np.concatenate(sdatas), np.concatenate(smins),
+                 np.concatenate(sfree)],
+                axis=-1,
+            )
         ),
         soffset=jnp.asarray(soffsets, jnp.int32),
         sdims=jnp.asarray(sdims, jnp.int32),
@@ -178,6 +202,14 @@ def _cell_flat(arena: GridArena, grid_id, uvw):
 def local_majorant(arena: GridArena, grid_id, uvw):
     """Supergrid (max-pooled) majorant at uvw — the octree-cell equivalent."""
     return arena.sdata[_cell_flat(arena, grid_id, uvw), 0]
+
+
+def local_majorant_free(arena: GridArena, grid_id, uvw):
+    """(majorant, free_radius) of the macrocell at uvw — one row gather.
+    free_radius cells around this one are all empty when the majorant is
+    zero (see GridArena.sdata; drives empty-space skipping)."""
+    row = arena.sdata[_cell_flat(arena, grid_id, uvw)]
+    return row[..., 0], row[..., 2]
 
 
 def local_extrema(arena: GridArena, grid_id, uvw):

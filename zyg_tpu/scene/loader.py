@@ -239,11 +239,22 @@ def parse_material(
             from . import procedural as prcd
 
             if prcd.is_procedural(v):
-                # procedural node graphs bake to the arena at compile
-                # (ref texture/procedural*.zig; see procedural.py)
                 def _load(name):
                     return load_image(os.path.join(base_dir, name))
 
+                spec = prcd.analytic_spec(v)
+                if spec is not None:
+                    # pure Checker/Noise nodes evaluate ANALYTICALLY at
+                    # shade time (ref procedural_checker/noise.zig with
+                    # context.zig ray differentials); the arena keeps a
+                    # low-res bake only as fallback data (alias tables,
+                    # sample_nearest)
+                    img = prcd.bake(v, load_image=_load, res=128)
+                    tid = builder.add_texture_image(img, srgb=False)
+                    builder.textures.add_procedural_meta(tid, spec)
+                    return tid
+                # graphs with image operands / combinators bake to the
+                # arena at compile (ref texture/procedural*.zig)
                 img = prcd.bake(v, load_image=_load)
                 return builder.add_texture_image(img, srgb=False)
         if builder is not None and isinstance(v, dict) and "file" in v:

@@ -223,3 +223,199 @@ def bake(value: dict, u=None, vgrid=None, load_image=None, res: int = BAKE_RES) 
         n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
         return ((n + 1.0) * 0.5).astype(np.float32)
     raise ValueError(f"not a procedural texture node: {list(value.keys())}")
+
+
+# ---------------------------------------------------------------------------
+# DEVICE-side analytic shade-time evaluation (ref context.zig:139-199
+# screenspaceDifferentials feeding texture/procedural_noise.zig /
+# procedural_checker.zig: the reference evaluates procedurals analytically
+# per shading point with differential-based filtering; the bake above is
+# now only the fallback for graphs with image operands).
+#
+# Filtering model: an isotropic footprint width `foot` in uv units (the
+# integrator's pixel-cone proxy for the reference's screen-space
+# differentials). Checker box-filters EXACTLY (separable square-wave
+# integral); fbm noise fades octaves whose lattice frequency exceeds the
+# footprint's Nyquist rate toward their statistical mean — the classic
+# band-limited fbm.
+# ---------------------------------------------------------------------------
+
+
+def analytic_spec(value):
+    """('checker'|'noise', hashable-params) for nodes the device evaluates
+    analytically at shade time; None for graphs that must stay baked
+    (image operands, combinators)."""
+    if not isinstance(value, dict):
+        return None
+    if set(value.keys()) == {"Checker"}:
+        p = value["Checker"]
+        if not isinstance(p.get("scale", 1.0), (int, float)):
+            return None
+        colors = p.get("colors", [[0.0] * 3, [1.0] * 3])
+        try:
+            ca = tuple(float(x) for x in colors[0])
+            cb = tuple(float(x) for x in colors[1])
+        except TypeError:
+            return None
+        return ("checker", (float(p.get("scale", 1.0)), ca, cb))
+    if set(value.keys()) == {"Noise"}:
+        p = value["Noise"]
+        scale = p.get("scale", [1.0, 1.0, 1.0])
+        period = p.get("period", [0.0, 0.0, 0.0])
+        if not isinstance(scale, (list, tuple)):
+            scale = [scale]
+        return ("noise", (
+            p.get("class", "") == "Cellular",
+            int(p.get("levels", 1)),
+            float(p.get("attenuation", 0.0)),
+            float(p.get("ratio", 0.5)),
+            float(p.get("transition", 0.5)),
+            float(scale[0]),
+            float(scale[1] if len(scale) > 1 else scale[0]),
+            float(period[0]),
+            float(period[1] if len(period) > 1 else period[0]),
+            bool(p.get("absolute", False)),
+            bool(p.get("invert", False)),
+        ))
+    return None
+
+
+def _hash2_j(ix, iy):
+    import jax.numpy as jnp
+
+    h = (ix.astype(jnp.uint32) * jnp.uint32(0x8DA6B343)) ^ (
+        iy.astype(jnp.uint32) * jnp.uint32(0xD8163841)
+    )
+    h ^= h >> jnp.uint32(13)
+    h *= jnp.uint32(0x85EBCA6B)
+    h ^= h >> jnp.uint32(16)
+    return h
+
+
+def perlin2d_j(x, y, period=(0.0, 0.0)):
+    """jnp mirror of perlin2d (bit-identical lattice hash)."""
+    import jax.numpy as jnp
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+
+    def grad_dot(cx, cy, ox, oy):
+        ix = (x0 + cx).astype(jnp.int32)
+        iy = (y0 + cy).astype(jnp.int32)
+        if period[0] > 0:
+            ix = jnp.mod(ix, int(period[0]))
+        if period[1] > 0:
+            iy = jnp.mod(iy, int(period[1]))
+        h = _hash2_j(ix, iy)
+        ang = h.astype(jnp.float32) * (2.0 * 3.14159265 / 2**32)
+        return jnp.cos(ang) * (fx - ox) + jnp.sin(ang) * (fy - oy)
+
+    def fade(t):
+        return t * t * t * (t * (t * 6.0 - 15.0) + 10.0)
+
+    u, v = fade(fx), fade(fy)
+    n00 = grad_dot(0, 0, 0.0, 0.0)
+    n10 = grad_dot(1, 0, 1.0, 0.0)
+    n01 = grad_dot(0, 1, 0.0, 1.0)
+    n11 = grad_dot(1, 1, 1.0, 1.0)
+    nx0 = n00 + u * (n10 - n00)
+    nx1 = n01 + u * (n11 - n01)
+    return jnp.float32(np.sqrt(2.0)) * (nx0 + v * (nx1 - nx0))
+
+
+def worley2d_j(x, y):
+    import jax.numpy as jnp
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    best = jnp.full(x.shape, 1e9, jnp.float32)
+    for cy in (-1, 0, 1):
+        for cx in (-1, 0, 1):
+            ix = (x0 + cx).astype(jnp.int32)
+            iy = (y0 + cy).astype(jnp.int32)
+            h = _hash2_j(ix, iy)
+            jx = (h & jnp.uint32(0xFFFF)).astype(jnp.float32) / 65535.0
+            jy = (h >> jnp.uint32(16)).astype(jnp.float32) / 65535.0
+            dx = cx + jx - fx
+            dy = cy + jy - fy
+            best = jnp.minimum(best, dx * dx + dy * dy)
+    return jnp.sqrt(best)
+
+
+_WORLEY_MEAN = 0.66  # spatial mean of F1 over the unit cell (host-measured)
+
+
+def eval_analytic(kind: str, params: tuple, uv, foot=None):
+    """Analytic procedural value at uv ([N,2]) with optional isotropic
+    footprint width foot ([N], uv units). Returns [N,4] (alpha 1)."""
+    import jax.numpy as jnp
+
+    u = uv[..., 0]
+    v = uv[..., 1]
+    w = jnp.zeros_like(u) if foot is None else jnp.maximum(foot, 0.0)
+    if kind == "checker":
+        scale, ca, cb = params
+
+        def fsq(x, wx):
+            """Box-filtered square wave: mean of (floor(t) & 1) over
+            [x - wx/2, x + wx/2] (exact integral). Footprints under a
+            milli-cell take the point sample — the f32 integral difference
+            underflows there (x +- wx/2 rounds to x)."""
+            wx = jnp.maximum(wx, 1e-3)
+
+            def integ(y):  # int_0^y (floor(t)&1) dt
+                f = jnp.floor(y * 0.5)
+                return f + jnp.maximum(y - 2.0 * f - 1.0, 0.0)
+
+            filt = (integ(x + 0.5 * wx) - integ(x - 0.5 * wx)) / wx
+            point = (jnp.floor(x).astype(jnp.int32) & 1).astype(jnp.float32)
+            return jnp.where(wx > 1e-3, filt, point)
+
+        au = fsq(u * scale, w * scale)
+        av = fsq(v * scale, w * scale)
+        # XOR of independently-filtered axes (separable box filter exact)
+        t = au * (1.0 - av) + av * (1.0 - au)
+        ca = jnp.asarray(ca, jnp.float32)
+        cb = jnp.asarray(cb, jnp.float32)
+        rgb = ca + t[..., None] * (cb - ca)
+    else:
+        (cellular, levels, att, ratio, transition,
+         sx0, sy0, px0, py0, absolute, invert) = params
+        value = jnp.zeros_like(u)
+        weight = 0.0
+        amplitude = 1.0
+        sx, sy, px, py = sx0, sy0, px0, py0
+        for _ in range(max(levels, 1)):
+            lw = amplitude ** att if att else 1.0
+            if cellular:
+                local = worley2d_j(u * sx, v * sy)
+                mean = _WORLEY_MEAN
+            else:
+                local = perlin2d_j(u * sx, v * sy, (px, py))
+                mean = 0.0
+            # band limit: fade this octave toward its mean once the
+            # footprint spans ~a lattice cell (frequency > Nyquist)
+            fade_w = jnp.clip(2.0 - 4.0 * w * max(sx, sy), 0.0, 1.0)
+            value += lw * (mean + fade_w * (local - mean))
+            weight += lw
+            amplitude *= 0.5
+            sx *= 2.0
+            sy *= 2.0
+            px *= 2.0
+            py *= 2.0
+        value = value / max(weight, 1e-9)
+        unsigned = value if cellular else (
+            jnp.abs(value) if absolute else (value + 1.0) * 0.5
+        )
+        a = ratio - transition
+        b = ratio + transition
+        out = jnp.clip((unsigned - a) / max(b - a, 1e-9), 0.0, 1.0)
+        if invert:
+            out = 1.0 - out
+        rgb = jnp.repeat(out[..., None], 3, axis=-1)
+    ones = jnp.ones(u.shape + (1,), jnp.float32)
+    return jnp.concatenate([rgb, ones], axis=-1)

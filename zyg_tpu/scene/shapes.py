@@ -891,3 +891,39 @@ def offset_ray(p, n):
     p_adj = jnp.where(p < 0.0, p_in, p_ip)
     mad = float_scale * n + p
     return jnp.where(jnp.abs(p) < origin, mad, p_adj)
+
+
+def uv_density(scene: SceneData, hit: Hit, time=None):
+    """|duv/dworld| at the hit — converts a world-space footprint (pixel
+    cone width x distance) into uv units for analytic-procedural
+    filtering (the surface-projection step of the reference's
+    screen-space differentials, context.zig:139-199).
+
+    Mesh hits: sqrt(uv-area / world-area) of the hit triangle. Analytic
+    props: 1 / (0.5 * max scale) (the rectangle/disk parameterization;
+    a serviceable bound for the others). Only called when the scene has
+    analytic procedurals (feature-gated in the integrator)."""
+    prop = jnp.maximum(hit.prop, 0)
+    scale = small_gather(scene.prop_scale, prop)
+    dens = 1.0 / jnp.maximum(0.5 * jnp.max(scale, axis=-1), 1e-8)
+    if scene.meshes is not None:
+        arena = scene.meshes
+        pr = jnp.maximum(hit.prim, 0)
+        shape = small_gather(scene.prop_shape, prop)
+        is_mesh = (shape == int(ShapeType.TRIANGLE_MESH)) & (hit.prim >= 0)
+        e1 = arena.tri_e1[pr]
+        e2 = arena.tri_e2[pr]
+        if arena.tri_e1_d is not None and time is not None:
+            tt = time[..., None]
+            e1 = e1 + tt * arena.tri_e1_d[pr]
+            e2 = e2 + tt * arena.tri_e2_d[pr]
+        tuv = arena.tri_uv[pr]
+        duv1 = tuv[..., 1, :] - tuv[..., 0, :]
+        duv2 = tuv[..., 2, :] - tuv[..., 0, :]
+        area_uv = jnp.abs(duv1[..., 0] * duv2[..., 1] - duv1[..., 1] * duv2[..., 0])
+        area_w = vm.length(vm.cross(e1, e2))
+        # object->world scaling of the triangle edges (instances)
+        smax = jnp.max(scale, axis=-1)
+        mdens = jnp.sqrt(area_uv / jnp.maximum(area_w * smax * smax, 1e-16))
+        dens = jnp.where(is_mesh, mdens, dens)
+    return dens

@@ -34,6 +34,12 @@ class TextureArena(NamedTuple):
     # 0 = UV0 (the mesh uv), 1 = Triplanar, 2 = ObjectPos — non-UV0 modes
     # read the caller's alternate (object-space) uv
     texcoord: jax.Array = None  # int32[K]
+    # STATIC dict {(tid, kind, params): True} of analytically-evaluated
+    # procedural textures (ref procedural_checker/noise.zig shade-time
+    # eval; scene/procedural.py eval_analytic). Keys ride the pytree
+    # treedef so jit specializes; the arena keeps a low-res bake of the
+    # same node as fallback data (alias-table builds, sample_nearest).
+    procedurals: dict = None
 
     @property
     def count(self) -> int:
@@ -45,6 +51,12 @@ class TextureBuilder:
         self._images: list[np.ndarray] = []
         self._address: list[int] = []
         self._texcoord: list[int] = []
+        self._procedurals: dict = {}
+
+    def add_procedural_meta(self, tid: int, spec: tuple):
+        """Mark texture tid for analytic shade-time evaluation
+        (spec from procedural.analytic_spec)."""
+        self._procedurals[(tid,) + tuple(spec)] = True
 
     @staticmethod
     def _convert(image: np.ndarray, srgb: bool) -> np.ndarray:
@@ -100,6 +112,7 @@ class TextureBuilder:
             height=jnp.asarray([i.shape[0] for i in self._images], jnp.int32),
             address=jnp.asarray(self._address, jnp.int32),
             texcoord=jnp.asarray(self._texcoord, jnp.int32),
+            procedurals=self._procedurals or None,
         )
 
 
@@ -112,7 +125,22 @@ def _select_uv(arena: TextureArena, tid, uv, uv_alt):
     return jnp.where((tc > 0)[..., None], uv_alt, uv)
 
 
-def sample_bilinear(arena: TextureArena, tex_id, uv, uv_alt=None):
+def _analytic_override(arena: TextureArena, tex_id, uv, out, footprint):
+    """Replace lanes whose texture is an analytic procedural with its
+    shade-time evaluation (static loop over arena.procedurals keys)."""
+    if not arena.procedurals:
+        return out
+    from . import procedural as prcd
+
+    for key in arena.procedurals.keys():
+        tid_p, kind = key[0], key[1]
+        params = key[2]
+        val = prcd.eval_analytic(kind, params, uv, footprint)
+        out = jnp.where((tex_id == tid_p)[..., None], val, out)
+    return out
+
+
+def sample_bilinear(arena: TextureArena, tex_id, uv, uv_alt=None, footprint=None):
     """Bilinear sample with wrap addressing. tex_id int32[N], uv [N,2].
     Returns [N,4]; tex_id < 0 returns ones (callers select)."""
     tid = jnp.maximum(tex_id, 0)
@@ -152,7 +180,8 @@ def sample_bilinear(arena: TextureArena, tex_id, uv, uv_alt=None):
     c11 = texel(x0 + 1, y0 + 1)
     top = c00 + (c10 - c00) * tx[..., None]
     bot = c01 + (c11 - c01) * tx[..., None]
-    return top + (bot - top) * ty[..., None]
+    out = top + (bot - top) * ty[..., None]
+    return _analytic_override(arena, tex_id, uv, out, footprint)
 
 
 def sample_nearest(arena: TextureArena, tex_id, uv):
@@ -165,7 +194,7 @@ def sample_nearest(arena: TextureArena, tex_id, uv):
     return arena.data[off + yi * w + xi]
 
 
-def sample_stochastic(arena: TextureArena, tex_id, uv, xi, uv_alt=None):
+def sample_stochastic(arena: TextureArena, tex_id, uv, xi, uv_alt=None, footprint=None):
     """One-texel stochastic bilinear sample (ref texture.zig: the
     reference's DEFAULT sampler is LinearStochastic).
 
@@ -189,4 +218,5 @@ def sample_stochastic(arena: TextureArena, tex_id, uv, xi, uv_alt=None):
     else:
         xi_ = jnp.mod(xi_, w)
         yi_ = jnp.mod(yi_, h)
-    return arena.data[off + yi_ * w + xi_]
+    out = arena.data[off + yi_ * w + xi_]
+    return _analytic_override(arena, tex_id, uv, out, footprint)

@@ -594,11 +594,10 @@ def traverse(
         )[0]
 
     width = n[0]
-    inv = _inv_dir(d)
     res = None
     gmap = None  # stage-local index -> original lane (None = identity)
     st = None
-    o_s, d_s, inv_s = o, d, inv
+    o_s, d_s = o, d
     time_s = time
     while True:
         nxt = max(int(width / _CASCADE_SHRINK), _COMPACT_MIN)
@@ -619,20 +618,44 @@ def traverse(
             )
         if limit is None:
             return res
-        # compact: survivors (<= nxt by the stage's exit condition)
+        # compact: survivors (<= nxt by the stage's exit condition).
+        # The whole lane state packs into ONE row so the compaction is a
+        # single row gather — per-array compaction ran ~14 separate
+        # gathers from >=2^15-row tables (the SLOW gather path: row COUNT
+        # sets the price, probe_rowsize2) and measured ~122 ms at 1M
+        # lanes, 4.4x a full traversal iteration (tools/probe_compact.py).
+        bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
+        stack_d = st.stack.shape[-1]
+        cols = [
+            o_s[:, 0], o_s[:, 1], o_s[:, 2],
+            d_s[:, 0], d_s[:, 1], d_s[:, 2],
+            st.t, bc(st.prim), st.u, st.v,
+            bc(st.node), bc(st.mask), bc(st.sp),
+            st.live.astype(jnp.float32),
+            time_s if time_s is not None else jnp.zeros(width, jnp.float32),
+        ]
+        packed = jnp.concatenate(
+            [jnp.stack(cols, axis=-1), bc(st.stack)], axis=-1
+        )
         lidx = jnp.flatnonzero(st.live, size=nxt, fill_value=width)
         ls = jnp.minimum(lidx, width - 1)
         valid = lidx < width
         gmap = (ls if gmap is None else gmap[ls])
         gmap = jnp.where(valid, gmap, n[0])
-        o_s, d_s, inv_s = o_s[ls], d_s[ls], inv_s[ls]
+        rows_p = packed[ls]
+        ci = lambda j: jax.lax.bitcast_convert_type(rows_p[:, j], jnp.int32)
+        o_s = rows_p[:, 0:3]
+        d_s = rows_p[:, 3:6]
         if time_s is not None:
-            time_s = time_s[ls]
+            time_s = rows_p[:, 14]
         root = None
         st = TState(
-            node=st.node[ls], mask=st.mask[ls], sp=st.sp[ls],
-            stack=st.stack[ls], live=st.live[ls] & valid, t=st.t[ls],
-            prim=st.prim[ls], u=st.u[ls], v=st.v[ls],
+            node=ci(10), mask=ci(11), sp=ci(12),
+            stack=jax.lax.bitcast_convert_type(
+                rows_p[:, 15 : 15 + stack_d], jnp.int32
+            ),
+            live=(rows_p[:, 13] > 0.5) & valid,
+            t=rows_p[:, 6], prim=ci(7), u=rows_p[:, 8], v=rows_p[:, 9],
             it=jnp.zeros(3, jnp.int32) if _COUNT_LIVE else jnp.int32(0),
         )
         width = nxt
