@@ -154,7 +154,9 @@ class TestShadowTransmittance:
             [0.4, 0.4, 0.4], [0, 0, 0], 0.5,
             {"procedural": {"type": "fbm", "resolution": 32, "seed": 5}},
         )
-        grid = np.asarray(scene.grids.data).reshape(32, 32, 32)
+        from zyg_tpu.scene.grids import to_dense
+
+        grid = to_dense(scene.grids, 0)
         mu_t = -np.log(0.4) / 0.5
         # numeric line integral through the cube centre along +z, x=y=0.11
         zs = np.linspace(-0.5 + 1e-4, 0.5 - 1e-4, 4000)

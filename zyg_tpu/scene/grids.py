@@ -31,10 +31,16 @@ SUPER_CELL = 8  # voxels per supergrid cell edge (ref gridtree uses 64; our
 
 
 class GridArena(NamedTuple):
-    """All density grids of a scene, flattened into one arena."""
+    """All density grids of a scene, flattened into one arena.
 
-    data: jax.Array  # float32[T] voxels, x-fastest
-    offset: jax.Array  # int32[G] start of each grid in data
+    Device storage is SPARSE (ref image.zig Float1Sparse): voxels live in
+    a pool of SUPER_CELL^3 BRICKS; all-zero bricks share pool brick 0, so
+    empty space costs no HBM (a mostly-empty cloud's footprint shrinks
+    ~proportionally to occupancy). The per-cell page index rides column 3
+    of the supergrid row the tracking loop already fetches."""
+
+    data: jax.Array  # float32[B * SUPER_CELL^3] brick pool (brick 0 = zeros)
+    offset: jax.Array  # int32[G] legacy dense offsets (unused addressing)
     dims: jax.Array  # int32[G,3] (nx, ny, nz)
     majorant: jax.Array  # float32[G] global max density per grid
     minorant: jax.Array  # float32[G] global min density (control variate)
@@ -45,14 +51,14 @@ class GridArena(NamedTuple):
     # (majorant, minorant) so local_extrema costs ONE 8-byte row gather —
     # the minorant is the per-cell control variate for residual-ratio
     # transmittance
-    # row layout: (majorant, minorant, free_radius). free_radius R is the
+    # row layout: (majorant, minorant, free_radius, brick_page). free_radius R is the
     # Chebyshev distance (in cells, minus one) to the nearest cell with a
     # nonzero halo'd majorant: every cell within |delta|_inf <= R of an
     # empty cell is also empty, so a tracking step in empty space hops to
     # the exit of the (2R+1)^3 cell box in ONE step instead of walking
     # cell by cell (empty-space skipping; the dense-supergrid equivalent
     # of the reference octree's empty-interior-node skip, gridtree.zig)
-    sdata: jax.Array  # float32[Ts, 3] local (majorant, minorant, free_r)
+    sdata: jax.Array  # float32[Ts, 4] (majorant, minorant, free_r, page)
     soffset: jax.Array  # int32[G]
     sdims: jax.Array  # int32[G,3]
 
@@ -77,21 +83,35 @@ def _dilate(g: np.ndarray, op) -> np.ndarray:
 
 def build_grid_arena(grids: list[np.ndarray]) -> GridArena:
     """Flatten host grids (each float32[nz, ny, nx]) into one arena."""
-    datas, offsets, dims = [], [], []
-    sdatas, smins, sfree, soffsets, sdims = [], [], [], [], []
+    offsets, dims = [], []
+    sdatas, smins, sfree, spages, soffsets, sdims = [], [], [], [], [], []
     majorants, minorants = [], []
+    bricks = [np.zeros(SUPER_CELL ** 3, np.float32)]  # pool; 0 = zero brick
     off = 0
     soff = 0
     for g in grids:
         g = np.asarray(g, np.float32)
         assert g.ndim == 3
         nz, ny, nx = g.shape
-        datas.append(g.reshape(-1))
         offsets.append(off)
         dims.append((nx, ny, nz))
         majorants.append(float(g.max()))
         minorants.append(float(g.min()))
         off += g.size
+        # sparse brick pool: pad to brick multiples, drop all-zero bricks
+        bz, by, bx = (-(-n // SUPER_CELL) for n in (nz, ny, nx))
+        gp = np.zeros((bz * SUPER_CELL, by * SUPER_CELL, bx * SUPER_CELL), np.float32)
+        gp[:nz, :ny, :nx] = g
+        bl = (
+            gp.reshape(bz, SUPER_CELL, by, SUPER_CELL, bx, SUPER_CELL)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(bz * by * bx, -1)
+        )
+        occ_b = np.abs(bl).max(axis=1) > 0.0
+        page = np.zeros(bz * by * bx, np.float32)
+        page[occ_b] = np.arange(len(bricks), len(bricks) + int(occ_b.sum()))
+        bricks.extend(bl[occ_b])
+        spages.append(page)
         # halo'd min/max-pool supergrids, padded to a full cell
         sz, sy, sx = (-(-n // SUPER_CELL) for n in (nz, ny, nx))
         # pad voxels are never SAMPLED (uvw clips to dims-1), so they must
@@ -130,8 +150,11 @@ def build_grid_arena(grids: list[np.ndarray]) -> GridArena:
         soffsets.append(soff)
         sdims.append((sx, sy, sz))
         soff += sdatas[-1].size
+        # supergrid cells and bricks share the SUPER_CELL partition, so
+        # (sx, sy, sz) == (bx, by, bz) and the page table aligns
+        assert (sx, sy, sz) == (bx, by, bz)
     return GridArena(
-        data=jnp.asarray(np.concatenate(datas)),
+        data=jnp.asarray(np.concatenate(bricks)),
         offset=jnp.asarray(offsets, jnp.int32),
         dims=jnp.asarray(dims, jnp.int32),
         majorant=jnp.asarray(majorants, jnp.float32),
@@ -139,7 +162,7 @@ def build_grid_arena(grids: list[np.ndarray]) -> GridArena:
         sdata=jnp.asarray(
             np.stack(
                 [np.concatenate(sdatas), np.concatenate(smins),
-                 np.concatenate(sfree)],
+                 np.concatenate(sfree), np.concatenate(spages)],
                 axis=-1,
             )
         ),
@@ -148,30 +171,40 @@ def build_grid_arena(grids: list[np.ndarray]) -> GridArena:
     )
 
 
+def _voxel_fetch(arena: GridArena, g, idx):
+    """Sparse brick fetch of voxel idx ([N,3] ints, in-range): page lookup
+    through the supergrid cell, then one pool gather. Empty bricks share
+    pool brick 0 (zeros)."""
+    sdimsi = small_gather(arena.sdims, g)
+    soff = small_gather(arena.soffset, g)
+    cell = idx // SUPER_CELL
+    local = idx - cell * SUPER_CELL
+    snx, sny = sdimsi[..., 0], sdimsi[..., 1]
+    cellflat = soff + (cell[..., 2] * sny + cell[..., 1]) * snx + cell[..., 0]
+    page = arena.sdata[cellflat, 3].astype(jnp.int32)
+    flat = page * (SUPER_CELL ** 3) + (
+        local[..., 2] * SUPER_CELL + local[..., 1]
+    ) * SUPER_CELL + local[..., 0]
+    return arena.data[flat]
+
+
 def sample_density_stochastic(arena: GridArena, grid_id, uvw, r):
     """Unbiased trilinear density via ONE jittered nearest gather.
 
     uvw in [0,1]^3 (unit-cube object space), r: float[N,3] uniforms."""
     g = jnp.maximum(grid_id, 0)
     dims = small_gather(arena.dims, g).astype(jnp.float32)  # [N,3]
-    off = small_gather(arena.offset, g)
     # cell-centered: continuous voxel coord c = uvw*n - 0.5; stochastic
     # rounding of c + (r - 0.5) == trilinear weights in expectation
     c = uvw * dims - 0.5 + (r - 0.5)
     idx = jnp.clip(jnp.round(c), 0.0, dims - 1.0).astype(jnp.int32)
-    nx = small_gather(arena.dims, g)[..., 0]
-    ny = small_gather(arena.dims, g)[..., 1]
-    flat = off + (idx[..., 2] * ny + idx[..., 1]) * nx + idx[..., 0]
-    return arena.data[flat]
+    return _voxel_fetch(arena, g, idx)
 
 
 def sample_density_trilinear(arena: GridArena, grid_id, uvw):
     """Deterministic trilinear density (8 gathers; for non-loop contexts)."""
     g = jnp.maximum(grid_id, 0)
-    dimsi = small_gather(arena.dims, g)
-    dims = dimsi.astype(jnp.float32)
-    off = small_gather(arena.offset, g)
-    nx, ny = dimsi[..., 0], dimsi[..., 1]
+    dims = small_gather(arena.dims, g).astype(jnp.float32)
     c = uvw * dims - 0.5
     c0 = jnp.floor(c)
     f = c - c0
@@ -181,11 +214,10 @@ def sample_density_trilinear(arena: GridArena, grid_id, uvw):
             for dx in (0, 1):
                 corner = c0 + jnp.asarray([dx, dy, dz], jnp.float32)
                 idx = jnp.clip(corner, 0.0, dims - 1.0).astype(jnp.int32)
-                flat = off + (idx[..., 2] * ny + idx[..., 1]) * nx + idx[..., 0]
                 wx = f[..., 0] if dx else 1.0 - f[..., 0]
                 wy = f[..., 1] if dy else 1.0 - f[..., 1]
                 wz = f[..., 2] if dz else 1.0 - f[..., 2]
-                out = out + wx * wy * wz * arena.data[flat]
+                out = out + wx * wy * wz * _voxel_fetch(arena, g, idx)
     return out
 
 
@@ -257,3 +289,22 @@ def make_fbm_grid(n: int = 64, octaves: int = 4, seed: int = 7, sharpness: float
     mask = np.clip(1.0 - np.sqrt(xx**2 + yy**2 + zz**2), 0.0, 1.0)
     out = np.clip(acc**sharpness * mask * 2.0, 0.0, 1.0).astype(np.float32)
     return out
+
+
+def to_dense(arena: GridArena, gid: int) -> np.ndarray:
+    """Host-side dense [nz, ny, nx] reconstruction of grid `gid` from the
+    sparse brick pool (tests / exports)."""
+    nx, ny, nz = (int(x) for x in np.asarray(arena.dims[gid]))
+    sx, sy, sz = (int(x) for x in np.asarray(arena.sdims[gid]))
+    soff = int(arena.soffset[gid])
+    pages = np.asarray(
+        arena.sdata[soff : soff + sx * sy * sz, 3]
+    ).astype(np.int64)
+    pool = np.asarray(arena.data).reshape(-1, SUPER_CELL ** 3)
+    gp = (
+        pool[pages]
+        .reshape(sz, sy, sx, SUPER_CELL, SUPER_CELL, SUPER_CELL)
+        .transpose(0, 3, 1, 4, 2, 5)
+        .reshape(sz * SUPER_CELL, sy * SUPER_CELL, sx * SUPER_CELL)
+    )
+    return gp[:nz, :ny, :nx]
