@@ -35,3 +35,22 @@ def small_gather(table, idx):
 def gather_tree(tree, idx):
     """small_gather over every array leaf of a pytree (e.g. Materials)."""
     return jax.tree.map(lambda t: small_gather(t, idx), tree)
+
+
+def compact_indices(live, size: int):
+    """First `size` live lane indices, ascending; tail filled with n
+    (the jnp.flatnonzero(live, size=size, fill_value=n) contract).
+
+    flatnonzero lowers ~1.8x slower than this cumsum + one int32 scatter
+    on v5e (9.5 vs 5.2 ms at 1M lanes, tools/probe_nonzero.py in-loop
+    deltas) — and compaction-index builds run at every cascade stage of
+    every traversal, so the difference is a few percent of whole renders.
+    """
+    (n,) = live.shape
+    dest = jnp.cumsum(live.astype(jnp.int32)) - 1
+    dest = jnp.where(live, dest, size)  # dead lanes park on a dump slot
+    iota = jax.lax.iota(jnp.int32, n)
+    out = jnp.full(size + 1, n, jnp.int32).at[dest].set(
+        jnp.where(live, iota, n), mode="drop"
+    )
+    return out[:size]

@@ -25,7 +25,7 @@ from ...scene import shapes, light_sampling as ls_mod
 from ...scene.types import SceneData, RAY_MAX_T
 from .. import materials as mat
 from . import volume as vol_mod
-from ...core.gather import small_gather
+from ...core.gather import compact_indices, small_gather
 
 
 class PtmisSettings(NamedTuple):
@@ -1404,7 +1404,7 @@ def integrate_persistent(
         width_cur = n
         for si, wd in enumerate(drain_stages):
             sel = path.alive | split_pending(path)
-            idx = jnp.flatnonzero(sel, size=wd, fill_value=width_cur)
+            idx = compact_indices(sel, wd)
             safe = jnp.minimum(idx, width_cur - 1)
             valid = idx < width_cur
 

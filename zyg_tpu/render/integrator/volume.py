@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from ...core import vecmath as vm
-from ...core.gather import small_gather
+from ...core.gather import compact_indices, small_gather
 from ...core.rng import hash_u32, hash2_u32, u32_to_float
 from ...scene import grids as grids_mod
 from ...scene.types import SceneData, MaterialKind
@@ -387,7 +387,7 @@ def sample_interaction(
             if limit is None:
                 break
             live = ~done_s
-            lidx = jnp.flatnonzero(live, size=nxt, fill_value=width)
+            lidx = compact_indices(live, nxt)
             ls = jnp.minimum(lidx, width - 1)
             valid = lidx < width
             gmap = (ls if gmap is None else gmap[ls])
@@ -677,7 +677,7 @@ def _prop_transmittance(
             if limit is None:
                 break
             live = ~done_s
-            lidx = jnp.flatnonzero(live, size=nxt, fill_value=width)
+            lidx = compact_indices(live, nxt)
             ls = jnp.minimum(lidx, width - 1)
             valid = lidx < width
             gmap = (ls if gmap is None else gmap[ls])

@@ -37,7 +37,14 @@ class GridArena(NamedTuple):
     a pool of SUPER_CELL^3 BRICKS; all-zero bricks share pool brick 0, so
     empty space costs no HBM (a mostly-empty cloud's footprint shrinks
     ~proportionally to occupancy). The per-cell page index rides column 3
-    of the supergrid row the tracking loop already fetches."""
+    of the supergrid row the tracking loop already fetches.
+
+    Addressing is a STATIC per-arena choice (meta key rides the treedef):
+    when every grid is mostly occupied ("dense" mode), ALL bricks are kept
+    in grid order so the page is brick_base[g] + linear cell index — pure
+    arithmetic, no page-table gather. The page-lookup indirection measured
+    -21% on the dense smoke bench (3.80 -> 3.00 Mrays/s), so sparse
+    addressing only pays where it actually saves HBM."""
 
     data: jax.Array  # float32[B * SUPER_CELL^3] brick pool (brick 0 = zeros)
     offset: jax.Array  # int32[G] legacy dense offsets (unused addressing)
@@ -61,10 +68,20 @@ class GridArena(NamedTuple):
     sdata: jax.Array  # float32[Ts, 4] (majorant, minorant, free_r, page)
     soffset: jax.Array  # int32[G]
     sdims: jax.Array  # int32[G,3]
+    brick_base: jax.Array  # int32[G] first pool brick of each grid (the
+    # arithmetic page base in dense mode; informational in sparse mode)
+    # STATIC addressing mode: {"sparse": 0} or {"dense": 0} — the KEY rides
+    # the pytree treedef so jit specializes (LightTree pattern)
+    meta: dict
 
     @property
     def count(self) -> int:
         return self.offset.shape[0]
+
+    @property
+    def sparse(self) -> bool:
+        (mode,) = self.meta.keys()
+        return mode == "sparse"
 
 
 def _dilate(g: np.ndarray, op) -> np.ndarray:
@@ -81,24 +98,27 @@ def _dilate(g: np.ndarray, op) -> np.ndarray:
     return out
 
 
+# below this mean brick occupancy the arena drops empty bricks and pays
+# the per-sample page-table gather; above it, dense arithmetic addressing
+# is faster (the page lookup measured -21% on the dense smoke bench) and
+# the HBM saving would be marginal anyway
+SPARSE_OCCUPANCY = 0.6
+
+
 def build_grid_arena(grids: list[np.ndarray]) -> GridArena:
     """Flatten host grids (each float32[nz, ny, nx]) into one arena."""
     offsets, dims = [], []
     sdatas, smins, sfree, spages, soffsets, sdims = [], [], [], [], [], []
     majorants, minorants = [], []
-    bricks = [np.zeros(SUPER_CELL ** 3, np.float32)]  # pool; 0 = zero brick
     off = 0
     soff = 0
+    # first pass: brick every grid, decide the STATIC addressing mode from
+    # total occupancy (dense mode keeps all bricks -> page is arithmetic)
+    bricked = []
     for g in grids:
         g = np.asarray(g, np.float32)
         assert g.ndim == 3
         nz, ny, nx = g.shape
-        offsets.append(off)
-        dims.append((nx, ny, nz))
-        majorants.append(float(g.max()))
-        minorants.append(float(g.min()))
-        off += g.size
-        # sparse brick pool: pad to brick multiples, drop all-zero bricks
         bz, by, bx = (-(-n // SUPER_CELL) for n in (nz, ny, nx))
         gp = np.zeros((bz * SUPER_CELL, by * SUPER_CELL, bx * SUPER_CELL), np.float32)
         gp[:nz, :ny, :nx] = g
@@ -107,9 +127,27 @@ def build_grid_arena(grids: list[np.ndarray]) -> GridArena:
             .transpose(0, 2, 4, 1, 3, 5)
             .reshape(bz * by * bx, -1)
         )
-        occ_b = np.abs(bl).max(axis=1) > 0.0
-        page = np.zeros(bz * by * bx, np.float32)
+        bricked.append((g, bl))
+    total = sum(bl.shape[0] for _, bl in bricked) or 1
+    occ = sum(int((np.abs(bl).max(axis=1) > 0.0).sum()) for _, bl in bricked)
+    sparse = occ / total < SPARSE_OCCUPANCY
+    bricks = [np.zeros(SUPER_CELL ** 3, np.float32)]  # pool; 0 = zero brick
+    brick_base = []
+    for g, bl in bricked:
+        nz, ny, nx = g.shape
+        offsets.append(off)
+        dims.append((nx, ny, nz))
+        majorants.append(float(g.max()))
+        minorants.append(float(g.min()))
+        off += g.size
+        occ_b = (
+            np.abs(bl).max(axis=1) > 0.0
+            if sparse
+            else np.ones(bl.shape[0], bool)
+        )
+        page = np.zeros(bl.shape[0], np.float32)
         page[occ_b] = np.arange(len(bricks), len(bricks) + int(occ_b.sum()))
+        brick_base.append(len(bricks))
         bricks.extend(bl[occ_b])
         spages.append(page)
         # halo'd min/max-pool supergrids, padded to a full cell
@@ -151,8 +189,8 @@ def build_grid_arena(grids: list[np.ndarray]) -> GridArena:
         sdims.append((sx, sy, sz))
         soff += sdatas[-1].size
         # supergrid cells and bricks share the SUPER_CELL partition, so
-        # (sx, sy, sz) == (bx, by, bz) and the page table aligns
-        assert (sx, sy, sz) == (bx, by, bz)
+        # the page table aligns with the supergrid rows
+        assert sx * sy * sz == bl.shape[0]
     return GridArena(
         data=jnp.asarray(np.concatenate(bricks)),
         offset=jnp.asarray(offsets, jnp.int32),
@@ -168,20 +206,26 @@ def build_grid_arena(grids: list[np.ndarray]) -> GridArena:
         ),
         soffset=jnp.asarray(soffsets, jnp.int32),
         sdims=jnp.asarray(sdims, jnp.int32),
+        brick_base=jnp.asarray(brick_base, jnp.int32),
+        meta={"sparse" if sparse else "dense": 0},
     )
 
 
 def _voxel_fetch(arena: GridArena, g, idx):
-    """Sparse brick fetch of voxel idx ([N,3] ints, in-range): page lookup
-    through the supergrid cell, then one pool gather. Empty bricks share
-    pool brick 0 (zeros)."""
+    """Brick-pool fetch of voxel idx ([N,3] ints, in-range). Sparse mode:
+    page lookup through the supergrid cell, then one pool gather (empty
+    bricks share pool brick 0). Dense mode: the page is brick_base[g] +
+    the linear cell index — no page-table gather."""
     sdimsi = small_gather(arena.sdims, g)
-    soff = small_gather(arena.soffset, g)
     cell = idx // SUPER_CELL
     local = idx - cell * SUPER_CELL
     snx, sny = sdimsi[..., 0], sdimsi[..., 1]
-    cellflat = soff + (cell[..., 2] * sny + cell[..., 1]) * snx + cell[..., 0]
-    page = arena.sdata[cellflat, 3].astype(jnp.int32)
+    cellloc = (cell[..., 2] * sny + cell[..., 1]) * snx + cell[..., 0]
+    if arena.sparse:
+        soff = small_gather(arena.soffset, g)
+        page = arena.sdata[soff + cellloc, 3].astype(jnp.int32)
+    else:
+        page = small_gather(arena.brick_base, g) + cellloc
     flat = page * (SUPER_CELL ** 3) + (
         local[..., 2] * SUPER_CELL + local[..., 1]
     ) * SUPER_CELL + local[..., 0]

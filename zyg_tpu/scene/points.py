@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import vecmath as vm
+from ..core.gather import compact_indices
 from .bvh import build_bvh, FlatBVH, LEAF_SIZE
 
 
@@ -237,7 +238,7 @@ def traverse(arena: PointArena, root, o, d, tmin, tmax, time=None, any_hit: bool
         live = st.ptr >= 0
         if any_hit:
             live = live & (st.prim < 0)
-        lidx = jnp.flatnonzero(live, size=nxt, fill_value=width)
+        lidx = compact_indices(live, nxt)
         ls = jnp.minimum(lidx, width - 1)
         valid = lidx < width
         gmap = (ls if gmap is None else gmap[ls])

@@ -37,7 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import vecmath as vm
-from ..core.gather import small_gather
+from ..core.gather import compact_indices, small_gather
 from .bvh import build_bvh, FlatBVH
 
 LEAF_SIZE = 12  # triangles per leaf row (padded; degenerate pads never
@@ -553,8 +553,11 @@ _COMPACT_MIN = 1 << 10
 # (sum of live counts), so smaller shrinks track the live curve tighter at
 # the price of more compaction stages (each ~1.3 iteration-equivalents of
 # [width] ops). probe_collapse measured mean 12.5 live iters/ray vs ~37
-# effective at shrink 4; see tools/probe_cascade.py for the sweep.
-_CASCADE_SHRINK = 4.0
+# effective at shrink 4. Round-5 sweep AFTER packed one-row compaction
+# (probe_cascade, 1M incoherent trefoil): shrink 4 = 4.67, 2 = 5.08,
+# 1.5 = 4.26 Mrays/s — 2 is the knee; below it the extra compaction
+# stages cost more than the tighter live tracking saves.
+_CASCADE_SHRINK = 2.0
 
 
 def traverse(
@@ -637,7 +640,7 @@ def traverse(
         packed = jnp.concatenate(
             [jnp.stack(cols, axis=-1), bc(st.stack)], axis=-1
         )
-        lidx = jnp.flatnonzero(st.live, size=nxt, fill_value=width)
+        lidx = compact_indices(st.live, nxt)
         ls = jnp.minimum(lidx, width - 1)
         valid = lidx < width
         gmap = (ls if gmap is None else gmap[ls])
