@@ -245,12 +245,28 @@ def sample_interaction(
         1.0 / jnp.maximum(sdims * jnp.abs(ld_safe), 1e-12), axis=-1
     )
 
+    # GREY media (static, loader "spectral_media" feature): mu_t == mu_s
+    # per channel, so decomposition-tracking collision weights are
+    # EXACTLY 1 (w_scat = mu_s_x/(mu_loc*ps) with ps = mu_s_x/mu_loc).
+    # The loop then drops the whole [N,3] weight machinery: the carry's w
+    # is a scalar that never updates, absorb alone decides the outcome.
+    grey = (
+        scene.mat_features is not None
+        and "spectral_media" not in scene.mat_features
+    )
+
     n = seg.shape
     C = {
-        "lo": lo, "ld": ld, "inv": inv, "seg": seg, "mu_t": mu_t,
-        "mu_s": mu_s, "mu_t_max": mu_t_max, "grid": grid, "sdims": sdims,
+        "lo": lo, "ld": ld, "inv": inv, "seg": seg,
+        "mu_t_max": mu_t_max, "grid": grid, "sdims": sdims,
         "eps": t_cell_eps, "o": o, "d": d, "mp": medium_prop,
     }
+    if grey:
+        C["mu_t1"] = mu_t[..., 0]
+        C["mu_s1"] = mu_s[..., 0]
+    else:
+        C["mu_t"] = mu_t
+        C["mu_s"] = mu_s
     if emissive:
         C["e_med"] = e_med
 
@@ -259,7 +275,7 @@ def sample_interaction(
         un-done (None = to completion). Same macrocell walk as before —
         the cascade around it only relocates lanes."""
         lo, ld, inv = C["lo"], C["ld"], C["inv"]
-        seg, mu_t, mu_s = C["seg"], C["mu_t"], C["mu_s"]
+        seg = C["seg"]
         mu_t_max, grid, sdims = C["mu_t_max"], C["grid"], C["sdims"]
         t_cell_eps, o, d, medium_prop = C["eps"], C["o"], C["d"], C["mp"]
         e_med = C.get("e_med")
@@ -291,8 +307,17 @@ def sample_interaction(
             key, t, w, done, scat, absb, emis, it = c
             u1 = u32_to_float(hash2_u32(key, jnp.uint32(0)))
             u2 = u32_to_float(hash2_u32(key, jnp.uint32(1)))
+            # one hash -> three voxel-jitter uniforms (11/11/10 bits):
+            # stochastic trilinear rounding needs no more resolution, and
+            # the two saved hashes are real per-step ALU
+            rbits = hash2_u32(key, jnp.uint32(2))
             r3 = jnp.stack(
-                [u32_to_float(hash2_u32(key, jnp.uint32(k))) for k in (2, 3, 4)], -1
+                [
+                    (rbits & jnp.uint32(0x7FF)).astype(jnp.float32) * (1.0 / 2048.0),
+                    ((rbits >> 11) & jnp.uint32(0x7FF)).astype(jnp.float32) * (1.0 / 2048.0),
+                    (rbits >> 22).astype(jnp.float32) * (1.0 / 1024.0),
+                ],
+                -1,
             )
             # local majorant + free radius of the current macrocell
             p_cur = lo + t[..., None] * ld
@@ -310,35 +335,47 @@ def sample_interaction(
             p = o + t_new[..., None] * d
             uvw = _object_uvw(scene, medium_prop, p)
             dens = grids_mod.sample_density_stochastic(arena, grid, uvw, r3)
-            mu_t_x = dens[..., None] * mu_t
-            mu_s_x = dens[..., None] * mu_s
-            mu_a_x = mu_t_x - mu_s_x
             mu_loc_s = jnp.maximum(mu_loc, 1e-12)
-            ps = jnp.mean(mu_s_x, axis=-1) / mu_loc_s
-            pa = jnp.mean(mu_a_x, axis=-1) / mu_loc_s
-            pn = jnp.maximum(1.0 - ps - pa, 1e-7)
-            scat_now = collide & (u2 < ps)
-            abs_now = collide & ~scat_now & (u2 < ps + pa)
-            w_scat = mu_s_x / jnp.maximum(mu_loc_s * ps, 1e-20)[..., None]
-            w_null = (mu_loc_s[..., None] - mu_t_x) / (mu_loc_s * pn)[..., None]
             act = ~done
-            if e_med is not None:
-                # analog absorption collects emission (ref
-                # trackingEmission): li = w * mu_a(x)/(mu_maj*pa) * e —
-                # uses the PRE-kill weight
-                w_abs = mu_a_x / jnp.maximum(mu_loc_s * pa, 1e-20)[..., None]
-                emis = jnp.where(
-                    (act & abs_now)[..., None], w * w_abs * e_med, emis
+            if grey:
+                # analog grey tracking: classification probabilities are
+                # scalar and every collision weight is exactly 1 — w rides
+                # the carry untouched (absorb alone decides the outcome)
+                ps = dens * C["mu_s1"] / mu_loc_s
+                pa = dens * (C["mu_t1"] - C["mu_s1"]) / mu_loc_s
+                scat_now = collide & (u2 < ps)
+                abs_now = collide & ~scat_now & (u2 < ps + pa)
+                if e_med is not None:
+                    emis = jnp.where((act & abs_now)[..., None], e_med, emis)
+            else:
+                mu_t, mu_s = C["mu_t"], C["mu_s"]
+                mu_t_x = dens[..., None] * mu_t
+                mu_s_x = dens[..., None] * mu_s
+                mu_a_x = mu_t_x - mu_s_x
+                ps = jnp.mean(mu_s_x, axis=-1) / mu_loc_s
+                pa = jnp.mean(mu_a_x, axis=-1) / mu_loc_s
+                pn = jnp.maximum(1.0 - ps - pa, 1e-7)
+                scat_now = collide & (u2 < ps)
+                abs_now = collide & ~scat_now & (u2 < ps + pa)
+                w_scat = mu_s_x / jnp.maximum(mu_loc_s * ps, 1e-20)[..., None]
+                w_null = (mu_loc_s[..., None] - mu_t_x) / (mu_loc_s * pn)[..., None]
+                if e_med is not None:
+                    # analog absorption collects emission (ref
+                    # trackingEmission): li = w * mu_a(x)/(mu_maj*pa) * e —
+                    # uses the PRE-kill weight
+                    w_abs = mu_a_x / jnp.maximum(mu_loc_s * pa, 1e-20)[..., None]
+                    emis = jnp.where(
+                        (act & abs_now)[..., None], w * w_abs * e_med, emis
+                    )
+                w = jnp.where(
+                    (act & scat_now)[..., None],
+                    w * w_scat,
+                    jnp.where(
+                        (act & abs_now)[..., None],
+                        0.0,
+                        jnp.where((act & collide)[..., None], w * w_null, w),
+                    ),
                 )
-            w = jnp.where(
-                (act & scat_now)[..., None],
-                w * w_scat,
-                jnp.where(
-                    (act & abs_now)[..., None],
-                    0.0,
-                    jnp.where((act & collide)[..., None], w * w_null, w),
-                ),
-            )
             scat = scat | (act & scat_now)
             absb = absb | (act & abs_now)
             t = jnp.where(act, jnp.minimum(t_new, seg), t)
@@ -353,11 +390,14 @@ def sample_interaction(
     init = (
         jnp.asarray(vol_key, jnp.uint32),
         jnp.zeros(n, jnp.float32),
-        jnp.ones(n + (3,), jnp.float32),
+        # grey mode never updates the weight — carry a scalar lane column
+        # so cascades don't pay a dead [N,3] compaction
+        jnp.ones(n if grey else n + (3,), jnp.float32),
         ~hetero,  # homogeneous/vacuum lanes never enter the loop
         jnp.zeros(n, bool),
         jnp.zeros(n, bool),
-        jnp.zeros(n + (3,), jnp.float32),
+        # dead when not emissive; scalar column keeps the carry cheap
+        jnp.zeros(n + (3,) if emissive else n, jnp.float32),
         jnp.uint32(0),
     )
     if len(n) != 1 or n[0] < 4 * _TRACK_MIN:
@@ -405,6 +445,9 @@ def sample_interaction(
     scatter = jnp.where(hetero, ht_scat, h_scatter)
     absorb = hetero & ht_abs
     t_ev = jnp.where(hetero, ht_t, h_t)
+    if grey:
+        # analog grey weights are 1 everywhere except the absorb kill
+        ht_w = jnp.where(ht_abs, 0.0, 1.0)[..., None]
     w = jnp.where(hetero[..., None], ht_w, h_w)
     p = o + t_ev[..., None] * d
     emis = (
@@ -553,6 +596,11 @@ def _prop_transmittance(
     # far below (cell max - global min), so collisions drop accordingly
     arena = scene.grids
     grid_idx = jnp.asarray(grid_idx, jnp.int32)
+    # grey media (see sample_interaction): the ratio product is scalar
+    grey = (
+        scene.mat_features is not None
+        and "spectral_media" not in scene.mat_features
+    )
     mu_t_max = jnp.maximum(jnp.max(mu_t, axis=-1), 1e-12)
     prop_b = jnp.broadcast_to(jnp.asarray(prop_idx, jnp.int32), seg.shape)
     grid_b = jnp.broadcast_to(grid_idx, seg.shape)
@@ -571,14 +619,20 @@ def _prop_transmittance(
 
     C = {
         "lo": lo, "ld": ld, "inv": inv_l, "sdims": sdims, "eps": t_cell_eps,
-        "t1": t1, "mu_t": mu_t, "mu_t_max": mu_t_max, "grid": grid_b,
+        "t1": t1, "mu_t_max": mu_t_max, "grid": grid_b,
         "prop": prop_b, "o": o, "d": d,
     }
+    if grey:
+        C["mu_t1"] = mu_t[..., 0]
+    else:
+        C["mu_t"] = mu_t
 
     def track_stage(C, S, live_limit):
         lo, ld, inv_l = C["lo"], C["ld"], C["inv"]
         sdims, t_cell_eps, t1 = C["sdims"], C["eps"], C["t1"]
-        mu_t, mu_t_max = C["mu_t"], C["mu_t_max"]
+        mu_t_max = C["mu_t_max"]
+        if not grey:
+            mu_t = C["mu_t"]
         grid_b, prop_b, o, d = C["grid"], C["prop"], C["o"], C["d"]
 
         def cell_exit_t(t, skip_r):
@@ -602,8 +656,15 @@ def _prop_transmittance(
         def step(c):
             key, t, trv, tau, done, it = c
             u1 = u32_to_float(hash2_u32(key, jnp.uint32(0)))
+            # one hash -> three voxel-jitter uniforms (see sample_interaction)
+            rbits = hash2_u32(key, jnp.uint32(1))
             r3 = jnp.stack(
-                [u32_to_float(hash2_u32(key, jnp.uint32(k))) for k in (1, 2, 3)], -1
+                [
+                    (rbits & jnp.uint32(0x7FF)).astype(jnp.float32) * (1.0 / 2048.0),
+                    ((rbits >> 11) & jnp.uint32(0x7FF)).astype(jnp.float32) * (1.0 / 2048.0),
+                    (rbits >> 22).astype(jnp.float32) * (1.0 / 1024.0),
+                ],
+                -1,
             )
             p_cur = lo + t[..., None] * ld
             uvw_cur = jnp.clip(p_cur + 0.5, 0.0, 1.0)
@@ -625,15 +686,24 @@ def _prop_transmittance(
             p = o + t_new[..., None] * d
             uvw = _object_uvw(scene, prop_b, p)
             dens = grids_mod.sample_density_stochastic(arena, grid_b, uvw, r3)
-            mu_res_x = jnp.maximum(dens - min_loc, 0.0)[..., None] * mu_t
-            ratio = jnp.clip(1.0 - mu_res_x / jnp.maximum(mu_r, 1e-12)[..., None], 0.0, 1.0)
             act = ~done & collide
-            trv = jnp.where(act[..., None], trv * ratio, trv)
+            if grey:
+                mu_res_s = jnp.maximum(dens - min_loc, 0.0) * C["mu_t1"]
+                ratio_s = jnp.clip(
+                    1.0 - mu_res_s / jnp.maximum(mu_r, 1e-12), 0.0, 1.0
+                )
+                trv = jnp.where(act, trv * ratio_s, trv)
+                trv_max = trv
+            else:
+                mu_res_x = jnp.maximum(dens - min_loc, 0.0)[..., None] * mu_t
+                ratio = jnp.clip(1.0 - mu_res_x / jnp.maximum(mu_r, 1e-12)[..., None], 0.0, 1.0)
+                trv = jnp.where(act[..., None], trv * ratio, trv)
+                trv_max = jnp.max(trv, axis=-1)
             # closed-form control: accumulate the cell minorant's optical
             # depth over the segment actually walked in this cell
             tau = tau + jnp.where(~done, min_loc * (t_new - t), 0.0)
             t = jnp.where(~done, t_new, t)
-            done = done | exited | (jnp.max(trv, axis=-1) < 1e-5)
+            done = done | exited | (trv_max < 1e-5)
             return (
                 hash_u32(key ^ jnp.uint32(0x85EBCA6B)),
                 t, trv, tau, done, it + jnp.uint32(1),
@@ -648,7 +718,7 @@ def _prop_transmittance(
     init = (
         jnp.asarray(vol_key, jnp.uint32) ^ salt,
         t0,
-        jnp.ones(n + (3,), jnp.float32),
+        jnp.ones(n if grey else n + (3,), jnp.float32),
         jnp.zeros(n, jnp.float32),
         ~inside,
         jnp.uint32(0),
@@ -691,4 +761,5 @@ def _prop_transmittance(
             )
             width = nxt
     tr_control = jnp.exp(-mu_t * tau[..., None])
-    return jnp.where(inside[..., None], tr_control * trv, 1.0)
+    trv3 = trv[..., None] if grey else trv
+    return jnp.where(inside[..., None], tr_control * trv3, 1.0)

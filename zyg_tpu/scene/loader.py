@@ -1265,6 +1265,22 @@ class SceneBuilder:
             for d in self.materials
         ):
             mat_features["dispersion"] = True
+        # spectral (non-grey) media: when every VOLUMETRIC material's
+        # attenuation and subsurface colors are channel-uniform, mu_t and
+        # mu_s are grey and decomposition-tracking collision weights are
+        # EXACTLY 1 — the tracking loops drop the whole per-step spectral
+        # weight machinery (volume.py grey paths). Only a non-grey
+        # volumetric medium compiles the spectral estimator (glass
+        # interiors always take the closed form, so they don't gate this).
+        if any(
+            d.kind == int(MaterialKind.VOLUMETRIC)
+            and (
+                float(np.ptp(np.asarray(d.color))) > 0.0
+                or float(np.ptp(np.asarray(d.subsurface_color))) > 0.0
+            )
+            for d in self.materials
+        ):
+            mat_features["spectral_media"] = True
         # opacity cutouts (ref stochasticOpacity): the passthrough bounce
         # and the shadow re-march loop compile only when a mask exists
         if any(d.mask_tex >= 0 for d in self.materials):
