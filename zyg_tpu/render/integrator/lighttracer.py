@@ -102,9 +102,10 @@ def sample_light_from(scene: SceneData, light_idx, xi4, u_side=None):
 
         lo, hi = jax.lax.fori_loop(0, 24, bs_step, (lo, hi))
         tri = scene.lights.tri_idx[jnp.clip(lo, 0, scene.lights.tri_idx.shape[0] - 1)]
-        p0 = vm.object_to_world_point(rot, scale, pos, scene.meshes.tri_p0[tri])
-        e1 = vm.object_to_world_vector(rot, scale, scene.meshes.tri_e1[tri])
-        e2 = vm.object_to_world_vector(rot, scale, scene.meshes.tri_e2[tri])
+        trow = scene.meshes.attr_rows[tri]  # one packed-row gather
+        p0 = vm.object_to_world_point(rot, scale, pos, trow[..., 0:3])
+        e1 = vm.object_to_world_vector(rot, scale, trow[..., 3:6])
+        e2 = vm.object_to_world_vector(rot, scale, trow[..., 6:9])
         # fresh 2D point: the CDF pick consumed xi4[0], remap it
         bx = jnp.mod(u_tri * 64.0, 1.0)
         bc = vm.sample_triangle_uniform(

@@ -488,7 +488,8 @@ def _prop_interval(scene: SceneData, prop_idx: int, shape: int, o, d, tmax):
         h1 = tm.traverse(scene.meshes, root, lo, ld, jnp.float32(0.0), big)
         hit1 = h1.prim >= 0
         pr = jnp.maximum(h1.prim, 0)
-        gn = vm.cross(scene.meshes.tri_e1[pr], scene.meshes.tri_e2[pr])
+        prow = scene.meshes.attr_rows[pr]  # one packed-row gather
+        gn = vm.cross(prow[..., 3:6], prow[..., 6:9])
         exiting = vm.dot(ld, gn) > 0.0  # origin already inside the mesh
         eps = 1e-4 * jnp.maximum(h1.t, 1.0)
         o2 = lo + (h1.t + eps)[..., None] * ld

@@ -410,9 +410,11 @@ def sample_light(scene: SceneData, light_idx, p, n, xi, total_sphere=False, xi3=
                     area,
                 )
         # object-space triangle -> world via the light prop transform
-        p0 = vm.object_to_world_point(rot, scale, pos, scene.meshes.tri_p0[tri])
-        e1 = vm.object_to_world_vector(rot, scale, scene.meshes.tri_e1[tri])
-        e2 = vm.object_to_world_vector(rot, scale, scene.meshes.tri_e2[tri])
+        # (one packed-row gather: p0/e1/e2/uv all ride attr_rows)
+        trow = scene.meshes.attr_rows[tri]
+        p0 = vm.object_to_world_point(rot, scale, pos, trow[..., 0:3])
+        e1 = vm.object_to_world_vector(rot, scale, trow[..., 3:6])
+        e2 = vm.object_to_world_vector(rot, scale, trow[..., 6:9])
         bc = vm.sample_triangle_uniform(xi)
         mp = p0 + bc[..., 0:1] * e1 + bc[..., 1:2] * e2
         mn_raw = vm.cross(e1, e2)
@@ -429,7 +431,7 @@ def sample_light(scene: SceneData, light_idx, p, n, xi, total_sphere=False, xi3=
         ln_v[k] = mn
         valid_v[k] = (t_off >= 0) & (cosl > DOT_MIN) & (area > 0.0)
         t_v[k] = mt
-        tuv = scene.meshes.tri_uv[tri]
+        tuv = trow[..., 12:18].reshape(trow.shape[:-1] + (3, 2))
         w0m = (1.0 - bc[..., 0] - bc[..., 1])[..., None]
         uv_v[k] = (
             w0m * tuv[..., 0, :]

@@ -772,20 +772,26 @@ def build_fragment(scene: SceneData, hit: Hit, o, d, need_uv: bool | None = None
         arena = scene.meshes
         pr = jnp.maximum(hit.prim, 0)
         is_mesh = (shape == int(ShapeType.TRIANGLE_MESH)) & (hit.prim >= 0)
-        e1 = arena.tri_e1[pr]
-        e2 = arena.tri_e2[pr]
-        if arena.tri_e1_d is not None and time is not None:
+        # ONE 80-byte row gather for all shading attributes (separate
+        # e1/e2/n/uv gathers each pay the slow >=2^15-row gather price)
+        row = arena.attr_rows[pr]
+        e1 = row[..., 3:6]
+        e2 = row[..., 6:9]
+        if arena.attr_rows_d is not None and time is not None:
             # deforming mesh: edges at the lane's shutter time (the
             # geometric normal follows the deformation; per-vertex
             # shading normals stay frame-0 — small-angle approximation)
             tt = time[..., None]
-            e1 = e1 + tt * arena.tri_e1_d[pr]
-            e2 = e2 + tt * arena.tri_e2_d[pr]
+            row_d = arena.attr_rows_d[pr]
+            e1 = e1 + tt * row_d[..., 3:6]
+            e2 = e2 + tt * row_d[..., 6:9]
         gn_l = vm.safe_normalize(vm.cross(e1, e2))
         w0 = 1.0 - hit.u - hit.v
         from ..core import encoding as enc
 
-        tn = enc.oct_normal_unpack(arena.tri_n[pr])  # uint32[N,3] -> [N,3,3]
+        tn = enc.oct_normal_unpack(
+            jax.lax.bitcast_convert_type(row[..., 9:12], jnp.uint32)
+        )  # [N,3] words -> [N,3,3]
         ns_l = (
             w0[..., None] * tn[..., 0, :]
             + hit.u[..., None] * tn[..., 1, :]
@@ -795,7 +801,7 @@ def build_fragment(scene: SceneData, hit: Hit, o, d, need_uv: bool | None = None
         # objectToWorldNormal — uniform-scale assumption like the reference)
         gn_w = vm.safe_normalize(vm.object_to_world_normal(rot, gn_l))
         ns_w = vm.safe_normalize(vm.object_to_world_normal(rot, ns_l))
-        tuv = arena.tri_uv[pr]
+        tuv = row[..., 12:18].reshape(row.shape[:-1] + (3, 2))
         uv_m = (
             w0[..., None] * tuv[..., 0, :]
             + hit.u[..., None] * tuv[..., 1, :]
@@ -911,13 +917,17 @@ def uv_density(scene: SceneData, hit: Hit, time=None):
         pr = jnp.maximum(hit.prim, 0)
         shape = small_gather(scene.prop_shape, prop)
         is_mesh = (shape == int(ShapeType.TRIANGLE_MESH)) & (hit.prim >= 0)
-        e1 = arena.tri_e1[pr]
-        e2 = arena.tri_e2[pr]
-        if arena.tri_e1_d is not None and time is not None:
+        # same single-row gather as build_fragment (CSEs with it when both
+        # run in one jit over the same hit)
+        row = arena.attr_rows[pr]
+        e1 = row[..., 3:6]
+        e2 = row[..., 6:9]
+        if arena.attr_rows_d is not None and time is not None:
             tt = time[..., None]
-            e1 = e1 + tt * arena.tri_e1_d[pr]
-            e2 = e2 + tt * arena.tri_e2_d[pr]
-        tuv = arena.tri_uv[pr]
+            row_d = arena.attr_rows_d[pr]
+            e1 = e1 + tt * row_d[..., 3:6]
+            e2 = e2 + tt * row_d[..., 6:9]
+        tuv = row[..., 12:18].reshape(row.shape[:-1] + (3, 2))
         duv1 = tuv[..., 1, :] - tuv[..., 0, :]
         duv2 = tuv[..., 2, :] - tuv[..., 0, :]
         area_uv = jnp.abs(duv1[..., 0] * duv2[..., 1] - duv1[..., 1] * duv2[..., 0])

@@ -80,14 +80,15 @@ class MeshArena(NamedTuple):
 
     node_rows: jax.Array  # [W, 64] float32 (see above)
     tri_rows: jax.Array  # [G, 9*LEAF_SIZE] float32
-    tri_p0: jax.Array  # [Tp,3] (padded)
-    tri_e1: jax.Array  # [Tp,3]
-    tri_e2: jax.Array  # [Tp,3]
-    tri_n: jax.Array  # uint32[Tp,3] per-vertex shading normals,
-    # oct-snorm16x2 encoded (ref vertex_buffer.zig compressed normals;
-    # core/encoding.py) — one third the f32 footprint
-    tri_uv: jax.Array  # [Tp,3,2]
-    tri_part: jax.Array  # [Tp] int32 part index (per-part materials)
+    # Per-triangle shading attributes packed into ONE 80-byte row so a
+    # fragment build is a single per-lane gather. Separate p0/e1/e2/n/uv
+    # arrays cost one ~11.7 ns/lane gather EACH (the table has >= 2^15
+    # rows — the slow-gather regime, probe_rowsize2); at 921k lanes the
+    # old 4-gather fragment build measured ~43 ms per wavefront
+    # iteration, the packed row ~11 ms. Layout:
+    #   [0:3] p0  [3:6] e1  [6:9] e2  [9:12] oct-snorm16x2 vertex
+    #   normals (uint32 bitcast)  [12:18] uv (3 x 2)  [18] part  [19] pad
+    attr_rows: jax.Array  # [Tp, 20] float32
     mesh_root: jax.Array  # [K] int32 root wide node per mesh
     # STATIC metadata on the dict KEY: (max_stack_depth,) — jit specializes
     meta: dict = None
@@ -96,13 +97,47 @@ class MeshArena(NamedTuple):
     # arrays; None = static arena (the lerp compiles away). Node AABBs
     # bound the UNION of both frames.
     tri_rows_d: jax.Array = None  # [G, 9*LEAF_SIZE]
-    tri_p0_d: jax.Array = None  # [Tp,3]
-    tri_e1_d: jax.Array = None  # [Tp,3]
-    tri_e2_d: jax.Array = None  # [Tp,3]
+    # [Tp, 12]: [0:3] p0 delta [3:6] e1 delta [6:9] e2 delta [9:12] pad
+    attr_rows_d: jax.Array = None
 
     @property
     def num_meshes(self) -> int:
         return self.mesh_root.shape[0]
+
+    # ---- host/test convenience views over the packed attribute rows
+    # (hot device paths gather the whole row once and slice the result —
+    # slicing the TABLE first would turn back into narrow gathers)
+    @property
+    def tri_p0(self) -> jax.Array:
+        return self.attr_rows[:, 0:3]
+
+    @property
+    def tri_e1(self) -> jax.Array:
+        return self.attr_rows[:, 3:6]
+
+    @property
+    def tri_e2(self) -> jax.Array:
+        return self.attr_rows[:, 6:9]
+
+    @property
+    def tri_n(self) -> jax.Array:
+        return jax.lax.bitcast_convert_type(self.attr_rows[:, 9:12], jnp.uint32)
+
+    @property
+    def tri_uv(self) -> jax.Array:
+        return self.attr_rows[:, 12:18].reshape(-1, 3, 2)
+
+    @property
+    def tri_part(self) -> jax.Array:
+        return self.attr_rows[:, 18].astype(jnp.int32)
+
+    @property
+    def tri_e1_d(self) -> jax.Array | None:
+        return None if self.attr_rows_d is None else self.attr_rows_d[:, 3:6]
+
+    @property
+    def tri_e2_d(self) -> jax.Array | None:
+        return None if self.attr_rows_d is None else self.attr_rows_d[:, 6:9]
 
 
 class HostMesh(NamedTuple):
@@ -340,9 +375,8 @@ def build_arena(
     never fetch from the device — a 14 MB pull over the axon tunnel
     measured ~75 s).
     """
-    all_rows, all_trirows = [], []
-    all_p0, all_e1, all_e2, all_n, all_uv, all_part = [], [], [], [], [], []
-    all_trirows_d, all_p0_d, all_e1_d, all_e2_d = [], [], [], []
+    all_rows, all_trirows, all_attr = [], [], []
+    all_trirows_d, all_attr_d = [], []
     any_motion = any(m.positions_end is not None for m in meshes)
     roots = []
     host_info = []
@@ -450,9 +484,6 @@ def build_arena(
             pe1d[dst] = de1[src]
             pe2d[dst] = de2[src]
             all_trirows_d.append(rows_of(pp0d, pe1d, pe2d))
-            all_p0_d.append(pp0d)
-            all_e1_d.append(pe1d)
-            all_e2_d.append(pe2d)
 
         # arena tri id per leaf-order position (for light CDFs)
         arena_ids = np.empty(total, np.int64)
@@ -461,16 +492,26 @@ def build_arena(
 
         all_rows.append(rows)
         all_trirows.append(tri_rows)
-        all_p0.append(pp0)
-        all_e1.append(pe1)
-        all_e2.append(pe2)
         # shading normals pack to oct-snorm16x2 words (padding slots are
         # zero vectors -> encode to a valid word; never read)
         from ..core import encoding as enc
 
-        all_n.append(enc.oct_normal_pack(pn))
-        all_uv.append(puv)
-        all_part.append(ppart)
+        attr = np.zeros((tp, 20), np.float32)
+        attr[:, 0:3] = pp0
+        attr[:, 3:6] = pe1
+        attr[:, 6:9] = pe2
+        attr[:, 9:12] = np.ascontiguousarray(
+            enc.oct_normal_pack(pn).astype(np.uint32)
+        ).view(np.float32)
+        attr[:, 12:18] = puv.reshape(tp, 6)
+        attr[:, 18] = ppart.astype(np.float32)
+        all_attr.append(attr)
+        if any_motion:
+            attr_d = np.zeros((tp, 12), np.float32)
+            attr_d[:, 0:3] = pp0d
+            attr_d[:, 3:6] = pe1d
+            attr_d[:, 6:9] = pe2d
+            all_attr_d.append(attr_d)
         roots.append(node_off)
         node_off += rows.shape[0]
         group_off += num_groups
@@ -481,18 +522,11 @@ def build_arena(
     arena = MeshArena(
         node_rows=jnp.asarray(host_nodes),
         tri_rows=cat(all_trirows),
-        tri_p0=cat(all_p0),
-        tri_e1=cat(all_e1),
-        tri_e2=cat(all_e2),
-        tri_n=cat(all_n),  # packed uint32 oct normals
-        tri_uv=cat(all_uv),
-        tri_part=cat(all_part),
+        attr_rows=cat(all_attr),
         mesh_root=jnp.asarray(host_roots),
         meta={(max_depth,): True},
         tri_rows_d=cat(all_trirows_d) if any_motion else None,
-        tri_p0_d=cat(all_p0_d) if any_motion else None,
-        tri_e1_d=cat(all_e1_d) if any_motion else None,
-        tri_e2_d=cat(all_e2_d) if any_motion else None,
+        attr_rows_d=cat(all_attr_d) if any_motion else None,
     )
     if return_host_info:
         return arena, host_info, {"node_rows": host_nodes, "mesh_root": host_roots}
@@ -558,6 +592,20 @@ _COMPACT_MIN = 1 << 10
 # 1.5 = 4.26 Mrays/s — 2 is the knee; below it the extra compaction
 # stages cost more than the tighter live tracking saves.
 _CASCADE_SHRINK = 2.0
+# ... but at LARGE widths the per-stage compaction MACHINERY dominates:
+# compact_indices is ~6.5 ms at 1M lanes (the int32 scatter is ~all of
+# it, probe_cumsum) and the packed-row gather ~11.7 ns per survivor, so
+# a full 921k->1k shrink-2 ladder costs ~20+ ms even when every stage
+# exits after zero iterations. That is exactly the wavefront case: the
+# bench trefoil's per-iteration traversal population is ~5-10% live
+# (TLAS box misses arrive dead), and the measured shadow cascade cost
+# (20.3 ms at 1M lanes, 4.6% live) was ~pure machinery. Above
+# _CASCADE_TOP_MIN the ladder therefore shrinks 4x per stage — halving
+# the number of big scatters/gathers — and returns to 2x below it where
+# stage-loop tracking, not machinery, sets the price. Measured (bench
+# mesh iteration accounting, probe_meshbench): see commit message.
+_CASCADE_SHRINK_TOP = 4.0
+_CASCADE_TOP_MIN = 1 << 17
 
 
 def traverse(
@@ -603,7 +651,10 @@ def traverse(
     o_s, d_s = o, d
     time_s = time
     while True:
-        nxt = max(int(width / _CASCADE_SHRINK), _COMPACT_MIN)
+        shrink = (
+            _CASCADE_SHRINK_TOP if width >= _CASCADE_TOP_MIN else _CASCADE_SHRINK
+        )
+        nxt = max(int(width / shrink), _COMPACT_MIN)
         limit = None if width <= _COMPACT_MIN else nxt
         hit, st = _traverse_stage(
             arena, root, o_s, d_s, tmin, tmax, any_hit, limit, state=st,
